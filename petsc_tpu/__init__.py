@@ -1,0 +1,60 @@
+"""petsc_tpu — a TPU-native sparse linear-algebra and solver framework.
+
+Brand-new design with the capabilities of PETSc (reference: petsc/petsc
+v3.25.3), built on JAX/XLA/Pallas: sharded jax.Arrays for vectors, padded-ELL
+CSR in HBM for matrices, jitted lax.while_loop Krylov solvers with typed
+convergence reasons, host-side numpy/scipy "symbolic" setup phases, and
+domain decomposition over jax.sharding meshes.
+
+Quick start (petsc4py users will recognize the shapes)::
+
+    import petsc_tpu as pt
+    pt.init()
+    A = pt.Mat.createAIJ((n, n), csr=(indptr, indices, vals))
+    b = A.createVecLeft(); b.set(1.0)
+    ksp = pt.KSP().create()
+    ksp.setOperators(A)
+    ksp.setType('cg'); ksp.getPC().setType('jacobi')
+    ksp.setTolerances(rtol=1e-8)
+    x = A.createVecRight()
+    ksp.solve(b, x)
+"""
+
+from . import config
+from .config import init, finalize, options, log, real_dtype, set_real_dtype
+from .sys.error import (Error, KSPConvergedReason, SNESConvergedReason,
+                        TSConvergedReason, TaoConvergedReason, PCFailedReason,
+                        NotConvergedError)
+from .parallel.layout import Layout
+from .parallel.mesh import Comm, comm_self, comm_world, make_comm
+from .vec.vec import Vec, NormType, InsertMode, fused_reductions
+from .mat.mat import Mat, MatShell, MatDense, MatNullSpace, MatStructure
+from .mat.aij import MatAIJ
+
+__version__ = "0.1.0"
+
+
+def __getattr__(name):
+    # Lazy imports to keep `import petsc_tpu` light and avoid cycles.
+    if name == "KSP":
+        from .ksp.ksp import KSP
+        return KSP
+    if name == "PC":
+        from .pc.pc import PC
+        return PC
+    if name == "SNES":
+        from .snes.snes import SNES
+        return SNES
+    if name == "TS":
+        from .ts.ts import TS
+        return TS
+    if name == "Tao":
+        from .tao.tao import Tao
+        return Tao
+    if name == "DMDA":
+        from .dm.dmda import DMDA
+        return DMDA
+    if name == "IS":
+        from .parallel.index import IS
+        return IS
+    raise AttributeError(name)

@@ -1,0 +1,128 @@
+"""Global configuration and initialization for petsc_tpu.
+
+Plays the role of PETSc's PetscInitialize/PetscFinalize (reference:
+src/sys/objects/pinit.c:1383) re-imagined for a JAX/TPU runtime: there is no
+MPI_Init; instead we record the dtype policy, populate the global options
+database from argv/env, and (optionally) initialize jax.distributed for
+multi-host meshes.
+"""
+
+from __future__ import annotations
+
+import os
+import sys as _sys
+
+import jax
+
+# float64 support is required for PETSc-parity numerics (Krylov solves to
+# rtol 1e-8+). On TPU f64 is emulated but correct; the perf path uses f32/bf16
+# explicitly. Must happen before any array is created.
+if os.environ.get("PETSC_TPU_NO_X64", "0") != "1":
+    jax.config.update("jax_enable_x64", True)
+
+import jax.numpy as jnp  # noqa: E402
+
+_initialized = False
+
+
+class _State:
+    """Process-global framework state (options DB, profiler, dtypes)."""
+
+    def __init__(self):
+        from .sys.options import Options
+        from .sys.logging import Profiler
+
+        self.options = Options()
+        self.log = Profiler()
+        # Default scalar/real dtype policy. PETSc builds fix this at configure
+        # time (PetscScalar/PetscReal); we fix it at init time, overridable
+        # per-object where it makes sense.
+        self.real_dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+        self.scalar_dtype = self.real_dtype
+        # Local index dtype (per-shard offsets); global indices are int64.
+        self.index_dtype = jnp.int32
+        self.global_index_dtype = jnp.int64
+
+
+_state: _State | None = None
+
+
+def state() -> _State:
+    global _state
+    if _state is None:
+        _state = _State()
+    return _state
+
+
+def options():
+    """The global options database (reference: src/sys/objects/options.c)."""
+    return state().options
+
+
+def log():
+    """The global profiler (reference: src/sys/logging/plog.c)."""
+    return state().log
+
+
+def init(args=None, options_dict=None, file=None):
+    """Initialize petsc_tpu: populate the options database.
+
+    Mirrors PetscInitialize (reference src/sys/objects/pinit.c:1383):
+    option sources, in increasing precedence: options file, environment
+    variable PETSC_TPU_OPTIONS, argv.
+    """
+    global _initialized
+    st = state()
+    if file:
+        st.options.insert_file(file)
+    env = os.environ.get("PETSC_TPU_OPTIONS") or os.environ.get("PETSC_OPTIONS")
+    if env:
+        st.options.insert_string(env)
+    if options_dict:
+        for k, v in options_dict.items():
+            st.options.set_value(k, v)
+    if args is None:
+        args = []
+    elif args is True:
+        args = _sys.argv[1:]
+    st.options.insert_args(list(args))
+
+    dt = st.options.get_string("real_dtype", default=None)
+    if dt is not None:
+        set_real_dtype(dt)
+    _initialized = True
+    return st
+
+
+def set_real_dtype(dt):
+    st = state()
+    named = {
+        "f32": jnp.float32, "float32": jnp.float32, "single": jnp.float32,
+        "f64": jnp.float64, "float64": jnp.float64, "double": jnp.float64,
+        "bf16": jnp.bfloat16, "bfloat16": jnp.bfloat16,
+    }
+    if isinstance(dt, str):
+        dt = named[dt.lower()]
+    st.real_dtype = jnp.dtype(dt)
+    st.scalar_dtype = st.real_dtype
+
+
+def real_dtype():
+    return state().real_dtype
+
+
+def index_dtype():
+    return state().index_dtype
+
+
+def finalize(print_unused=False):
+    """PetscFinalize analog: report unused options (-options_left)."""
+    st = state()
+    if print_unused or st.options.get_bool("options_left", default=False):
+        left = st.options.unused()
+        if left:
+            print("WARNING! There are options you set that were not used!")
+            for k, v in left:
+                print(f"Option left: name:-{k}" + (f" value: {v}" if v is not None else " (no value)"))
+    if st.options.get_bool("log_view", default=False):
+        st.log.view()

@@ -1,0 +1,528 @@
+"""MatAIJ: the workhorse sparse format (CSR canonical, ELL on device).
+
+TPU-native redesign of MATSEQAIJ/MATMPIAIJ (reference
+src/mat/impls/aij/seq/aij.h:47 SEQAIJHEADER, aij.c:1444 MatMult_SeqAIJ;
+src/mat/impls/aij/mpi/mpiaij.h:40 MPIAIJHEADER, mpiaij.c:1052
+MatMult_MPIAIJ):
+
+* Host ("symbolic") state: a canonical CSR over logical rows, kept in numpy/
+  scipy — this is where factorizations, SpGEMM, coarsening operate (PETSc's
+  symbolic phase is host C code; ours is host numpy).
+* Device ("numeric") state: padded-row ELL arrays in HBM (uniform static
+  shapes, the TPU analog of MATSELL sliced-ELLPACK sell.h:45), or nnz-length
+  segment-sum arrays for pathologically skewed rows.
+* Distributed: PETSc's diag/offdiag split is kept — per-shard diagonal-block
+  ELL (cols local, no communication) + off-diagonal ELL with compacted
+  columns indexing a gathered halo (garray, mpiaij.h:63). The halo currently
+  lowers to one all_gather which XLA overlaps with the diag-block SpMV;
+  a neighbor-ppermute exchange plan replaces it for large meshes.
+* COO assembly: setPreallocationCOO/setValuesCOO (gcreate.c:706) — symbolic
+  dedupe/sort on host once, numeric scatter-add fully on device, matching
+  the device-resident GPU assembly model (aijcusparse/aijkok).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import PartitionSpec as P
+
+from .. import config
+from ..ops import operator, spmv
+from ..sys.error import Error
+from ..vec.vec import InsertMode, NormType
+from .mat import Mat
+
+
+class MatAIJ(Mat):
+    def __init__(self, comm=None, **kw):
+        super().__init__(comm, **kw)
+        # assembly staging (COO triplets, numpy)
+        self._sti: list = []
+        self._stj: list = []
+        self._stv: list = []
+        self._st_mode = None
+        # canonical host CSR
+        self._indptr = None   # (m+1,) int64
+        self._indices = None  # (nnz,) int64
+        self._vals = None     # (nnz,) float64 host
+        # device state
+        self._dev = None      # dict of jnp arrays
+        self._meta = None
+        # COO fast-path plan
+        self._coo_plan = None
+        self._kind_opt = None
+
+    # ================= assembly =================
+
+    def setPreallocation(self, nz=None, nnz=None):
+        return self  # no-op: growth is dynamic on host
+
+    def setValues(self, rows, cols, values, addv=InsertMode.INSERT_VALUES):
+        """Stage a dense (len(rows) x len(cols)) logically-indexed block
+        (MatSetValues matrix.c:1568). Negative indices are skipped (PETSc
+        convention for boundary handling)."""
+        rows = np.atleast_1d(np.asarray(rows, dtype=np.int64))
+        cols = np.atleast_1d(np.asarray(cols, dtype=np.int64))
+        values = np.asarray(values, dtype=np.float64).reshape(len(rows), len(cols))
+        ii = np.repeat(rows, len(cols))
+        jj = np.tile(cols, len(rows))
+        vv = values.reshape(-1)
+        keep = (ii >= 0) & (jj >= 0)
+        if self._st_mode is not None and self._st_mode != addv:
+            raise Error("cannot mix INSERT_VALUES and ADD_VALUES in one assembly")
+        self._st_mode = addv
+        self._sti.append(ii[keep]); self._stj.append(jj[keep]); self._stv.append(vv[keep])
+
+    def setValue(self, i, j, v, addv=InsertMode.INSERT_VALUES):
+        self.setValues([i], [j], [[v]], addv)
+
+    def setValuesCSR(self, indptr, indices, values):
+        self._indptr = np.asarray(indptr, dtype=np.int64)
+        self._indices = np.asarray(indices, dtype=np.int64)
+        self._vals = np.asarray(values, dtype=np.float64)
+
+    def assemblyBegin(self, *a):
+        pass
+
+    def assemblyEnd(self, *a):
+        self.assemble()
+
+    def assemble(self, *a):
+        """Merge staged COO triplets into canonical CSR and rebuild device
+        arrays (MatAssemblyBegin/End matrix.c:6255/6318; stash and halo-plan
+        construction collapse into this host step)."""
+        if self._sti:
+            i = np.concatenate(self._sti); j = np.concatenate(self._stj)
+            v = np.concatenate(self._stv)
+            if self._indptr is not None:
+                # merge with existing CSR: expand back to COO
+                ei = np.repeat(np.arange(self.row_layout.N, dtype=np.int64),
+                               np.diff(self._indptr))
+                if self._st_mode == InsertMode.INSERT_VALUES:
+                    # INSERT overwrites: drop existing duplicates of staged entries
+                    i = np.concatenate([ei, i]); j = np.concatenate([self._indices, j])
+                    v = np.concatenate([self._vals, v])
+                    self._dedupe_last_wins(i, j, v)
+                else:
+                    i = np.concatenate([ei, i]); j = np.concatenate([self._indices, j])
+                    v = np.concatenate([self._vals, v])
+                    self._dedupe_sum(i, j, v)
+            elif self._st_mode == InsertMode.INSERT_VALUES:
+                self._dedupe_last_wins(i, j, v)
+            else:
+                self._dedupe_sum(i, j, v)
+            self._sti, self._stj, self._stv, self._st_mode = [], [], [], None
+        if self._indptr is None:
+            m = self.row_layout.N
+            self._indptr = np.zeros(m + 1, dtype=np.int64)
+            self._indices = np.zeros(0, dtype=np.int64)
+            self._vals = np.zeros(0, dtype=np.float64)
+        self._build_device()
+        self._assembled = True
+        self.increase_state()
+        return self
+
+    def _dedupe_sum(self, i, j, v):
+        m, n = self.row_layout.N, self.col_layout.N
+        order = np.lexsort((j, i))
+        i, j, v = i[order], j[order], v[order]
+        new = np.ones(len(i), dtype=bool)
+        new[1:] = (i[1:] != i[:-1]) | (j[1:] != j[:-1])
+        slots = np.cumsum(new) - 1
+        nun = int(slots[-1]) + 1 if len(slots) else 0
+        vv = np.zeros(nun); np.add.at(vv, slots, v)
+        ui, uj = i[new], j[new]
+        self._indptr = np.zeros(m + 1, dtype=np.int64)
+        np.add.at(self._indptr, ui + 1, 1)
+        self._indptr = np.cumsum(self._indptr)
+        self._indices, self._vals = uj, vv
+
+    def _dedupe_last_wins(self, i, j, v):
+        order = np.lexsort((np.arange(len(i)), j, i))  # stable by (i,j), keep order
+        i, j, v = i[order], j[order], v[order]
+        last = np.ones(len(i), dtype=bool)
+        last[:-1] = (i[1:] != i[:-1]) | (j[1:] != j[:-1])
+        self._dedupe_sum(i[last], j[last], v[last])
+
+    # -------- COO device-resident assembly (gcreate.c:706 model) --------
+
+    def setPreallocationCOO(self, coo_i, coo_j):
+        """Symbolic phase: fix the COO pattern, build the device scatter plan.
+        Subsequent setValuesCOO calls are pure device scatter-adds."""
+        i = np.asarray(coo_i, dtype=np.int64); j = np.asarray(coo_j, dtype=np.int64)
+        keep = (i >= 0) & (j >= 0)
+        i, j = i[keep], j[keep]
+        order = np.lexsort((j, i))
+        si, sj = i[order], j[order]
+        new = np.ones(len(si), dtype=bool)
+        new[1:] = (si[1:] != si[:-1]) | (sj[1:] != sj[:-1])
+        slots = np.cumsum(new) - 1
+        m = self.row_layout.N
+        indptr = np.zeros(m + 1, dtype=np.int64)
+        np.add.at(indptr, si[new] + 1, 1)
+        self._indptr = np.cumsum(indptr)
+        self._indices = sj[new]
+        self._vals = np.zeros(int(new.sum()))
+        self._coo_plan = {
+            "keep": jnp.asarray(np.nonzero(keep)[0]),
+            "perm": jnp.asarray(order),
+            "seg": jnp.asarray(slots, dtype=jnp.int32),
+            "n_user": len(np.asarray(coo_i)),
+            "nnz": len(self._vals),
+        }
+        self._build_device()
+        self._assembled = True
+        return self
+
+    def setValuesCOO(self, values):
+        """Numeric phase, fully on device."""
+        plan = self._coo_plan
+        if plan is None:
+            raise Error("call setPreallocationCOO first")
+        v = jnp.asarray(values, dtype=config.real_dtype()).reshape(-1)
+        v = v[plan["keep"]]
+        csr_vals = jax.ops.segment_sum(v[plan["perm"]], plan["seg"],
+                                       num_segments=plan["nnz"])
+        self._update_device_values(csr_vals)
+        self._vals = None  # host values stale; refresh lazily
+        self._csr_vals_dev = csr_vals
+        self._assembled = True
+        self.increase_state()
+        return self
+
+    # ================= host CSR access =================
+
+    def getValuesCSR(self):
+        self._sync_host_vals()
+        return self._indptr.copy(), self._indices.copy(), self._vals.copy()
+
+    def _sync_host_vals(self):
+        if self._vals is None:
+            self._vals = np.asarray(self._csr_vals_dev)
+
+    def to_scipy(self):
+        import scipy.sparse as sp
+        self._sync_host_vals()
+        m, n = self.getSize()
+        return sp.csr_matrix((self._vals, self._indices, self._indptr), shape=(m, n))
+
+    @classmethod
+    def from_scipy(cls, A, comm=None):
+        A = A.tocsr()
+        M = cls(comm)
+        M.setSizes(A.shape)
+        M.setValuesCSR(A.indptr, A.indices, A.data)
+        return M.assemble()
+
+    def nnz(self):
+        return int(self._indptr[-1]) if self._indptr is not None else 0
+
+    def getRow(self, row):
+        self._sync_host_vals()
+        lo, hi = self._indptr[row], self._indptr[row + 1]
+        return self._indices[lo:hi].copy(), self._vals[lo:hi].copy()
+
+    def getInfo(self):
+        return {"nz_allocated": self.nnz(), "nz_used": self.nnz(),
+                "memory": self.nnz() * 12.0, "assemblies": 1}
+
+    # ================= device build =================
+
+    def _choose_kind(self):
+        if self._kind_opt is None:
+            self._kind_opt = self.opt("get_string", "mat_spmv_kind", default="auto")
+        if self._kind_opt != "auto":
+            return self._kind_opt
+        rl = np.diff(self._indptr)
+        if len(rl) == 0 or rl.max() == 0:
+            return "ell"
+        K, avg = int(rl.max()), float(rl.mean())
+        return "ell" if K <= max(16, 4 * avg) else "csr"
+
+    def _build_device(self):
+        if self.comm.nshards > 1:
+            self._build_device_mpi()
+            return
+        m, n = self.getSize()
+        kind = self._choose_kind()
+        indptr, indices, vals = self._indptr, self._indices, self._vals
+        rd = config.real_dtype()
+        if kind == "ell":
+            rl = np.diff(indptr)
+            K = max(int(rl.max()) if len(rl) else 0, 1)
+            ed = np.zeros((m, K)); ei = np.zeros((m, K), dtype=np.int32)
+            rows = np.repeat(np.arange(m), rl)
+            pos = np.arange(len(indices)) - np.repeat(indptr[:-1], rl)
+            ed[rows, pos] = vals; ei[rows, pos] = indices
+            # ELL scatter plan for device numeric updates (COO path)
+            ell_scatter = rows.astype(np.int64) * K + pos
+            self._dev = {"data": jnp.asarray(ed, dtype=rd),
+                         "idx": jnp.asarray(ei),
+                         "ell_scatter": jnp.asarray(ell_scatter)}
+            self._meta = ("aij_ell", m, n, K)
+        else:
+            rl = np.diff(indptr)
+            rows = np.repeat(np.arange(m, dtype=np.int32), rl)
+            self._dev = {"row_ids": jnp.asarray(rows),
+                         "col_idx": jnp.asarray(indices, dtype=jnp.int32),
+                         "vals": jnp.asarray(vals, dtype=rd)}
+            self._meta = ("aij_csr", m, n)
+        # diagonal cached for PCJacobi etc., plus its CSR positions so the
+        # device-resident COO numeric path can refresh it without host sync
+        self._dev["diag"] = jnp.asarray(self._diag_host(), dtype=rd)
+        for_r = np.repeat(np.arange(m), np.diff(indptr))
+        dpos = np.full(m, -1, dtype=np.int64)
+        hit = np.nonzero(indices == for_r)[0]
+        dpos[for_r[hit]] = hit
+        self._dev["diag_pos"] = jnp.asarray(dpos)
+
+    def _diag_host(self):
+        m, n = self.getSize()
+        d = np.zeros(m)
+        for_r = np.repeat(np.arange(m), np.diff(self._indptr))
+        hit = self._indices == for_r
+        self._sync_host_vals()
+        np.add.at(d, for_r[hit], self._vals[hit])
+        return d
+
+    def _update_device_values(self, csr_vals):
+        """Refresh device arrays from new CSR values (same pattern) — the
+        numeric half of the symbolic/numeric split; stays on device."""
+        kind = self._meta[0]
+        if kind == "aij_ell":
+            m, K = self._meta[1], self._meta[3]
+            flat = jnp.zeros((m * K,), dtype=csr_vals.dtype)
+            self._dev["data"] = flat.at[self._dev["ell_scatter"]].set(csr_vals).reshape(m, K)
+        elif kind == "aij_csr":
+            self._dev["vals"] = csr_vals
+        else:
+            raise Error(f"COO numeric update unsupported for {kind}")
+        dpos = self._dev["diag_pos"]
+        self._dev["diag"] = jnp.where(dpos >= 0,
+                                      csr_vals[jnp.clip(dpos, 0)],
+                                      jnp.zeros((), csr_vals.dtype))
+
+    @property
+    def meta(self):
+        return self._meta
+
+    def device_data(self):
+        return self._dev
+
+    # ================= distributed build =================
+
+    def _build_device_mpi(self):
+        """Split into diag/offdiag per shard (MPIAIJHEADER model) with
+        uniform padded shapes; stack along a leading shard axis sharded over
+        the mesh rows axis."""
+        Pn = self.comm.nshards
+        rl_, cl_ = self.row_layout, self.col_layout
+        blk, cb = rl_.block, cl_.block
+        m = rl_.N
+        rd = config.real_dtype()
+        self._sync_host_vals()
+        indptr, indices, vals = self._indptr, self._indices, self._vals
+
+        def row_pos(r):
+            """Position of each entry within its row (r nondecreasing)."""
+            if len(r) == 0:
+                return np.zeros(0, dtype=np.int64)
+            change = np.ones(len(r), dtype=bool)
+            change[1:] = r[1:] != r[:-1]
+            run_starts = np.nonzero(change)[0]
+            run_lens = np.diff(np.append(run_starts, len(r)))
+            return np.arange(len(r)) - np.repeat(run_starts, run_lens)
+
+        per_shard = []
+        Kd = Ko = H = 1
+        for s in range(Pn):
+            lo, hi = rl_.range(s)
+            p0, p1 = indptr[lo], indptr[hi]
+            rows = np.repeat(np.arange(lo, hi), np.diff(indptr[lo:hi + 1])) - lo
+            cols = indices[p0:p1]
+            v = vals[p0:p1]
+            is_diag = (cols // cb) == s
+            ga = np.unique(cols[~is_diag])
+            per_shard.append((rows, cols, v, is_diag, ga))
+            if is_diag.any():
+                Kd = max(Kd, int(np.bincount(rows[is_diag]).max()))
+            if (~is_diag).any():
+                Ko = max(Ko, int(np.bincount(rows[~is_diag]).max()))
+            H = max(H, len(ga))
+
+        dd_l, di_l, od_l, oi_l, ga_l = [], [], [], [], []
+        for s in range(Pn):
+            rows, cols, v, is_diag, ga = per_shard[s]
+            dd = np.zeros((blk, Kd)); di = np.zeros((blk, Kd), dtype=np.int32)
+            od = np.zeros((blk, Ko)); oi = np.zeros((blk, Ko), dtype=np.int32)
+            gaa = np.zeros((H,), dtype=np.int64)
+            gaa[: len(ga)] = ga
+            for sel, dat, idxa, locf in (
+                (is_diag, dd, di, lambda c: c - s * cb),
+                (~is_diag, od, oi, lambda c: np.searchsorted(ga, c)),
+            ):
+                r, c, vv = rows[sel], cols[sel], v[sel]
+                pos = row_pos(r)
+                dat[r, pos] = vv
+                idxa[r, pos] = locf(c)
+            dd_l.append(dd); di_l.append(di); od_l.append(od); oi_l.append(oi); ga_l.append(gaa)
+
+        from jax.sharding import NamedSharding
+        sh3 = NamedSharding(self.comm.mesh, P(self.comm.axis, None, None))
+        sh2 = NamedSharding(self.comm.mesh, P(self.comm.axis, None))
+        sh1 = NamedSharding(self.comm.mesh, P(self.comm.axis))
+        self._dev = {
+            "dd": jax.device_put(jnp.asarray(np.stack(dd_l), dtype=rd), sh3),
+            "di": jax.device_put(jnp.asarray(np.stack(di_l)), sh3),
+            "od": jax.device_put(jnp.asarray(np.stack(od_l), dtype=rd), sh3),
+            "oi": jax.device_put(jnp.asarray(np.stack(oi_l)), sh3),
+            "ga": jax.device_put(jnp.asarray(np.stack(ga_l)), sh2),
+            "diag": jax.device_put(
+                jnp.asarray(np.pad(self._diag_host(), (0, rl_.pad)), dtype=rd), sh1),
+        }
+        self._meta = ("mpiaij", Pn, blk, cb, Kd, Ko, H, self.comm.axis, self.comm.mesh)
+
+    # ================= algebra on host CSR =================
+
+    def transpose(self):
+        return MatAIJ.from_scipy(self.to_scipy().T.tocsr(), comm=self.comm)
+
+    def duplicate(self, copy_values=True):
+        A = self.to_scipy().copy()
+        if not copy_values:
+            A.data[:] = 0.0
+        return MatAIJ.from_scipy(A, comm=self.comm)
+
+    def scale(self, alpha):
+        self._sync_host_vals()
+        self._vals = self._vals * alpha
+        self._build_device()
+        self.increase_state()
+        return self
+
+    def shift(self, alpha):
+        """A <- A + alpha I."""
+        import scipy.sparse as sp
+        m, n = self.getSize()
+        A = self.to_scipy() + alpha * sp.eye(m, n, format="csr")
+        self.setValuesCSR(A.indptr, A.indices, A.data)
+        return self.assemble()
+
+    def axpy(self, alpha, X: "MatAIJ", structure=None):
+        A = self.to_scipy() + alpha * X.to_scipy()
+        self.setValuesCSR(A.tocsr().indptr, A.tocsr().indices, A.tocsr().data)
+        return self.assemble()
+
+    def diagonalScale(self, L=None, R=None):
+        import scipy.sparse as sp
+        A = self.to_scipy()
+        if L is not None:
+            A = sp.diags(np.asarray(L.getArray())) @ A
+        if R is not None:
+            A = A @ sp.diags(np.asarray(R.getArray()))
+        A = A.tocsr()
+        self.setValuesCSR(A.indptr, A.indices, A.data)
+        return self.assemble()
+
+    def zeroRows(self, rows, diag=1.0):
+        """MatZeroRows: zero the rows, put `diag` on the diagonal."""
+        self._sync_host_vals()
+        rows = np.asarray(rows, dtype=np.int64)
+        mask = np.zeros(self.row_layout.N, dtype=bool); mask[rows] = True
+        rr = np.repeat(np.arange(self.row_layout.N), np.diff(self._indptr))
+        keep = ~mask[rr] | (self._indices == rr)
+        vals = np.where(mask[rr] & (self._indices == rr), diag, self._vals)
+        # rows lacking a diagonal entry: add it
+        has_diag = np.zeros(self.row_layout.N, dtype=bool)
+        has_diag[rr[(self._indices == rr)]] = True
+        missing = rows[~has_diag[rows]]
+        i = np.concatenate([rr[keep], missing])
+        j = np.concatenate([self._indices[keep], missing])
+        v = np.concatenate([vals[keep], np.full(len(missing), diag)])
+        self._indptr = None
+        self._dedupe_sum(i, j, v)
+        return self.assemble()
+
+    def norm(self, norm_type=NormType.NORM_FROBENIUS):
+        self._sync_host_vals()
+        if norm_type == NormType.NORM_FROBENIUS:
+            return float(np.linalg.norm(self._vals))
+        A = self.to_scipy()
+        if norm_type == NormType.NORM_1:
+            return float(np.abs(A).sum(axis=0).max())
+        if norm_type == NormType.NORM_INFINITY:
+            return float(np.abs(A).sum(axis=1).max())
+        raise ValueError(norm_type)
+
+    def matMult(self, B: "MatAIJ"):
+        """C = A*B via host SpGEMM (symbolic+numeric; MatMatMult
+        matmatmult.c:91 sorted-heap analog)."""
+        return MatAIJ.from_scipy((self.to_scipy() @ B.to_scipy()).tocsr(), comm=self.comm)
+
+    def ptap(self, Pm: "MatAIJ"):
+        """C = P^T A P (MatPtAP matrix.c:10514) — the Galerkin product."""
+        Ps = Pm.to_scipy()
+        return MatAIJ.from_scipy((Ps.T @ self.to_scipy() @ Ps).tocsr(), comm=self.comm)
+
+    def convert(self, kind):
+        if kind == "dense":
+            from .mat import MatDense
+            D = MatDense(self.comm)
+            D.setSizes(self.getSize())
+            D.setDenseArray(self.to_scipy().toarray())
+            return D
+        raise ValueError(kind)
+
+
+# ================= binders =================
+
+def _bind_aij_ell(meta, data):
+    _, m, n, K = meta
+    d, i = data["data"], data["idx"]
+    return operator.Op(
+        mult=lambda x: spmv.ell_spmv(d, i, x),
+        mult_t=lambda x: spmv.ell_spmv_t(d, i, x, n),
+        diag=lambda: data["diag"],
+    )
+
+
+def _bind_aij_csr(meta, data):
+    _, m, n = meta
+    r, c, v = data["row_ids"], data["col_idx"], data["vals"]
+    return operator.Op(
+        mult=lambda x: spmv.csr_seg_spmv(r, c, v, x, m),
+        mult_t=lambda x: spmv.csr_seg_spmv_t(r, c, v, x, n),
+        diag=lambda: data["diag"],
+    )
+
+
+def _bind_mpiaij(meta, data):
+    from jax import shard_map
+    _, Pn, blk, cb, Kd, Ko, H, axis, mesh = meta
+
+    def local_mult(dd, di, od, oi, ga, xl):
+        dd, di, od, oi, ga, xl = dd[0], di[0], od[0], oi[0], ga[0], xl.reshape(-1)
+        xg = jax.lax.all_gather(xl, axis, tiled=True)   # halo (full-x gather v0)
+        yd = spmv.ell_spmv(dd, di, xl)                  # diag block: no comm
+        yo = spmv.ell_spmv(od, oi, xg[ga])              # offdiag on gathered halo
+        return (yd + yo).reshape(1, blk)
+
+    smap = shard_map(
+        local_mult, mesh=mesh,
+        in_specs=(P(axis, None, None),) * 2 + (P(axis, None, None),) * 2
+        + (P(axis, None), P(axis)),
+        out_specs=P(axis, None),
+    )
+
+    def mult(x):
+        y = smap(data["dd"], data["di"], data["od"], data["oi"], data["ga"], x)
+        return y.reshape(-1)
+
+    return operator.Op(mult=mult, diag=lambda: data["diag"])
+
+
+operator.register_binder("aij_ell", _bind_aij_ell)
+operator.register_binder("aij_csr", _bind_aij_csr)
+operator.register_binder("mpiaij", _bind_mpiaij)

@@ -1,0 +1,18 @@
+"""Test configuration: CPU backend with 8 virtual devices, float64.
+
+Mirrors the reference's test philosophy (SURVEY.md §4): distributed tests run
+the SAME code at any shard count; here nsize is a virtual-device mesh on one
+host. The axon sitecustomize pre-imports jax with the TPU backend, so we
+switch the platform to cpu post-import (allowed before backend init).
+"""
+import os
+
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = flags + " --xla_force_host_platform_device_count=8"
+
+import jax  # noqa: E402
+
+if os.environ.get("PETSC_TPU_TEST_TPU", "0") != "1":
+    jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
