@@ -1,0 +1,310 @@
+"""KSP: Krylov solver context.
+
+Reference: KSP interface (src/ksp/ksp/interface/itfunc.c — KSPSolve :1104,
+KSPSolve_Private :824, KSPSetUp :330) and the options/monitor/convergence
+surface of iterativ.c. TPU redesign: KSPSolve jit-compiles the whole
+iteration (solver loop + SpMV + PC apply fused into one XLA program),
+cached by (ksp_type, operator meta, pc meta, static config). Residual
+history is recorded in-loop into a fixed buffer; monitors print post-hoc
+from the history — output-identical to PETSc's in-loop monitors.
+"""
+
+from __future__ import annotations
+
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import config
+from ..ops import operator
+from ..sys.error import (Error, KSPConvergedReason as KR, NotConvergedError,
+                         ksp_reason_string)
+from ..sys.object import PObject
+from ..pc.pc import PC
+from ..vec.vec import Vec
+from . import common
+from .common import KSPConfig
+
+# solver registry: name -> (solve_fn, default_normtype, specific-extras builder)
+_IMPLS: dict[str, dict] = {}
+
+
+def register_ksp(name, fn, default_norm=common.PRECONDITIONED,
+                 extras=None, supports_right=False):
+    _IMPLS[name] = {"fn": fn, "norm": default_norm, "extras": extras,
+                    "right": supports_right}
+
+
+_jit_cache: dict = {}
+
+
+def _compiled_solver(name, mat_meta, pc_meta, cfg: KSPConfig):
+    key = (name, mat_meta, pc_meta, cfg)
+    if key in _jit_cache:
+        return _jit_cache[key]
+    fn = _IMPLS[name]["fn"]
+
+    def run(mat_data, pc_data, b, x0, rtol, abstol, divtol):
+        A = operator.bind(mat_meta, mat_data)
+        B = operator.bind(pc_meta, pc_data)
+        return fn(A, B, b, x0, rtol, abstol, divtol, cfg)
+
+    jitted = jax.jit(run)
+    _jit_cache[key] = jitted
+    return jitted
+
+
+class KSP(PObject):
+    _class_name = "KSP"
+
+    def __init__(self, comm=None, **kw):
+        super().__init__(**kw)
+        self.comm = comm
+        self.mat = None
+        self.pmat = None
+        self.pc: PC | None = None
+        self._type = None
+        self.rtol, self.abstol, self.divtol, self.max_it = 1e-5, 1e-50, 1e4, 10000
+        self.normtype = None          # None -> solver default
+        self.guess_nonzero = False
+        self.converged_maxits = False
+        self.error_if_not_converged = False
+        self._its = 0
+        self._rnorm = 0.0
+        self._rnorm0 = 0.0
+        self._reason = KR.ITERATING
+        self._history = np.zeros(0)
+        self._params = {}             # solver-specific (restart, scale, ...)
+        self._monitors = []
+
+    # ---------------- lifecycle ----------------
+
+    def create(self, comm=None):
+        self.comm = comm or self.comm
+        return self
+
+    def setOperators(self, A, P=None):
+        self.mat = A
+        self.pmat = P if P is not None else A
+        if self.comm is None:
+            self.comm = A.comm
+        self.getPC().setOperators(self.mat, self.pmat)
+        return self
+
+    def getOperators(self):
+        return self.mat, self.pmat
+
+    def getPC(self) -> PC:
+        if self.pc is None:
+            self.pc = PC(options=self._options, prefix=self._prefix)
+            if self.mat is not None:
+                self.pc.setOperators(self.mat, self.pmat)
+        return self.pc
+
+    def setPC(self, pc):
+        self.pc = pc
+
+    def setType(self, name):
+        if name not in _IMPLS:
+            raise KeyError(f"Unknown KSP type '{name}'. Registered: "
+                           f"{', '.join(sorted(_IMPLS))}")
+        self._type = name
+        return self
+
+    def getType(self):
+        return self._type
+
+    def setTolerances(self, rtol=None, atol=None, divtol=None, max_it=None):
+        if rtol is not None:
+            self.rtol = float(rtol)
+        if atol is not None:
+            self.abstol = float(atol)
+        if divtol is not None:
+            self.divtol = float(divtol)
+        if max_it is not None:
+            self.max_it = int(max_it)
+        return self
+
+    def getTolerances(self):
+        return self.rtol, self.abstol, self.divtol, self.max_it
+
+    def setNormType(self, nt):
+        self.normtype = nt
+
+    def setPCSide(self, side):
+        self.getPC().side = side
+
+    def setInitialGuessNonzero(self, flag=True):
+        self.guess_nonzero = bool(flag)
+
+    def setErrorIfNotConverged(self, flag=True):
+        self.error_if_not_converged = bool(flag)
+
+    def setParam(self, key, value):
+        """Solver-specific static parameter (restart, richardson scale...)."""
+        self._params[key] = value
+        return self
+
+    def setGMRESRestart(self, r):
+        return self.setParam("restart", int(r))
+
+    def setMonitor(self, fn):
+        self._monitors.append(fn)
+
+    def setFromOptions(self):
+        o = self.opt
+        t = o("get_string", "ksp_type", None)
+        if t:
+            self.setType(t)
+        if self._type is None:
+            self.setType("gmres")
+        self.rtol = o("get_real", "ksp_rtol", self.rtol)
+        self.abstol = o("get_real", "ksp_atol", self.abstol)
+        self.divtol = o("get_real", "ksp_divtol", self.divtol)
+        self.max_it = o("get_int", "ksp_max_it", self.max_it)
+        nt = o("get_string", "ksp_norm_type", None)
+        if nt:
+            self.normtype = nt
+        if o("get_bool", "ksp_initial_guess_nonzero", False):
+            self.guess_nonzero = True
+        if o("get_bool", "ksp_converged_maxits", False):
+            self.converged_maxits = True
+        if o("get_bool", "ksp_error_if_not_converged", False):
+            self.error_if_not_converged = True
+        r = o("get_int", "ksp_gmres_restart", None)
+        if r:
+            self._params["restart"] = r
+        s = o("get_real", "ksp_richardson_scale", None)
+        if s:
+            self._params["scale"] = s
+        self.getPC().setFromOptions()
+        return self
+
+    def setUp(self):
+        if self._type is None:
+            self.setFromOptions()
+        if self.normtype is None:
+            self.normtype = _IMPLS[self._type]["norm"]
+        self.getPC().setUp()
+        self._setup_called = True
+        return self
+
+    # ---------------- solve ----------------
+
+    def _static_cfg(self) -> KSPConfig:
+        extras = ()
+        builder = _IMPLS[self._type]["extras"]
+        if builder is not None:
+            extras = builder(self)
+        return KSPConfig(max_it=self.max_it, normtype=self.normtype,
+                         guess_nonzero=self.guess_nonzero,
+                         converged_maxits=self.converged_maxits,
+                         extra=extras)
+
+    def solve(self, b: Vec, x: Vec):
+        """KSPSolve (itfunc.c:1104): setup, dispatch the jitted loop, record
+        history/reason, run monitors and option-driven reporting."""
+        self.setUp()
+        cfg = self._static_cfg()
+        fn = _compiled_solver(self._type, self.mat.meta, self.pc.meta, cfg)
+        x0 = x.array if self.guess_nonzero else jnp.zeros_like(b.array)
+        t0 = time.perf_counter()
+        res = fn(self.mat.device_data(), self.pc.device_data(),
+                 b.array, x0, self.rtol, self.abstol, self.divtol)
+        res = jax.block_until_ready(res)
+        dt = time.perf_counter() - t0
+        x.array = res.x
+        self._its = int(res.its)
+        self._rnorm = float(res.rnorm)
+        self._rnorm0 = float(res.rnorm0)
+        self._reason = KR(int(res.reason))
+        hist = np.asarray(res.history)
+        self._history = hist[~np.isnan(hist)]
+        nnz = self.mat.nnz() if hasattr(self.mat, "nnz") else 0
+        config.log().log_event("KSPSolve", dt,
+                               flops=2.0 * nnz * max(self._its, 1))
+        self._report(b)
+        if self.error_if_not_converged and self._reason.diverged:
+            raise NotConvergedError(
+                f"KSPSolve has not converged, reason "
+                f"{ksp_reason_string(self._reason)}")
+        return x
+
+    def _report(self, b):
+        o = self.opt
+        mon = o("get_bool", "ksp_monitor", False)
+        mon_short = o("get_bool", "ksp_monitor_short", False)
+        if mon or mon_short:
+            for i, r in enumerate(self._history):
+                if mon:
+                    print(f"{i:3d} KSP Residual norm {r:14.12e}")
+                else:
+                    print(_short_fmt(i, r))
+        for fn in self._monitors:
+            for i, r in enumerate(self._history):
+                fn(self, i, r)
+        if o("get_bool", "ksp_converged_reason", False):
+            rs = ksp_reason_string(self._reason)
+            if self._reason.converged:
+                print(f"Linear solve converged due to {rs} iterations {self._its}")
+            else:
+                print(f"Linear solve did not converge due to {rs} iterations {self._its}")
+        if o("get_bool", "ksp_view", False):
+            self.view()
+
+    def matSolve(self, B, X):
+        """Multi-RHS solve (KSPMatSolve itfunc.c): vmapped over columns —
+        the batched-solve TPU win."""
+        raise NotImplementedError("KSPMatSolve lands with the dense-RHS path")
+
+    # ---------------- results ----------------
+
+    def getIterationNumber(self):
+        return self._its
+
+    def getResidualNorm(self):
+        return self._rnorm
+
+    def getConvergedReason(self):
+        return self._reason
+
+    def getConvergenceHistory(self):
+        return self._history.copy()
+
+    def view(self, viewer=None):
+        print(f"KSP Object: ({self._prefix})")
+        print(f"  type: {self._type}")
+        print(f"  maximum iterations={self.max_it}, "
+              f"{'nonzero' if self.guess_nonzero else 'initial guess is zero'}")
+        print(f"  tolerances: relative={self.rtol:g}, absolute={self.abstol:g},"
+              f" divergence={self.divtol:g}")
+        print(f"  {self.normtype.upper()} norm type for convergence test")
+        if self.pc is not None:
+            self.pc.view()
+
+
+def _short_fmt(i, r):
+    """-ksp_monitor_short format (iterativ.c:286-288)."""
+    if r > 1e-9:
+        return f"{i:3d} KSP Residual norm {r:g}"
+    if r > 1e-11:
+        return f"{i:3d} KSP Residual norm {r:5.3e}"
+    return f"{i:3d} KSP Residual norm < 1.e-11"
+
+
+# ---------------- registration ----------------
+
+from . import impls_basic as _b  # noqa: E402
+
+
+def _rich_extras(ksp):
+    return (float(ksp._params.get("scale", 1.0)),)
+
+
+register_ksp("preonly", _b.solve_preonly, default_norm=common.NONE)
+register_ksp("none", _b.solve_preonly, default_norm=common.NONE)
+register_ksp("richardson", _b.solve_richardson, extras=_rich_extras)
+register_ksp("cg", _b.solve_cg)
+register_ksp("minres", _b.solve_minres)
