@@ -1,0 +1,1 @@
+from .ksp import KSP, register_ksp

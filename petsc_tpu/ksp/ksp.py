@@ -297,10 +297,22 @@ def _short_fmt(i, r):
 # ---------------- registration ----------------
 
 from . import impls_basic as _b  # noqa: E402
+from .gmres import solve_gmres as _gmres  # noqa: E402
+from .bcgs import solve_bcgs as _bcgs  # noqa: E402
 
 
 def _rich_extras(ksp):
     return (float(ksp._params.get("scale", 1.0)),)
+
+
+_REFINE = {"refine_never": 0, "refine_ifneeded": 1, "refine_always": 2}
+
+
+def _gmres_extras(ksp):
+    restart = int(ksp._params.get("restart", 30))
+    ref = ksp.opt("get_string", "ksp_gmres_cgs_refinement_type", None)
+    refine = _REFINE.get(ref, int(ksp._params.get("refine", 0)))
+    return (restart, refine)
 
 
 register_ksp("preonly", _b.solve_preonly, default_norm=common.NONE)
@@ -308,3 +320,6 @@ register_ksp("none", _b.solve_preonly, default_norm=common.NONE)
 register_ksp("richardson", _b.solve_richardson, extras=_rich_extras)
 register_ksp("cg", _b.solve_cg)
 register_ksp("minres", _b.solve_minres)
+register_ksp("gmres", _gmres, extras=_gmres_extras)
+register_ksp("fgmres", _gmres, extras=_gmres_extras)  # placeholder: true FGMRES lands with right-PC support
+register_ksp("bcgs", _bcgs)

@@ -1,0 +1,95 @@
+"""Factorizations: ILU(0), ICC(0), sparse LU (host symbolic+numeric, device
+triangular solves).
+
+Behavioral reference: MatILUFactorSymbolic_SeqAIJ (aijfact.c:1536),
+MatLUFactorNumeric_SeqAIJ (aijfact.c:216), MatSolve_SeqAIJ (aijfact.c:2460).
+The TPU split: factorization is a host 'symbolic+numeric' setup phase (numpy
+here; the csrcore C++ extension accelerates it), while the solve is the
+level-scheduled device kernel in ops.trisolve. Full LU with fill uses
+scipy's SuperLU as the factor engine (PETSc's MatGetFactor external-solver
+pattern, e.g. src/mat/impls/aij/mpi/mumps/mumps.c) but solves on-device.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def ilu0(indptr, indices, vals):
+    """In-pattern incomplete LU, natural ordering, no shift.
+
+    Returns (L_strict, U_strict, dinv) as CSR triples / array:
+    A ≈ (I + L) (D + U_strict) with dinv = 1/diag(D).
+    """
+    m = len(indptr) - 1
+    a = np.array(vals, dtype=np.float64)
+    # per-row position maps for O(1) (i,j) lookup
+    colpos = [dict(zip(indices[indptr[i]:indptr[i + 1]],
+                       range(indptr[i], indptr[i + 1]))) for i in range(m)]
+    diag_pos = np.empty(m, dtype=np.int64)
+    for i in range(m):
+        dp = colpos[i].get(i, -1)
+        if dp < 0:
+            raise ValueError(f"ILU(0): missing diagonal in row {i}")
+        diag_pos[i] = dp
+    for i in range(m):
+        row_lo, row_hi = indptr[i], indptr[i + 1]
+        cols_i = indices[row_lo:row_hi]
+        for p in range(row_lo, row_hi):
+            k = indices[p]
+            if k >= i:
+                break
+            akk = a[diag_pos[k]]
+            lik = a[p] / akk
+            a[p] = lik
+            # subtract lik * U-part of row k restricted to row i's pattern
+            kp = colpos[k]
+            for q in range(diag_pos[k] + 1, indptr[k + 1]):
+                j = indices[q]
+                pj = colpos[i].get(j)
+                if pj is not None:
+                    a[pj] -= lik * a[q]
+    # split
+    d = a[diag_pos]
+    if np.any(d == 0):
+        from ..sys.error import Error
+        raise Error("ILU(0): zero pivot")
+    Li, Lj, Lv, Ui, Uj, Uv = _split_lu(indptr, indices, a, m)
+    return (Li, Lj, Lv), (Ui, Uj, Uv), 1.0 / d
+
+
+def _split_lu(indptr, indices, a, m):
+    rows = np.repeat(np.arange(m), np.diff(indptr))
+    lower = indices < rows
+    upper = indices > rows
+    Li = np.zeros(m + 1, dtype=np.int64)
+    np.add.at(Li, rows[lower] + 1, 1)
+    Li = np.cumsum(Li)
+    Ui = np.zeros(m + 1, dtype=np.int64)
+    np.add.at(Ui, rows[upper] + 1, 1)
+    Ui = np.cumsum(Ui)
+    return Li, indices[lower], a[lower], Ui, indices[upper], a[upper]
+
+
+def splu_factors(A_scipy):
+    """Sparse LU with fill via SuperLU; returns (L_strict, U_strict, dinv,
+    perm_r, perm_c) ready for device trisolve: A = Pr^T (I+L)(D+U) Pc^T."""
+    import scipy.sparse as sp
+    import scipy.sparse.linalg as spla
+    lu = spla.splu(A_scipy.tocsc(),
+                   permc_spec="COLAMD",
+                   options=dict(SymmetricMode=False))
+    L = lu.L.tocsr()  # unit lower incl diag
+    U = lu.U.tocsr()  # upper incl diag
+    d = U.diagonal()
+    Ls = sp.tril(L, k=-1).tocsr()
+    Us = sp.triu(U, k=1).tocsr()
+    return ((Ls.indptr, Ls.indices, Ls.data),
+            (Us.indptr, Us.indices, Us.data),
+            1.0 / d, lu.perm_r, lu.perm_c)
+
+
+def icc0(indptr, indices, vals):
+    """ICC(0) via ILU(0) on the symmetric pattern: returns factors usable as
+    L D L^T. For SPD inputs this equals PETSc's ICC(0) up to roundoff."""
+    return ilu0(indptr, indices, vals)

@@ -1,0 +1,89 @@
+"""Tutorial-parity tests: our examples diffed against the reference's
+pinned expected outputs (values transcribed from
+/root/reference/src/ksp/ksp/tutorials/output/*.out — iteration counts and
+residual norms are the correctness contract, SURVEY.md §4)."""
+import sys
+from pathlib import Path
+
+import pytest
+
+import petsc_tpu as pt
+from petsc_tpu.utils.testing import assert_output, run_example
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "examples"))
+
+import ex2  # noqa: E402
+
+
+# reference: output/ex2_1.out (args from ex2.c TEST block, no suffix)
+EX2_1 = """\
+  0 KSP Residual norm 3.21109
+  1 KSP Residual norm 0.93268
+  2 KSP Residual norm 0.103515
+  3 KSP Residual norm 0.00787798
+  4 KSP Residual norm 0.000387275
+Norm of error 0.000392701 iterations 4
+"""
+
+
+def test_ex2_gmres_ilu_reference_parity():
+    out = run_example(ex2.main,
+                      "-m 5 -n 5 -ksp_monitor_short "
+                      "-ksp_gmres_cgs_refinement_type refine_always")
+    # exact-text parity achieved; keep tiny numeric slack for cross-platform
+    assert_output(out, EX2_1, rtol=1e-3)
+
+
+def test_ex2_default_size_gmres_ilu():
+    """Default 8x7 grid, default solver: converges quickly with small error."""
+    out = run_example(ex2.main, "")
+    norm, its = [l for l in out.splitlines() if l.startswith("Norm")][0].split()[3], None
+    assert float(norm) < 1e-3
+
+
+def test_ex2_bcgs():
+    out = run_example(ex2.main, "-ksp_type bcgs -m 5 -n 5")
+    line = [l for l in out.splitlines() if l.startswith("Norm")][0]
+    assert float(line.split()[3]) < 5e-3
+
+
+def test_ex2_cg_jacobi():
+    out = run_example(ex2.main, "-ksp_type cg -pc_type jacobi -m 9 -n 9 "
+                                "-ksp_rtol 1e-10")
+    line = [l for l in out.splitlines() if l.startswith("Norm")][0]
+    assert float(line.split()[3]) < 1e-7
+
+
+def test_ex2_lu_preonly():
+    out = run_example(ex2.main, "-ksp_type preonly -pc_type lu -m 6 -n 5")
+    line = [l for l in out.splitlines() if l.startswith("Norm")][0]
+    assert float(line.split()[3]) < 1e-10
+    assert line.split()[-1] == "1"
+
+
+def test_ex2_cholesky():
+    out = run_example(ex2.main, "-ksp_type preonly -pc_type cholesky -m 4 -n 4")
+    line = [l for l in out.splitlines() if l.startswith("Norm")][0]
+    assert float(line.split()[3]) < 1e-10
+
+
+def test_ex2_bjacobi_ilu():
+    out = run_example(ex2.main, "-pc_type bjacobi -pc_bjacobi_blocks 4 "
+                                "-m 8 -n 8 -ksp_rtol 1e-8")
+    line = [l for l in out.splitlines() if l.startswith("Norm")][0]
+    assert float(line.split()[3]) < 1e-5
+
+
+def test_ex2_bjacobi_sub_lu():
+    out = run_example(ex2.main, "-pc_type bjacobi -pc_bjacobi_blocks 2 "
+                                "-sub_pc_type lu -m 8 -n 8 -ksp_rtol 1e-8")
+    line = [l for l in out.splitlines() if l.startswith("Norm")][0]
+    assert float(line.split()[3]) < 1e-5
+
+
+def test_ex2_gmres_restart():
+    """Force restarts (restart=5) on a bigger grid; still converges."""
+    out = run_example(ex2.main, "-m 12 -n 12 -ksp_gmres_restart 5 "
+                                "-pc_type jacobi -ksp_rtol 1e-8 ")
+    line = [l for l in out.splitlines() if l.startswith("Norm")][0]
+    assert float(line.split()[3]) < 1e-4
