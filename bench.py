@@ -1,0 +1,97 @@
+"""Headline benchmark: SpMV throughput on the canonical 3-D 27-point
+Poisson operator (reference src/ksp/ksp/tutorials/bench_kspsolve.c:1-40,
+`-matmult` mode) on one chip, float64 (PETSc's default precision).
+
+Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"}.
+vs_baseline is vs. the reference's own sample flop-rate anchor
+(doc/manual/profiling.md:163-186: 1.277 GF/s/rank => ~0.64 Gnnz/s/core at
+2 flops/nnz; BASELINE.md) — i.e. value/0.64 = speedup per chip vs the
+reference's per-core rate on its published log.
+
+Timing: the device runs behind an async tunnel where per-dispatch
+block_until_ready is unreliable, so we time a jitted lax.fori_loop of K
+mults with a scalar host fetch, and difference two K values to cancel
+dispatch/fetch overhead.
+"""
+
+import json
+import time
+
+import numpy as np
+
+
+def _poisson3d_27pt(n):
+    """3-D 27-point (3x3x3 all-ones stencil, 26 on diagonal) Laplacian."""
+    import scipy.sparse as sp
+    offs = []
+    for dz in (-1, 0, 1):
+        for dy in (-1, 0, 1):
+            for dx in (-1, 0, 1):
+                if (dx, dy, dz) != (0, 0, 0):
+                    offs.append((dx, dy, dz))
+    N = n ** 3
+    idx = np.arange(N)
+    z, r = divmod(idx, n * n)
+    y, x = divmod(r, n)
+    rows, cols, vals = [idx], [idx], [np.full(N, 26.0)]
+    for dx, dy, dz in offs:
+        xx, yy, zz = x + dx, y + dy, z + dz
+        ok = (xx >= 0) & (xx < n) & (yy >= 0) & (yy < n) & (zz >= 0) & (zz < n)
+        rows.append(idx[ok])
+        cols.append((zz * n * n + yy * n + xx)[ok])
+        vals.append(np.full(ok.sum(), -1.0))
+    return sp.csr_matrix(
+        (np.concatenate(vals), (np.concatenate(rows), np.concatenate(cols))),
+        shape=(N, N))
+
+
+def _timed_rate(f, args, nnz, k_lo=3, k_hi=23, tries=3):
+    """Per-mult seconds via K-differencing of a jitted K-loop."""
+    best = {}
+    for K in (k_lo, k_hi):
+        float(f(*args, K))  # warm/compile
+        b = float("inf")
+        for _ in range(tries):
+            t0 = time.perf_counter()
+            float(f(*args, K))
+            b = min(b, time.perf_counter() - t0)
+        best[K] = b
+    per = (best[k_hi] - best[k_lo]) / (k_hi - k_lo)
+    return nnz / per / 1e9
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    import petsc_tpu as pt
+    from petsc_tpu.ops import operator
+
+    pt.init(args=[])
+    n = 128  # ~2.1M rows, ~55M nnz
+    A_sp = _poisson3d_27pt(n)
+    nnz = A_sp.nnz
+    A = pt.MatAIJ.from_scipy(A_sp)
+    meta = A.meta
+
+    def loopmult(data, xv, K):
+        op = operator.bind(meta, data)
+        return jnp.sum(jax.lax.fori_loop(
+            0, K, lambda i, v: op.mult(v) * 1e-2, xv))
+
+    f = jax.jit(loopmult, static_argnums=2)
+    data = A.device_data()
+    xv = jnp.asarray(np.random.default_rng(0).random(n ** 3))
+
+    gnnz = _timed_rate(f, (data, xv), nnz)
+    # reference per-core anchor: 1.277e9 flops/s / 2 flops-per-nnz
+    ref_gnnz = 1.277 / 2.0
+    print(json.dumps({
+        "metric": "spmv_27pt_poisson_128_f64",
+        "value": round(gnnz, 3),
+        "unit": "Gnnz/s",
+        "vs_baseline": round(gnnz / ref_gnnz, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

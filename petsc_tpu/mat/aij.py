@@ -238,8 +238,26 @@ class MatAIJ(Mat):
         rl = np.diff(self._indptr)
         if len(rl) == 0 or rl.max() == 0:
             return "ell"
+        # Banded/stencil pattern (every structured-grid operator): DIA layout —
+        # each diagonal a contiguous stream, SpMV with no gather (TPU has no
+        # hardware gather; DIA is ~60x faster than ELL/CSR here).
+        if self._dia_offsets() is not None:
+            return "dia"
         K, avg = int(rl.max()), float(rl.mean())
         return "ell" if K <= max(16, 4 * avg) else "csr"
+
+    def _dia_offsets(self):
+        """Distinct diagonal offsets if the pattern is DIA-friendly, else None."""
+        m, n = self.getSize()
+        nnz = len(self._indices)
+        if nnz == 0 or m < 8:
+            return None
+        rows = np.repeat(np.arange(m, dtype=np.int64), np.diff(self._indptr))
+        offs = np.unique(self._indices - rows)
+        # bounded offset count and bounded fill blowup (storage = noffs*m)
+        if len(offs) <= 64 and len(offs) * m <= 3 * nnz:
+            return offs
+        return None
 
     def _build_device(self):
         if self.comm.nshards > 1:
@@ -249,7 +267,24 @@ class MatAIJ(Mat):
         kind = self._choose_kind()
         indptr, indices, vals = self._indptr, self._indices, self._vals
         rd = config.real_dtype()
-        if kind == "ell":
+        if kind == "dia":
+            offs = self._dia_offsets()
+            if offs is None:  # explicit -mat_spmv_kind dia on any pattern
+                rows = np.repeat(np.arange(m, dtype=np.int64), np.diff(indptr))
+                offs = np.unique(indices - rows)
+            rows = np.repeat(np.arange(m, dtype=np.int64), np.diff(indptr))
+            k_of = np.searchsorted(offs, indices - rows)
+            dd = np.zeros((len(offs), m))
+            dd[k_of, rows] = vals
+            # CSR-order scatter positions for device numeric updates
+            dia_scatter = k_of * m + rows
+            lpad = int(max(0, -offs.min()))
+            rpad = int(max(0, offs.max() + m - n))
+            self._dev = {"data": jnp.asarray(dd, dtype=rd),
+                         "dia_scatter": jnp.asarray(dia_scatter)}
+            self._meta = ("aij_dia", m, n, tuple(int(o) for o in offs),
+                          lpad, rpad)
+        elif kind == "ell":
             rl = np.diff(indptr)
             K = max(int(rl.max()) if len(rl) else 0, 1)
             ed = np.zeros((m, K)); ei = np.zeros((m, K), dtype=np.int32)
@@ -295,6 +330,10 @@ class MatAIJ(Mat):
             m, K = self._meta[1], self._meta[3]
             flat = jnp.zeros((m * K,), dtype=csr_vals.dtype)
             self._dev["data"] = flat.at[self._dev["ell_scatter"]].set(csr_vals).reshape(m, K)
+        elif kind == "aij_dia":
+            m, noffs = self._meta[1], len(self._meta[3])
+            flat = jnp.zeros((noffs * m,), dtype=csr_vals.dtype)
+            self._dev["data"] = flat.at[self._dev["dia_scatter"]].set(csr_vals).reshape(noffs, m)
         elif kind == "aij_csr":
             self._dev["vals"] = csr_vals
         else:
@@ -488,6 +527,16 @@ def _bind_aij_ell(meta, data):
     )
 
 
+def _bind_aij_dia(meta, data):
+    _, m, n, offsets, lpad, rpad = meta
+    d = data["data"]
+    return operator.Op(
+        mult=lambda x: spmv.dia_spmv(d, offsets, x, m, lpad, rpad),
+        mult_t=lambda x: spmv.dia_spmv_t(d, offsets, x, n, m, lpad, rpad),
+        diag=lambda: data["diag"],
+    )
+
+
 def _bind_aij_csr(meta, data):
     _, m, n = meta
     r, c, v = data["row_ids"], data["col_idx"], data["vals"]
@@ -524,5 +573,6 @@ def _bind_mpiaij(meta, data):
 
 
 operator.register_binder("aij_ell", _bind_aij_ell)
+operator.register_binder("aij_dia", _bind_aij_dia)
 operator.register_binder("aij_csr", _bind_aij_csr)
 operator.register_binder("mpiaij", _bind_mpiaij)
