@@ -315,6 +315,26 @@ def _gmres_extras(ksp):
     return (restart, refine)
 
 
+def _cheby_extras(ksp):
+    """Eigenvalue bounds for Chebyshev: user-provided
+    (-ksp_chebyshev_eigenvalues emin,emax) or estimated from D^-1 A with the
+    default multigrid transform (0,0.1; 0,1.1) (cheby.c:203)."""
+    ev = ksp._params.get("eigenvalues")
+    if ev is None:
+        s = ksp.opt("get_string", "ksp_chebyshev_eigenvalues", None)
+        if s:
+            ev = tuple(float(t) for t in s.split(","))
+    if ev is None:
+        from .cheby import estimate_emax
+        A = ksp.mat
+        op = A.op()
+        d = op.diag()
+        dinv = jnp.where(d != 0, 1.0 / jnp.where(d == 0, 1.0, d), 1.0)
+        emax = estimate_emax(op.mult, dinv, A.row_layout.Npad)
+        ev = (0.1 * emax, 1.1 * emax)
+    return (float(ev[0]), float(ev[1]))
+
+
 register_ksp("preonly", _b.solve_preonly, default_norm=common.NONE)
 register_ksp("none", _b.solve_preonly, default_norm=common.NONE)
 register_ksp("richardson", _b.solve_richardson, extras=_rich_extras)
@@ -323,3 +343,7 @@ register_ksp("minres", _b.solve_minres)
 register_ksp("gmres", _gmres, extras=_gmres_extras)
 register_ksp("fgmres", _gmres, extras=_gmres_extras)  # placeholder: true FGMRES lands with right-PC support
 register_ksp("bcgs", _bcgs)
+
+from .cheby import solve_chebyshev as _cheby  # noqa: E402
+
+register_ksp("chebyshev", _cheby, extras=_cheby_extras)

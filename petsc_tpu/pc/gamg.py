@@ -1,0 +1,250 @@
+"""PCGAMG: smoothed-aggregation algebraic multigrid (the flagship PC).
+
+Behavioral reference: src/ksp/pc/impls/gamg/gamg.c (PCSetUp_GAMG :538 level
+loop, coarse_eq_limit=50, Chebyshev+Jacobi smoothers with SA eigenvalue
+reuse :934-941) and agg.c (strength graph :752, MIS aggregation via
+mat/graphops/coarsen/impls/mis/mis.c with randomized/min-degree greedy
+order, square-graph aggressive coarsening on the first level :1311,
+tentative prolongator by per-aggregate QR of the near-nullspace :592,
+prolongator smoothing P <- (I - 1.4/emax D^-1 A) P0 :1912-1922).
+
+TPU split: the ENTIRE setup (graph, aggregation, QR, SpGEMM/PtAP) is
+host-side numpy/scipy — it runs once per operator, exactly like PETSc's
+symbolic phase runs on CPU. The solve-phase V-cycle is the pure jitted
+function from pc/mg.py with all numeric data in HBM.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..ksp.cheby import estimate_emax
+from ..sys.error import Error
+from .mg import MGLevelSpec, _PCMG
+from .pc import PC
+
+
+# ---------------------------------------------------------------------
+# host-side setup pieces
+# ---------------------------------------------------------------------
+
+def strength_graph(A_sp, bs=1, threshold=-1.0):
+    """Nodal strength-of-connection graph (agg.c:752 PCGAMGCreateGraph_AGG):
+    |A| symmetrized; bs>1 collapses dof blocks to one node (sum of |values|);
+    entries with |a_ij| <= threshold * sqrt(|a_ii a_jj|) dropped
+    (threshold < 0 keeps everything)."""
+    import scipy.sparse as sp
+    G = abs(A_sp).tocsr()
+    if bs > 1:
+        n = A_sp.shape[0] // bs
+        # collapse: S = C^T |A| C with C the bs-block indicator
+        C = sp.csr_matrix((np.ones(A_sp.shape[0]),
+                           (np.arange(A_sp.shape[0]),
+                            np.arange(A_sp.shape[0]) // bs)),
+                          shape=(A_sp.shape[0], n))
+        G = (C.T @ G @ C).tocsr()
+    G = (G + G.T).tocsr()
+    if threshold >= 0:
+        d = np.sqrt(np.abs(G.diagonal()))
+        d[d == 0] = 1.0
+        rows = np.repeat(np.arange(G.shape[0]), np.diff(G.indptr))
+        keep = np.abs(G.data) > threshold * d[rows] * d[G.indices]
+        keep |= G.indices == rows  # never drop the diagonal
+        G = sp.csr_matrix((G.data[keep], G.indices[keep],
+                           np.concatenate([[0], np.cumsum(
+                               np.bincount(rows[keep], minlength=G.shape[0]))])),
+                          shape=G.shape)
+    return G
+
+
+def mis_aggregate(G, perm=None):
+    """Greedy MIS aggregation (mis.c:89-207, strict_aggs serial semantics):
+    visit vertices in `perm` order; an undecided vertex becomes an aggregate
+    root and captures its undecided neighbors; isolated vertices (only a
+    diagonal entry) are removed (no aggregate — zero row in P).
+
+    Returns agg: (n,) int array, aggregate id per vertex, -1 for removed."""
+    n = G.shape[0]
+    indptr, indices = G.indptr, G.indices
+    if perm is None:
+        # min-degree greedy order (reference default
+        # use_minimum_degree_ordering), index as deterministic tie-break
+        deg = np.diff(indptr)
+        perm = np.lexsort((np.arange(n), deg))
+    agg = np.full(n, -2, dtype=np.int64)   # -2 undecided
+    nagg = 0
+    for v in perm:
+        if agg[v] != -2:
+            continue
+        nbrs = indices[indptr[v]:indptr[v + 1]]
+        if len(nbrs) < 2:            # singleton: remove (mis.c:117-128)
+            agg[v] = -1
+            continue
+        agg[v] = nagg
+        und = nbrs[agg[nbrs] == -2]
+        agg[und] = nagg
+        nagg += 1
+    agg[agg == -2] = -1
+    return agg, nagg
+
+
+def square_graph(G):
+    """Aggressive coarsening graph: boolean G^2 (distance-2 adjacency,
+    PCGAMGSquareGraph_GAMG)."""
+    import scipy.sparse as sp
+    B = G.copy()
+    B.data = np.ones_like(B.data)
+    G2 = (B @ B).tocsr()
+    G2.data = np.ones_like(G2.data)
+    return G2
+
+
+def tentative_prolongator(agg, nagg, Bn, bs=1):
+    """P0 and the coarse near-nullspace by per-aggregate QR (formProl0
+    agg.c:592: LAPACK geqrf/orgqr per aggregate; here batched by aggregate
+    size). Bn: (n_fine_dofs, nvec) near-nullspace. agg is NODAL (length
+    n/bs); each node carries bs dofs."""
+    import scipy.sparse as sp
+    nnode = len(agg)
+    nf = nnode * bs
+    nvec = Bn.shape[1]
+    nc = nagg * nvec
+    rows_l, cols_l, vals_l = [], [], []
+    Bc = np.zeros((nc, nvec))
+    order = np.argsort(agg, kind="stable")
+    order = order[agg[order] >= 0]
+    bounds = np.searchsorted(agg[order], np.arange(nagg + 1))
+    sizes = np.diff(bounds)
+    for sz in np.unique(sizes):
+        which = np.nonzero(sizes == sz)[0]
+        # (len(which), sz) node ids per aggregate of this size
+        nodes = order[bounds[which][:, None] + np.arange(sz)[None, :]]
+        dofs = (nodes[:, :, None] * bs + np.arange(bs)[None, None, :]) \
+            .reshape(len(which), sz * bs)
+        blocks = Bn[dofs]                       # (na, sz*bs, nvec)
+        if sz * bs < nvec:                      # undersized aggregate: pad
+            blocks = np.concatenate(
+                [blocks, np.zeros((len(which), nvec - sz * bs, nvec))], axis=1)
+        q, r = np.linalg.qr(blocks)             # batched thin QR
+        q = q[:, :sz * bs, :]
+        # sign-fix: make R diagonals positive (deterministic, LAPACK-like)
+        sgn = np.sign(np.einsum("aii->ai", r))
+        sgn[sgn == 0] = 1.0
+        q = q * sgn[:, None, :]
+        r = r * sgn[:, :, None]
+        ii = np.broadcast_to(dofs[:, :, None], q.shape)
+        jj = (which[:, None, None] * nvec
+              + np.broadcast_to(np.arange(nvec)[None, None, :], q.shape))
+        rows_l.append(ii.ravel()); cols_l.append(jj.ravel())
+        vals_l.append(q.ravel())
+        Bc[(which[:, None] * nvec + np.arange(nvec)[None, :]).ravel()] = \
+            r.reshape(-1, nvec)
+    P0 = sp.csr_matrix((np.concatenate(vals_l),
+                        (np.concatenate(rows_l), np.concatenate(cols_l))),
+                       shape=(nf, nc))
+    P0.eliminate_zeros()
+    return P0, Bc
+
+
+class _PCGAMG(_PCMG):
+    """Smoothed-aggregation AMG setup driving the shared MG machinery."""
+
+    def __init__(self, pc):
+        super().__init__(pc)
+        self.coarse_eq_limit = 50
+        self.max_levels = 10
+        self.threshold = [-1.0]
+        self.nsmooths = 1
+        self.aggressive_levels = 1
+        self.square_aggressive = True
+
+    def set_from_options(self):
+        super().set_from_options()
+        o = self.pc.opt
+        n = o("get_int", "pc_gamg_coarse_eq_limit", None)
+        if n:
+            self.coarse_eq_limit = n
+        n = o("get_int", "pc_gamg_aggressive_coarsening", None)
+        if n is not None:
+            self.aggressive_levels = n
+        n = o("get_int", "pc_gamg_agg_nsmooths", None)
+        if n is not None:
+            self.nsmooths = n
+        t = o("get_string", "pc_gamg_threshold", None)
+        if t:
+            self.threshold = [float(x) for x in t.split(",")]
+        n = o("get_int", "pc_mg_levels", None)
+        if n:
+            self.max_levels = n
+
+    def _threshold(self, level):
+        if level < len(self.threshold):
+            return self.threshold[level]
+        return self.threshold[-1]
+
+    def build_hierarchy(self):
+        import scipy.sparse as sp
+        from ..mat.aij import MatAIJ
+
+        A = self.pc.pmat
+        if A.comm.nshards > 1:
+            raise Error("PCGAMG: multi-shard setup lands with re-sharding; "
+                        "use a single-shard operator for now")
+        bs = A.row_layout.bs or 1
+        Bn = getattr(A, "near_nullspace", None)
+        A_sp = A.to_scipy()
+        if Bn is None:
+            Bn = np.ones((A_sp.shape[0], 1))
+        elif hasattr(Bn, "vectors"):
+            Bn = np.asarray(Bn.vectors)
+        else:
+            Bn = np.asarray(Bn)
+        levels = [MGLevelSpec(A)]
+        cur = A_sp
+        cur_bs = bs
+        level = 0
+        while (cur.shape[0] > self.coarse_eq_limit
+               and level < self.max_levels - 1):
+            G = strength_graph(cur, bs=cur_bs, threshold=self._threshold(level))
+            Gagg = square_graph(G) if (level < self.aggressive_levels
+                                       and self.square_aggressive) else G
+            agg, nagg = mis_aggregate(Gagg)
+            if nagg == 0 or nagg * Bn.shape[1] >= cur.shape[0]:
+                break  # coarsening stalled
+            P0, Bc = tentative_prolongator(agg, nagg, Bn, bs=cur_bs)
+            d = cur.diagonal()
+            dinv = np.where(d != 0, 1.0 / np.where(d == 0, 1.0, d), 1.0)
+            emax = _host_emax(cur, dinv)
+            P = P0
+            for _ in range(self.nsmooths):
+                P = (P - (1.4 / emax) * sp.diags(dinv) @ (cur @ P)).tocsr()
+            # SA eigenvalue reuse for the level smoother (gamg.c:934)
+            levels[-1].emax = 1.1 * emax
+            levels[-1].emin = 0.1 * emax
+            Ac = (P.T @ cur @ P).tocsr()
+            Ac.eliminate_zeros()
+            Pm = MatAIJ.from_scipy(P, comm=A.comm)
+            levels[-1].P = Pm
+            levels.append(MGLevelSpec(MatAIJ.from_scipy(Ac, comm=A.comm)))
+            cur = Ac
+            Bn = Bc
+            cur_bs = Bc.shape[1] if Bc.shape[1] > 1 else 1
+            # after the tentative/smoothed P the coarse problem is nodal with
+            # nvec dofs per aggregate: block size = nvec
+            level += 1
+        self.levels = levels
+
+
+def _host_emax(A_sp, dinv, iters=10, seed=7):
+    """Power-iteration estimate of lambda_max(D^-1 A) (host, numpy)."""
+    rng = np.random.default_rng(seed)
+    v = rng.random(A_sp.shape[0]) - 0.5
+    lam = 1.0
+    for _ in range(iters):
+        w = dinv * (A_sp @ v)
+        lam = float(np.linalg.norm(w))
+        v = w / lam
+    return max(lam, 1e-12)
+
+
+PC.register_impl("gamg", _PCGAMG)

@@ -1,0 +1,202 @@
+"""PCMG: multigrid preconditioner machinery (V/W cycles).
+
+Behavioral reference: src/ksp/pc/impls/mg/mg.c (PCMGMCycle_Private :14 —
+recursive cycle: pre-smooth, residual, restrict, recurse, interpolate-add,
+post-smooth; PCApply_MG :648) and the PCMG API surface (PCMGSetLevels,
+PCMGSetInterpolation, PCMGSetCycleType).
+
+TPU redesign: the whole cycle is ONE pure function built at bind time by
+unrolling the (static) level structure — every level's smoother, restrict,
+and interpolate trace into a single XLA program with zero host round-trips
+and, with norm-free Chebyshev/Jacobi smoothers, zero cross-chip sync points
+besides those inside the operators themselves. Eigenvalue bounds and all
+numeric factors live in `data` (traced), so re-setup with a new matrix of
+the same structure does not recompile.
+
+Level ordering here: index 0 = FINEST (PETSc numbers 0 = coarsest; the
+view() output converts).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .. import config
+from ..ksp.cheby import cheby_smooth
+from ..ops import operator
+from ..sys.error import Error
+from .pc import PC
+
+
+# ---------------------------------------------------------------------
+# hierarchy containers (host side)
+# ---------------------------------------------------------------------
+
+class MGLevelSpec:
+    """One level of the hierarchy (host-side plan)."""
+
+    def __init__(self, A, P=None, R=None, emax=None, emin=None):
+        self.A = A          # Mat (level operator)
+        self.P = P          # Mat interpolation: coarse -> this level (None on coarsest)
+        self.R = R          # Mat restriction (default P^T)
+        self.emax = emax    # cheby smoother eigenvalue bounds (floats)
+        self.emin = emin
+
+
+def _dense_lu_factor(A_sp):
+    import scipy.linalg as sla
+    lu, piv = sla.lu_factor(A_sp.toarray())
+    return lu, piv
+
+
+class _PCMG:
+    """PCMG impl: hierarchy provided through the PCMG API (geometric MG) or
+    built by a subclass (PCGAMG)."""
+
+    def __init__(self, pc):
+        self.pc = pc
+        self.levels: list[MGLevelSpec] | None = None
+        self.cycle = "v"
+        self.smooth_pre = 2
+        self.smooth_post = 2
+        self.smoother = "chebyshev"   # chebyshev | richardson (w/ jacobi PC)
+        self.coarse_solver = "lu"
+
+    def set_from_options(self):
+        o = self.pc.opt
+        c = o("get_string", "pc_mg_cycle_type", None)
+        if c:
+            self.cycle = c
+        n = o("get_int", "mg_levels_ksp_max_it", None)
+        if n:
+            self.smooth_pre = self.smooth_post = n
+        t = o("get_string", "mg_levels_ksp_type", None)
+        if t:
+            self.smoother = t
+
+    # ---- PCMG API (geometric path) ----
+
+    def setLevels(self, n):
+        self.levels = [MGLevelSpec(None) for _ in range(n)]
+
+    def setInterpolation(self, finest_first_idx, P):
+        self.levels[finest_first_idx].P = P
+
+    def setOperator(self, finest_first_idx, A):
+        self.levels[finest_first_idx].A = A
+
+    def build_hierarchy(self):
+        """Fill in level operators by Galerkin RAP where missing."""
+        if self.levels is None:
+            raise Error("PCMG: call setLevels/setInterpolation or use gamg")
+        self.levels[0].A = self.levels[0].A or self.pc.pmat
+        for l in range(1, len(self.levels)):
+            if self.levels[l].A is None:
+                Pl = self.levels[l - 1].P  # interpolation held by finer level
+                if Pl is None:
+                    raise Error(f"PCMG: no interpolation onto level {l - 1}")
+                self.levels[l].A = self.levels[l - 1].A.ptap(Pl)
+
+    def setup(self):
+        self.build_hierarchy()
+        return build_mg_meta_data(
+            self.levels, cycle=self.cycle, smoother=self.smoother,
+            pre=self.smooth_pre, post=self.smooth_post)
+
+    def view(self):
+        if self.levels is None:
+            return
+        n = len(self.levels)
+        print(f"    MG: type is MULTIPLICATIVE, levels={n} cycles={self.cycle}")
+        for l, lev in enumerate(self.levels):
+            m = lev.A.getSize()[0] if lev.A is not None else 0
+            nnz = lev.A.nnz() if lev.A is not None else 0
+            print(f"      level {n - 1 - l}: rows={m}, nnz={nnz}" +
+                  (f", cheby eig [{lev.emin:.4g}, {lev.emax:.4g}]"
+                   if lev.emax else ""))
+
+
+def build_mg_meta_data(levels, cycle="v", smoother="chebyshev", pre=2, post=2):
+    """Compile the hierarchy into the (meta, data) jit-composability pair."""
+    rd = config.real_dtype()
+    lev_metas = []
+    lev_datas = []
+    nlev = len(levels)
+    for l, lev in enumerate(levels):
+        A = lev.A
+        if l == nlev - 1:
+            # coarsest: dense LU (reference coarse default bjacobi+lu,
+            # gamg.c:887-907)
+            lu, piv = _dense_lu_factor(A.to_scipy())
+            lev_metas.append(("coarse_lu", A.getSize()[0]))
+            lev_datas.append({"lu": jnp.asarray(lu, dtype=rd),
+                              "piv": jnp.asarray(piv, dtype=jnp.int32)})
+            continue
+        d = np.asarray(A.op().diag())
+        dinv = np.where(d != 0, 1.0 / np.where(d == 0, 1.0, d), 1.0)
+        P = lev.P
+        R = lev.R
+        if R is None:
+            R = P.transpose()
+        emax = lev.emax if lev.emax is not None else 2.0
+        emin = lev.emin if lev.emin is not None else 0.2
+        lev_metas.append((A.meta, P.meta, R.meta, smoother, pre, post))
+        lev_datas.append({
+            "A": A.device_data(), "P": P.device_data(), "R": R.device_data(),
+            "dinv": jnp.asarray(dinv, dtype=rd),
+            "eig": jnp.asarray([emin, emax], dtype=rd),
+        })
+    meta = ("pc_mg", cycle, nlev, tuple(lev_metas))
+    data = {"levels": tuple(lev_datas)}
+    return meta, data
+
+
+# ---------------------------------------------------------------------
+# binder: the whole cycle as one pure function
+# ---------------------------------------------------------------------
+
+def _smooth(kind, Aop, dinv, eig, b, x, its):
+    pcmult = lambda v: dinv * v
+    if kind == "chebyshev":
+        return cheby_smooth(Aop.mult, pcmult, b, x, its, eig[0], eig[1])
+    if kind == "richardson":
+        for _ in range(its):
+            x = x + pcmult(b - Aop.mult(x))
+        return x
+    raise Error(f"PCMG: unknown smoother {kind}")
+
+
+def _bind_pc_mg(meta, data):
+    _, cycle, nlev, lev_metas = meta
+    levels = data["levels"]
+    ncycles = 2 if cycle == "w" else 1
+
+    def level_apply(l, b):
+        if l == nlev - 1:
+            cm, cd = lev_metas[l], levels[l]
+            sol = jax.scipy.linalg.lu_solve((cd["lu"], cd["piv"]), b[: cm[1]])
+            if b.shape[0] > cm[1]:
+                sol = jnp.pad(sol, (0, b.shape[0] - cm[1]))
+            return sol
+        A_meta, P_meta, R_meta, kind, pre, post = lev_metas[l]
+        ld = levels[l]
+        Aop = operator.bind(A_meta, ld["A"])
+        Pop = operator.bind(P_meta, ld["P"])
+        Rop = operator.bind(R_meta, ld["R"])
+        x = _smooth(kind, Aop, ld["dinv"], ld["eig"], b,
+                    jnp.zeros_like(b), pre)
+        for c in range(ncycles):
+            r = b - Aop.mult(x)
+            xc = level_apply(l + 1, Rop.mult(r))
+            x = x + Pop.mult(xc)
+            if c < ncycles - 1 or post:
+                x = _smooth(kind, Aop, ld["dinv"], ld["eig"], b, x, post)
+        return x
+
+    return operator.Op(mult=lambda b: level_apply(0, b))
+
+
+operator.register_binder("pc_mg", _bind_pc_mg)
+PC.register_impl("mg", _PCMG)

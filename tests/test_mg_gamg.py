@@ -1,0 +1,140 @@
+"""PCMG / PCGAMG / KSP chebyshev tests (reference model:
+src/ksp/ksp/tutorials/ex45.c 3-D Poisson CG+GAMG, ex56.c elasticity)."""
+
+import numpy as np
+import pytest
+import scipy.sparse as sp
+
+import petsc_tpu as pt
+
+
+def poisson2d(n):
+    main = 4.0 * np.ones(n * n)
+    side = -np.ones(n * n - 1)
+    side[np.arange(1, n * n) % n == 0] = 0.0
+    ud = -np.ones(n * n - n)
+    return sp.diags([main, side, side, ud, ud], [0, 1, -1, n, -n],
+                    format="csr")
+
+
+def poisson3d(n):
+    I = sp.eye(n)
+    T = sp.diags([2.0 * np.ones(n), -np.ones(n - 1), -np.ones(n - 1)],
+                 [0, 1, -1])
+    return (sp.kron(sp.kron(T, I), I) + sp.kron(sp.kron(I, T), I)
+            + sp.kron(sp.kron(I, I), T)).tocsr()
+
+
+def solve(A_sp, ksp_type="cg", pc_type="gamg", rtol=1e-8, max_it=100,
+          near_null=None, bs=1):
+    A = pt.MatAIJ.from_scipy(A_sp)
+    if bs > 1:
+        A.row_layout = A.row_layout.__class__(A.row_layout.N, bs=bs)
+    if near_null is not None:
+        A.setNearNullSpace(near_null)
+    ksp = pt.KSP().create()
+    ksp.setOperators(A)
+    ksp.setType(ksp_type)
+    ksp.getPC().setType(pc_type)
+    ksp.setTolerances(rtol=rtol, max_it=max_it)
+    u = A.createVecRight()
+    u.setArray(np.random.default_rng(3).random(A_sp.shape[0]))
+    b = A.createVecLeft()
+    A.mult(u, b)
+    x = A.createVecRight()
+    ksp.solve(b, x)
+    x.axpy(-1.0, u)
+    return ksp, float(x.norm()) / float(u.norm())
+
+
+def test_gamg_poisson2d():
+    ksp, relerr = solve(poisson2d(48))
+    assert ksp.getConvergedReason().converged
+    assert ksp.getIterationNumber() <= 12
+    assert relerr < 1e-6
+
+
+def test_gamg_poisson3d():
+    ksp, relerr = solve(poisson3d(20))
+    assert ksp.getConvergedReason().converged
+    assert ksp.getIterationNumber() <= 12
+    assert relerr < 1e-6
+
+
+def test_gamg_anisotropic_threshold():
+    # anisotropic 2-D: strong x-coupling; threshold drops weak links
+    n = 32
+    eps = 1e-3
+    I = sp.eye(n)
+    Tx = sp.diags([2 * np.ones(n), -np.ones(n - 1), -np.ones(n - 1)], [0, 1, -1])
+    A = (sp.kron(I, Tx) + eps * sp.kron(Tx, I)).tocsr()
+    ksp, relerr = solve(A, max_it=200)
+    assert ksp.getConvergedReason().converged
+    assert relerr < 1e-6
+
+
+def test_mg_galerkin_geometric():
+    """PCMG with user-supplied interpolation; coarse ops by Galerkin RAP."""
+    n = 64  # 1-D Poisson, P = linear interpolation onto n//2 grid
+    A_sp = sp.diags([2 * np.ones(n), -np.ones(n - 1), -np.ones(n - 1)],
+                    [0, 1, -1], format="csr")
+    nc = n // 2
+    rows, cols, vals = [], [], []
+    for j in range(nc):
+        fi = 2 * j + 1
+        rows += [fi, fi - 1, min(fi + 1, n - 1)]
+        cols += [j, j, j]
+        vals += [1.0, 0.5, 0.5]
+    P = sp.csr_matrix((vals, (rows, cols)), shape=(n, nc))
+    A = pt.MatAIJ.from_scipy(A_sp)
+    ksp = pt.KSP().create()
+    ksp.setOperators(A)
+    ksp.setType("cg")
+    pc = ksp.getPC()
+    pc.setType("mg")
+    pc._impl.setLevels(2)
+    pc._impl.setInterpolation(0, pt.MatAIJ.from_scipy(P))
+    ksp.setTolerances(rtol=1e-8, max_it=50)
+    u = A.createVecRight(); u.set(1.0)
+    b = A.createVecLeft(); A.mult(u, b)
+    x = A.createVecRight()
+    ksp.solve(b, x)
+    assert ksp.getConvergedReason().converged
+    x.axpy(-1.0, u)
+    assert float(x.norm()) < 1e-6
+
+
+def test_ksp_chebyshev_standalone():
+    ksp, relerr = solve(poisson2d(24), ksp_type="chebyshev",
+                        pc_type="jacobi", rtol=1e-6, max_it=2000)
+    assert ksp.getConvergedReason().converged
+    assert relerr < 1e-4
+
+
+def test_gamg_elasticity_bs2():
+    """2-D plane-stress-like block problem with rigid-body near-nullspace
+    (ex56 model, bs=2, nvec=3)."""
+    n = 16
+    # vector Laplacian per component + weak coupling: SPD block system
+    L = poisson2d(n)
+    Z = sp.csr_matrix(L.shape)
+    A2 = sp.bmat([[2 * L, 0.1 * L], [0.1 * L, 2 * L]]).tocsr()
+    # interleave dofs (x0,y0,x1,y1,...) to make bs=2 blocks
+    N = n * n
+    perm = np.empty(2 * N, dtype=np.int64)
+    perm[0::2] = np.arange(N)
+    perm[1::2] = np.arange(N) + N
+    Pm = sp.csr_matrix((np.ones(2 * N), (np.arange(2 * N), perm)),
+                       shape=(2 * N, 2 * N))
+    A2 = (Pm @ A2 @ Pm.T).tocsr()
+    # rigid body modes: (1,0), (0,1), rotation (-y, x)
+    xy = np.stack(np.meshgrid(np.arange(n), np.arange(n), indexing="ij"),
+                  axis=-1).reshape(-1, 2).astype(float)
+    B = np.zeros((2 * N, 3))
+    B[0::2, 0] = 1.0
+    B[1::2, 1] = 1.0
+    B[0::2, 2] = -xy[:, 1]
+    B[1::2, 2] = xy[:, 0]
+    ksp, relerr = solve(A2, near_null=B, bs=2, max_it=100)
+    assert ksp.getConvergedReason().converged
+    assert relerr < 1e-6
