@@ -52,8 +52,11 @@ def __getattr__(name):
         from .tao.tao import Tao
         return Tao
     if name == "DMDA":
-        from .dm.dmda import DMDA
+        from .dm.da import DMDA
         return DMDA
+    if name == "DM":
+        from .dm.dm import DM
+        return DM
     if name == "IS":
         from .parallel.index import IS
         return IS

@@ -1,0 +1,2 @@
+from .dm import DM
+from .da import DMDA

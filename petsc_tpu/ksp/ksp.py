@@ -93,6 +93,33 @@ class KSP(PObject):
         self.getPC().setOperators(self.mat, self.pmat)
         return self
 
+    # ---------------- DM integration (dmksp.c) ----------------
+
+    def setDM(self, dm):
+        self.dm = dm
+        return self
+
+    def getDM(self):
+        return getattr(self, "dm", None)
+
+    def setComputeOperators(self, fn):
+        """KSPSetComputeOperators (itfunc.c:3054): fn(ksp, A, B) assembles
+        the operator into the DM-created matrix A."""
+        self.getDM().setKSPComputeOperators(fn)
+        return self
+
+    def setComputeRHS(self, fn):
+        self.getDM().setKSPComputeRHS(fn)
+        return self
+
+    def _assemble_from_dm(self):
+        dm = self.getDM()
+        A = dm.createMatrix()
+        dm._compute_operators(self, A, A)
+        if not A._assembled:
+            A.assemble()
+        self.setOperators(A)
+
     def getOperators(self):
         return self.mat, self.pmat
 
@@ -203,9 +230,19 @@ class KSP(PObject):
                          converged_maxits=self.converged_maxits,
                          extra=extras)
 
-    def solve(self, b: Vec, x: Vec):
+    def solve(self, b: Vec | None = None, x: Vec | None = None):
         """KSPSolve (itfunc.c:1104): setup, dispatch the jitted loop, record
-        history/reason, run monitors and option-driven reporting."""
+        history/reason, run monitors and option-driven reporting. With a DM
+        attached and b/x omitted, the rhs/operator callbacks build them."""
+        dm = self.getDM()
+        if self.mat is None and dm is not None:
+            self._assemble_from_dm()
+        if b is None and dm is not None:
+            b = dm.createGlobalVector()
+            dm._compute_rhs(self, b)
+        if x is None:
+            x = self.mat.createVecRight()
+        self._solution = x
         self.setUp()
         cfg = self._static_cfg()
         fn = _compiled_solver(self._type, self.mat.meta, self.pc.meta, cfg)
@@ -260,6 +297,9 @@ class KSP(PObject):
         raise NotImplementedError("KSPMatSolve lands with the dense-RHS path")
 
     # ---------------- results ----------------
+
+    def getSolution(self):
+        return getattr(self, "_solution", None)
 
     def getIterationNumber(self):
         return self._its

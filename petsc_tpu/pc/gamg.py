@@ -20,7 +20,7 @@ import numpy as np
 
 from ..ksp.cheby import estimate_emax
 from ..sys.error import Error
-from .mg import MGLevelSpec, _PCMG
+from .mg import MGLevelSpec, _PCMG, _host_emax
 from .pc import PC
 
 
@@ -67,12 +67,11 @@ def mis_aggregate(G, perm=None):
     n = G.shape[0]
     indptr, indices = G.indptr, G.indices
     if perm is None:
-        # min-degree greedy order (reference default
-        # use_minimum_degree_ordering), index as deterministic tie-break
-        deg = np.diff(indptr)
-        perm = np.lexsort((np.arange(n), deg))
+        # reference default: random visit order (PCGAMGCoarsen_AGG
+        # agg.c:1279-1303 shuffle); deterministic seed for reproducible runs
+        perm = np.random.default_rng(2026).permutation(n)
     agg = np.full(n, -2, dtype=np.int64)   # -2 undecided
-    nagg = 0
+    roots = []
     for v in perm:
         if agg[v] != -2:
             continue
@@ -80,12 +79,30 @@ def mis_aggregate(G, perm=None):
         if len(nbrs) < 2:            # singleton: remove (mis.c:117-128)
             agg[v] = -1
             continue
-        agg[v] = nagg
+        agg[v] = len(roots)
         und = nbrs[agg[nbrs] == -2]
-        agg[und] = nagg
-        nagg += 1
+        agg[und] = agg[v]
+        roots.append(v)
     agg[agg == -2] = -1
-    return agg, nagg
+    return agg, len(roots), np.asarray(roots, dtype=np.int64)
+
+
+def fix_aggregates_with_square(G1, agg, roots):
+    """Post-MIS(G^2) fixup (agg.c:913 fixAggregatesWithSquare): every root
+    steals its DIRECT (unsquared-graph) neighbors into its own aggregate —
+    turning distance-2 MIS roots into G1-connected balls and absorbing
+    removed singletons. Roots processed in index order; later roots win
+    (reference lid-order semantics)."""
+    indptr, indices = G1.indptr, G1.indices
+    n = G1.shape[0]
+    is_root = np.zeros(n, dtype=bool)
+    is_root[roots] = True
+    for a, r in enumerate(roots):
+        nbrs = indices[indptr[r]:indptr[r + 1]]
+        steal = nbrs[~is_root[nbrs]]
+        agg[steal] = a
+    agg[roots] = np.arange(len(roots))
+    return agg
 
 
 def square_graph(G):
@@ -206,9 +223,12 @@ class _PCGAMG(_PCMG):
         while (cur.shape[0] > self.coarse_eq_limit
                and level < self.max_levels - 1):
             G = strength_graph(cur, bs=cur_bs, threshold=self._threshold(level))
-            Gagg = square_graph(G) if (level < self.aggressive_levels
-                                       and self.square_aggressive) else G
-            agg, nagg = mis_aggregate(Gagg)
+            aggressive = (level < self.aggressive_levels
+                          and self.square_aggressive)
+            Gagg = square_graph(G) if aggressive else G
+            agg, nagg, roots = mis_aggregate(Gagg)
+            if aggressive:
+                agg = fix_aggregates_with_square(G, agg, roots)
             if nagg == 0 or nagg * Bn.shape[1] >= cur.shape[0]:
                 break  # coarsening stalled
             P0, Bc = tentative_prolongator(agg, nagg, Bn, bs=cur_bs)
@@ -235,16 +255,6 @@ class _PCGAMG(_PCMG):
         self.levels = levels
 
 
-def _host_emax(A_sp, dinv, iters=10, seed=7):
-    """Power-iteration estimate of lambda_max(D^-1 A) (host, numpy)."""
-    rng = np.random.default_rng(seed)
-    v = rng.random(A_sp.shape[0]) - 0.5
-    lam = 1.0
-    for _ in range(iters):
-        w = dinv * (A_sp @ v)
-        lam = float(np.linalg.norm(w))
-        v = w / lam
-    return max(lam, 1e-12)
 
 
 PC.register_impl("gamg", _PCGAMG)

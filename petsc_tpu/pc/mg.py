@@ -45,6 +45,35 @@ class MGLevelSpec:
         self.emin = emin
 
 
+def _host_emax(A_sp, dinv, iters=10, seed=7):
+    """Largest Ritz value of D^-1 A from a 10-step Arnoldi with a noisy
+    start vector (host, numpy) — the role of the reference's 10-iteration
+    esteig KSP + KSPComputeExtremeSingularValues (agg.c:1855-1899,
+    cheby.c noisy-RHS estimation). Arnoldi Ritz values converge to the
+    extreme eigenvalue far faster than power iteration, which matters:
+    underestimating emax makes Chebyshev smoothing divergent above the
+    bound."""
+    rng = np.random.default_rng(seed)
+    n = A_sp.shape[0]
+    m = min(iters, n)
+    V = np.zeros((n, m + 1))
+    H = np.zeros((m + 1, m))
+    v = rng.random(n) - 0.5
+    V[:, 0] = v / np.linalg.norm(v)
+    for j in range(m):
+        w = dinv * (A_sp @ V[:, j])
+        for i in range(j + 1):              # modified Gram-Schmidt
+            H[i, j] = np.dot(V[:, i], w)
+            w -= H[i, j] * V[:, i]
+        H[j + 1, j] = np.linalg.norm(w)
+        if H[j + 1, j] < 1e-14:
+            m = j + 1
+            break
+        V[:, j + 1] = w / H[j + 1, j]
+    ritz = np.linalg.eigvals(H[:m, :m])
+    return max(float(np.max(np.abs(ritz))), 1e-12)
+
+
 def _dense_lu_factor(A_sp):
     import scipy.linalg as sla
     lu, piv = sla.lu_factor(A_sp.toarray())
@@ -88,9 +117,15 @@ class _PCMG:
         self.levels[finest_first_idx].A = A
 
     def build_hierarchy(self):
-        """Fill in level operators by Galerkin RAP where missing."""
+        """Fill in level operators by Galerkin RAP where missing; with a DM
+        attached to the operator, construct the full geometric hierarchy by
+        DMCoarsen + DMCreateInterpolation (the PCSetUp_MG + DM path)."""
         if self.levels is None:
-            raise Error("PCMG: call setLevels/setInterpolation or use gamg")
+            dm = getattr(self.pc.pmat, "_dm", None)
+            if dm is None:
+                raise Error("PCMG: call setLevels/setInterpolation, attach "
+                            "a DM, or use -pc_type gamg")
+            self._build_from_dm(dm)
         self.levels[0].A = self.levels[0].A or self.pc.pmat
         for l in range(1, len(self.levels)):
             if self.levels[l].A is None:
@@ -98,6 +133,38 @@ class _PCMG:
                 if Pl is None:
                     raise Error(f"PCMG: no interpolation onto level {l - 1}")
                 self.levels[l].A = self.levels[l - 1].A.ptap(Pl)
+        # Chebyshev smoother bounds where not provided (SA provides its own)
+        for lev in self.levels[:-1]:
+            if lev.emax is None and self.smoother == "chebyshev":
+                A_sp = lev.A.to_scipy()
+                d = A_sp.diagonal()
+                dinv = np.where(d != 0, 1.0 / np.where(d == 0, 1.0, d), 1.0)
+                emax = _host_emax(A_sp, dinv)
+                lev.emax, lev.emin = 1.1 * emax, 0.1 * emax
+
+    def _build_from_dm(self, dm):
+        nlev_opt = self.pc.opt("get_int", "pc_mg_levels", None)
+        das = [dm]
+        while True:
+            if nlev_opt is not None and len(das) >= nlev_opt:
+                break
+            if nlev_opt is None and (len(das) >= 10 or das[-1].N <= 50):
+                break
+            try:
+                das.append(das[-1].coarsen())
+            except Error:
+                break
+        self.levels = [MGLevelSpec(None) for _ in das]
+        rediscretize = dm._compute_operators is not None
+        for l, da in enumerate(das):
+            if l > 0 and rediscretize:
+                A = da.createMatrix()
+                dm._compute_operators(None, A, A)
+                if not A._assembled:
+                    A.assemble()
+                self.levels[l].A = A
+            if l < len(das) - 1:
+                self.levels[l].P = da.createInterpolation(das[l + 1])
 
     def setup(self):
         self.build_hierarchy()
