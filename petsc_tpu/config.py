@@ -73,6 +73,11 @@ def init(args=None, options_dict=None, file=None):
     """
     global _initialized
     st = state()
+    # re-initialization resets the options database (each PetscInitialize
+    # parses argv fresh; repeated pt.init calls must not accumulate options)
+    if _initialized:
+        from .sys.options import Options
+        st.options = Options()
     if file:
         st.options.insert_file(file)
     env = os.environ.get("PETSC_TPU_OPTIONS") or os.environ.get("PETSC_OPTIONS")

@@ -1,0 +1,2 @@
+from .snes import SNES, snes_reason_string
+from .linesearch import LineSearch

@@ -16,3 +16,14 @@ import jax  # noqa: E402
 if os.environ.get("PETSC_TPU_TEST_TPU", "0") != "1":
     jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
+
+
+import pytest
+
+
+@pytest.fixture(autouse=True)
+def _fresh_options():
+    """Each test gets a clean options database (PetscInitialize semantics)."""
+    import petsc_tpu as pt
+    pt.init(args=[])
+    yield
