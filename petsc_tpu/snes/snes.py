@@ -134,11 +134,18 @@ class SNES(PObject):
 
     # ---------------- callbacks ----------------
 
-    def setFunction(self, fn, f=None):
+    def setFunction(self, fn, f=None, args=None):
         """PETSc-style fn(snes, X, F) filling Vec F, or a pure jax
-        fn(x)->r over arrays (enables exact JVP Jacobians)."""
-        if len(inspect.signature(fn).parameters) == 1:
-            self._func_pure = fn
+        fn(x, *args)->r over arrays (enables exact JVP Jacobians).
+        `args` are extra traced parameters (e.g. t, dt, u_prev for TS
+        stage residuals): updating args REUSES every compiled kernel —
+        only the data changes, never the trace."""
+        if args is not None or len(inspect.signature(fn).parameters) == 1:
+            if self._func_pure is not fn:
+                self._func_pure = fn
+                self._mf_shell = None      # new trace identity
+                self._jacfwd_jit = None
+            self._func_args = tuple(jnp.asarray(a) for a in (args or ()))
         else:
             self._func = fn
             self._fvec = f
@@ -165,7 +172,8 @@ class SNES(PObject):
         """Residual as numpy array (host)."""
         self._nfuncs += 1
         if self._func_pure is not None:
-            return np.asarray(self._func_pure(jnp.asarray(x_np)))
+            args = getattr(self, "_func_args", ())
+            return np.asarray(self._func_pure(jnp.asarray(x_np), *args))
         X = Vec.from_array(x_np, comm=self.comm)
         F = self._fvec if self._fvec is not None else X.duplicate()
         self._func(self, X, F)
@@ -204,19 +212,24 @@ class SNES(PObject):
                 P = self._assemble_pmat(x_np, "fd")
                 return P, P
             x0 = jnp.asarray(x_np)
+            args = getattr(self, "_func_args", ())
             if getattr(self, "_mf_shell", None) is None:
-                # built ONCE: the linearization point travels in the shell
-                # context so the KSP jit cache stays warm across Newton its
+                # built ONCE per residual function: linearization point AND
+                # parametric args travel in the shell context, so the KSP
+                # jit cache stays warm across Newton its and outer steps
                 fn = self._func_pure
+
+                def _shell_mult(ctx, v):
+                    xc, ac = ctx
+                    return jax.jvp(lambda z: fn(z, *ac), (xc,), (v,))[1]
+
                 J = MatShell(self.comm)
                 n = len(x_np)
                 J.setSizes((n, n))
-                J.setShellOperations(
-                    mult=lambda ctx, v: jax.jvp(fn, (ctx,), (v,))[1],
-                    context=x0)
+                J.setShellOperations(mult=_shell_mult, context=(x0, args))
                 self._mf_shell = J
             else:
-                self._mf_shell._context = x0
+                self._mf_shell._context = (x0, args)
             # preconditioner matrix: FD-colored if a pattern is known,
             # else dense jacfwd
             P = self._assemble_pmat(x_np)
@@ -235,7 +248,10 @@ class SNES(PObject):
             mode = "fd_color" if pattern is not None else (
                 "jacfwd" if self._func_pure is not None else "fd")
         if mode == "jacfwd" or (mode == "fd" and self._func_pure is not None):
-            dense = np.asarray(jax.jacfwd(self._func_pure)(jnp.asarray(x_np)))
+            if getattr(self, "_jacfwd_jit", None) is None:
+                self._jacfwd_jit = jax.jit(jax.jacfwd(self._func_pure))
+            args = getattr(self, "_func_args", ())
+            dense = np.asarray(self._jacfwd_jit(jnp.asarray(x_np), *args))
             import scipy.sparse as sp
             A = sp.csr_matrix(dense)
             M = MatAIJ.from_scipy(A, comm=self.comm)

@@ -1,0 +1,1 @@
+from .ts import TS, TSAdapt

@@ -1,0 +1,118 @@
+"""TS integrator tests (reference model: src/ts/tutorials/ex3/ex4-style
+linear/stiff problems with known solutions)."""
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+import petsc_tpu as pt
+
+
+def decay_rhs(t, u):
+    return -u
+
+
+def run_decay(ts_type, dt=0.01, T=1.0, adapt="none", **setup):
+    ts = pt.TS().create()
+    ts.setType(ts_type)
+    ts.setRHSFunction(decay_rhs)
+    ts.setTimeStep(dt)
+    ts.setMaxTime(T)
+    ts.adapt.kind = adapt
+    for k, v in setup.items():
+        getattr(ts, k)(v)
+    u = pt.Vec.from_array(np.array([1.0, 2.0]))
+    ts.solve(u)
+    return ts, np.asarray(u.getArray())
+
+
+@pytest.mark.parametrize("ts_type,tol", [
+    ("euler", 5e-3), ("ssp", 1e-6), ("rk", 1e-7),
+    ("beuler", 6e-3), ("cn", 1e-5), ("theta", 1e-5),
+    ("bdf", 1e-3), ("rosw", 1e-6),
+])
+def test_decay(ts_type, tol):
+    ts, u = run_decay(ts_type)
+    exact = np.array([1.0, 2.0]) * np.exp(-1.0)
+    assert ts.getConvergedReason().converged
+    assert abs(ts.getTime() - 1.0) < 1e-12
+    assert np.allclose(u, exact, atol=tol), (u, exact)
+
+
+def test_rk_adaptive():
+    ts, u = run_decay("rk", dt=0.5, adapt="basic", setRKType="5dp")
+    exact = np.array([1.0, 2.0]) * np.exp(-1.0)
+    assert ts.getConvergedReason().converged
+    assert np.allclose(u, exact, atol=1e-4)
+    assert ts.getStepNumber() < 30
+
+
+def test_rk_3bs_adapt_stiffish():
+    """Adaptive 3bs on a mildly stiff linear system."""
+    A = np.array([[-2.0, 1.0], [1.0, -20.0]])
+
+    def rhs(t, u):
+        return jnp.asarray(A) @ u
+
+    ts = pt.TS().create()
+    ts.setType("rk")
+    ts.setRHSFunction(rhs)
+    ts.setTimeStep(0.1)
+    ts.setMaxTime(1.0)
+    ts.adapt.kind = "basic"
+    u = pt.Vec.from_array(np.array([1.0, 1.0]))
+    ts.solve(u)
+    import scipy.linalg as sla
+    exact = sla.expm(A) @ np.array([1.0, 1.0])
+    assert np.allclose(np.asarray(u.getArray()), exact, atol=1e-3)
+
+
+def test_arkimex_split():
+    """IMEX: stiff linear implicit + nonstiff explicit, vs expm."""
+    lam_stiff, lam_soft = -50.0, -1.0
+
+    def fe(t, u):
+        return lam_soft * u
+
+    def fi(t, u, udot):
+        return udot - lam_stiff * u
+
+    ts = pt.TS().create()
+    ts.setType("arkimex")
+    ts.setRHSFunction(fe)
+    ts.setIFunction(fi)
+    ts.setTimeStep(0.02)
+    ts.setMaxTime(0.5)
+    ts.adapt.kind = "none"
+    u = pt.Vec.from_array(np.array([1.0]))
+    ts.solve(u)
+    exact = np.exp((lam_stiff + lam_soft) * 0.5)
+    assert ts.getConvergedReason().converged
+    assert np.allclose(np.asarray(u.getArray()), exact, rtol=2e-2)
+
+
+def test_beuler_stiff_stable():
+    """Backward Euler is stable at dt far beyond the explicit limit."""
+    def rhs(t, u):
+        return -1000.0 * u
+
+    ts = pt.TS().create()
+    ts.setType("beuler")
+    ts.setRHSFunction(rhs)
+    ts.setTimeStep(0.1)       # explicit limit would be 0.002
+    ts.setMaxTime(1.0)
+    ts.adapt.kind = "none"
+    u = pt.Vec.from_array(np.array([1.0]))
+    ts.solve(u)
+    assert ts.getConvergedReason().converged
+    assert abs(float(u.getArray()[0])) < 1e-8
+
+
+def test_convergence_order_cn():
+    """CN converges at 2nd order on the decay problem."""
+    errs = []
+    for dt in (0.1, 0.05):
+        _, u = run_decay("cn", dt=dt)
+        errs.append(abs(u[0] - np.exp(-1.0)))
+    rate = np.log2(errs[0] / errs[1])
+    assert 1.7 < rate < 2.3, (errs, rate)
