@@ -1,0 +1,1 @@
+from .tao import Tao

@@ -1,0 +1,553 @@
+"""Tao: optimization solvers.
+
+Behavioral reference: src/tao/ (TaoSolve interface/taosolver.c:170;
+unconstrained impls/: lmvm (L-BFGS, src/tao/unconstrained/impls/lmvm),
+nls (Newton line search), ntr (Newton trust region), cg (nonlinear CG
+FR/PR/PRP+), neldermead; bound/: blmvm (projected L-BFGS), tron;
+leastsquares/: brgn (regularized Gauss-Newton); TaoLineSearch armijo /
+more-thuente (linesearch/impls)).
+
+TPU design: objectives are pure jax functions; gradients default to
+jax.grad (exact), Hessian actions to jax.jvp-of-grad (Newton-CG without
+ever forming the Hessian), Gauss-Newton products to jvp/vjp of the
+residual — every evaluation is one jitted XLA program. PETSc-style
+separate objective/gradient callbacks are also accepted.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..sys.error import Error, TaoConvergedReason as TaoR
+from ..sys.object import PObject
+from ..vec.vec import Vec
+
+
+class Tao(PObject):
+    _class_name = "Tao"
+    _impls = {}
+
+    def __init__(self, comm=None, **kw):
+        super().__init__(**kw)
+        self.comm = comm
+        self._type = "lmvm"
+        self.gatol, self.grtol, self.gttol = 1e-8, 1e-8, 0.0
+        self.max_it, self.max_funcs = 2000, 10000
+        self._obj = None          # pure f(x) -> scalar
+        self._grad = None         # optional pure g(x) -> array
+        self._objgrad_jit = None
+        self._residual = None     # pure r(x) -> array (least squares)
+        self._hess = None         # optional pure H(x) @ v builder
+        self._lb = None
+        self._ub = None
+        self._reg = 0.0           # brgn tikhonov weight
+        self._its = 0
+        self._fval = 0.0
+        self._gnorm = 0.0
+        self._reason = TaoR.CONTINUE_ITERATING
+        self._history = []
+        self._monitors = []
+        self._nfuncs = 0
+
+    # ---------------- setup ----------------
+
+    def create(self, comm=None):
+        self.comm = comm or self.comm
+        return self
+
+    def setType(self, t):
+        if t not in self._impls:
+            raise KeyError(f"unknown Tao type '{t}'; have "
+                           f"{sorted(self._impls)}")
+        self._type = t
+        return self
+
+    def getType(self):
+        return self._type
+
+    def setObjective(self, fn):
+        """Pure jax scalar objective f(x)."""
+        self._obj = fn
+        self._objgrad_jit = None
+        return self
+
+    def setGradient(self, fn):
+        self._grad = fn
+        return self
+
+    def setObjectiveGradient(self, fn_obj, fn_grad=None):
+        self._obj = fn_obj
+        self._grad = fn_grad
+        self._objgrad_jit = None
+        return self
+
+    def setResidual(self, fn):
+        """Least-squares residual r(x) (TaoSetResidualRoutine; brgn)."""
+        self._residual = fn
+        if self._obj is None:
+            self._obj = lambda x: 0.5 * jnp.sum(fn(x) ** 2)
+        return self
+
+    def setRegularizerWeight(self, w):
+        self._reg = float(w)
+
+    def setVariableBounds(self, lb, ub):
+        self._lb = np.asarray(lb.getArray() if isinstance(lb, Vec) else lb)
+        self._ub = np.asarray(ub.getArray() if isinstance(ub, Vec) else ub)
+        return self
+
+    def setTolerances(self, gatol=None, grtol=None, gttol=None):
+        if gatol is not None:
+            self.gatol = gatol
+        if grtol is not None:
+            self.grtol = grtol
+        if gttol is not None:
+            self.gttol = gttol
+        return self
+
+    def setMaximumIterations(self, n):
+        self.max_it = int(n)
+
+    def setFromOptions(self):
+        t = self.opt("get_string", "tao_type", None)
+        if t:
+            self.setType(t)
+        for name in ("gatol", "grtol", "gttol"):
+            v = self.opt("get_real", f"tao_{name}", None)
+            if v is not None:
+                setattr(self, name, v)
+        n = self.opt("get_int", "tao_max_it", None)
+        if n:
+            self.max_it = n
+        return self
+
+    def setMonitor(self, fn):
+        self._monitors.append(fn)
+
+    # ---------------- evaluation ----------------
+
+    def _fg(self, x_np):
+        """(f, g) with jitted value_and_grad when gradient not provided."""
+        self._nfuncs += 1
+        x = jnp.asarray(x_np)
+        if self._grad is not None:
+            return float(self._obj(x)), np.asarray(self._grad(x))
+        if self._objgrad_jit is None:
+            self._objgrad_jit = jax.jit(jax.value_and_grad(self._obj))
+        f, g = self._objgrad_jit(x)
+        return float(f), np.asarray(g)
+
+    def _hessmult(self, x_np):
+        """v -> H(x) v (jvp of gradient — exact, matrix-free)."""
+        if self._hess is not None:
+            return self._hess(x_np)
+        gfun = self._grad if self._grad is not None \
+            else jax.grad(self._obj)
+        x0 = jnp.asarray(x_np)
+
+        def hmv(v):
+            return np.asarray(
+                jax.jvp(gfun, (x0,), (jnp.asarray(v),))[1])
+        return hmv
+
+    # ---------------- convergence ----------------
+
+    def _check(self, it, f, gnorm, gnorm0):
+        if np.isnan(f) or np.isnan(gnorm):
+            return TaoR.DIVERGED_NAN
+        if gnorm <= self.gatol:
+            return TaoR.CONVERGED_GATOL
+        if f != 0 and abs(gnorm / f) <= self.grtol:
+            return TaoR.CONVERGED_GRTOL
+        if gnorm0 > 0 and self.gttol > 0 and gnorm / gnorm0 <= self.gttol:
+            return TaoR.CONVERGED_GTTOL
+        if it >= self.max_it:
+            return TaoR.DIVERGED_MAXITS
+        if self._nfuncs >= self.max_funcs:
+            return TaoR.DIVERGED_MAXFCN
+        return TaoR.CONTINUE_ITERATING
+
+    def _monitor(self, it, f, gnorm):
+        self._history.append((f, gnorm))
+        if self.opt("get_bool", "tao_monitor", False):
+            print(f"{it:3d} TAO,  Function value: {f:g},  Residual: {gnorm:g}")
+        for m in self._monitors:
+            m(self, it, f, gnorm)
+
+    # ---------------- drive ----------------
+
+    def solve(self, x: Vec):
+        self.setFromOptions()
+        self._history = []
+        self._nfuncs = 0
+        self._reason = TaoR.CONTINUE_ITERATING
+        x_np = np.asarray(x.getArray(), dtype=np.float64).copy()
+        self._impls[self._type](self, x_np, x)
+        if self.opt("get_bool", "tao_converged_reason", False):
+            print(f"TAO solve converged due to {self._reason.name} "
+                  f"iterations {self._its}")
+        return x
+
+    def getIterationNumber(self):
+        return self._its
+
+    def getObjectiveValue(self):
+        return self._fval
+
+    getFunctionValue = getObjectiveValue
+
+    def getGradientNorm(self):
+        return self._gnorm
+
+    def getConvergedReason(self):
+        return self._reason
+
+    def view(self, viewer=None):
+        print(f"Tao Object: type: {self._type}")
+        print(f"  convergence tolerances: gatol={self.gatol:g}, "
+              f"grtol={self.grtol:g}, gttol={self.gttol:g}")
+        print(f"  total number of iterations={self._its}")
+
+
+# =====================================================================
+# line search (strong-Wolfe backtracking with interpolation — the role of
+# TaoLineSearch more-thuente / armijo)
+# =====================================================================
+
+def _wolfe_ls(tao, x, f0, g0, d, c1=1e-4, c2=0.9, max_its=25, t0=1.0):
+    """Returns (x_new, f_new, g_new, t, ok). d is a DESCENT direction
+    (x_new = x + t d)."""
+    dphi0 = float(np.dot(g0, d))
+    if dphi0 >= 0:
+        return x, f0, g0, 0.0, False
+    t, tmin, tmax = t0, 0.0, np.inf
+    f_prev, t_prev = f0, 0.0
+    for _ in range(max_its):
+        fx, gx = tao._fg(x + t * d)
+        if not np.isfinite(fx) or fx > f0 + c1 * t * dphi0 \
+                or (t_prev > 0 and fx >= f_prev):
+            tmax = t
+            t = 0.5 * (tmin + tmax)
+            continue
+        dphi = float(np.dot(gx, d))
+        if abs(dphi) <= c2 * abs(dphi0):
+            return x + t * d, fx, gx, t, True
+        if dphi >= 0:
+            tmax = t
+            t = 0.5 * (tmin + tmax)
+        else:
+            tmin = t
+            t = 2.0 * t if not np.isfinite(tmax) else 0.5 * (tmin + tmax)
+        f_prev, t_prev = fx, t
+    fx, gx = tao._fg(x + t * d)
+    return x + t * d, fx, gx, t, fx < f0
+
+
+def _project(x, lb, ub):
+    if lb is not None:
+        x = np.maximum(x, lb)
+    if ub is not None:
+        x = np.minimum(x, ub)
+    return x
+
+
+# =====================================================================
+# implementations
+# =====================================================================
+
+def _lbfgs_dir(S, Y, g):
+    q = g.copy()
+    alphas = []
+    for s, yv in zip(reversed(S), reversed(Y)):
+        rho = 1.0 / float(np.dot(yv, s))
+        a = rho * float(np.dot(s, q))
+        alphas.append((a, rho, s, yv))
+        q -= a * yv
+    if Y:
+        s, yv = S[-1], Y[-1]
+        q *= float(np.dot(s, yv)) / float(np.dot(yv, yv))
+    for a, rho, s, yv in reversed(alphas):
+        b = rho * float(np.dot(yv, q))
+        q += (a - b) * s
+    return q
+
+
+def solve_lmvm(tao: Tao, x, xvec, bounded=False):
+    """L-BFGS (impls/lmvm; blmvm = gradient-projection variant)."""
+    m = 10
+    lb, ub = (tao._lb, tao._ub) if bounded else (None, None)
+    x = _project(x, lb, ub)
+    f, g = tao._fg(x)
+    if bounded:
+        pg = x - _project(x - g, lb, ub)
+        gnorm = float(np.linalg.norm(pg))
+    else:
+        gnorm = float(np.linalg.norm(g))
+    g0norm = gnorm
+    tao._monitor(0, f, gnorm)
+    S, Y = [], []
+    it = 0
+    reason = tao._check(0, f, gnorm, g0norm)
+    while reason == TaoR.CONTINUE_ITERATING:
+        d = -_lbfgs_dir(S, Y, g)
+        if float(np.dot(d, g)) >= 0:
+            S.clear(); Y.clear()
+            d = -g
+        if bounded:
+            xn = _project(x + d, lb, ub)
+            fx, gx = tao._fg(xn)
+            t = 1.0
+            while fx > f - 1e-4 * float(np.dot(g, x - xn)) and t > 1e-12:
+                t *= 0.5
+                xn = _project(x + t * d, lb, ub)
+                fx, gx = tao._fg(xn)
+            ok = fx < f
+        else:
+            xn, fx, gx, t, ok = _wolfe_ls(tao, x, f, g, d)
+        if not ok:
+            if len(S) == 0:
+                reason = TaoR.DIVERGED_LS_FAILURE
+                break
+            S.clear(); Y.clear()
+            continue
+        s_new, y_new = xn - x, gx - g
+        if float(np.dot(s_new, y_new)) > 1e-14:
+            S.append(s_new); Y.append(y_new)
+            if len(S) > m:
+                S.pop(0); Y.pop(0)
+        x, f, g = xn, fx, gx
+        if bounded:
+            pg = x - _project(x - g, lb, ub)
+            gnorm = float(np.linalg.norm(pg))
+        else:
+            gnorm = float(np.linalg.norm(g))
+        it += 1
+        tao._monitor(it, f, gnorm)
+        reason = tao._check(it, f, gnorm, g0norm)
+    tao._its, tao._fval, tao._gnorm, tao._reason = it, f, gnorm, reason
+    xvec.setArray(x)
+
+
+def solve_blmvm(tao, x, xvec):
+    solve_lmvm(tao, x, xvec, bounded=True)
+
+
+def solve_nls(tao: Tao, x, xvec):
+    """Newton line search with CG inner solves on exact Hessian actions
+    (impls/nls; Steihaug-style negative-curvature exit)."""
+    f, g = tao._fg(x)
+    gnorm = float(np.linalg.norm(g))
+    g0norm = gnorm
+    tao._monitor(0, f, gnorm)
+    it = 0
+    reason = tao._check(0, f, gnorm, g0norm)
+    while reason == TaoR.CONTINUE_ITERATING:
+        hmv = tao._hessmult(x)
+        d = _cg_hess(hmv, -g, tol=min(0.5, np.sqrt(gnorm)) * gnorm)
+        if float(np.dot(d, g)) >= 0:
+            d = -g
+        xn, fx, gx, t, ok = _wolfe_ls(tao, x, f, g, d)
+        if not ok:
+            xn, fx, gx, t, ok = _wolfe_ls(tao, x, f, g, -g)
+            if not ok:
+                reason = TaoR.DIVERGED_LS_FAILURE
+                break
+        x, f, g = xn, fx, gx
+        gnorm = float(np.linalg.norm(g))
+        it += 1
+        tao._monitor(it, f, gnorm)
+        reason = tao._check(it, f, gnorm, g0norm)
+    tao._its, tao._fval, tao._gnorm, tao._reason = it, f, gnorm, reason
+    xvec.setArray(x)
+
+
+def _cg_hess(hmv, b, tol, max_it=200):
+    """CG on H d = b with negative-curvature truncation (Newton-CG)."""
+    x = np.zeros_like(b)
+    r = b.copy()
+    p = r.copy()
+    rr = float(np.dot(r, r))
+    for _ in range(max_it):
+        if np.sqrt(rr) <= tol:
+            break
+        Hp = hmv(p)
+        pHp = float(np.dot(p, Hp))
+        if pHp <= 0:
+            if not x.any():
+                return b
+            break
+        a = rr / pHp
+        x += a * p
+        r -= a * Hp
+        rr_new = float(np.dot(r, r))
+        p = r + (rr_new / rr) * p
+        rr = rr_new
+    return x
+
+
+def solve_ntr(tao: Tao, x, xvec):
+    """Newton trust region (impls/ntr): Steihaug-Toint CG on the TR
+    subproblem, standard radius update."""
+    f, g = tao._fg(x)
+    gnorm = float(np.linalg.norm(g))
+    g0norm = gnorm
+    tao._monitor(0, f, gnorm)
+    delta = max(1.0, 0.1 * float(np.linalg.norm(x)))
+    it = 0
+    reason = tao._check(0, f, gnorm, g0norm)
+    while reason == TaoR.CONTINUE_ITERATING:
+        hmv = tao._hessmult(x)
+        d = _steihaug(hmv, -g, delta, tol=min(0.5, np.sqrt(gnorm)) * gnorm)
+        xn = x + d
+        fx, gx = tao._fg(xn)
+        pred = -(float(np.dot(g, d)) + 0.5 * float(np.dot(d, hmv(d))))
+        ared = f - fx
+        rho = ared / pred if pred > 0 else -1.0
+        if rho < 0.25:
+            delta *= 0.25
+        elif rho > 0.75 and abs(np.linalg.norm(d) - delta) < 1e-10:
+            delta = min(2 * delta, 1e10)
+        if rho > 1e-4 and np.isfinite(fx):
+            x, f, g = xn, fx, gx
+            gnorm = float(np.linalg.norm(g))
+            it += 1
+            tao._monitor(it, f, gnorm)
+            reason = tao._check(it, f, gnorm, g0norm)
+        elif delta < 1e-30:
+            reason = TaoR.DIVERGED_TR_REDUCTION
+        else:
+            reason = tao._check(it, f, gnorm, g0norm)
+    tao._its, tao._fval, tao._gnorm, tao._reason = it, f, gnorm, reason
+    xvec.setArray(x)
+
+
+def _steihaug(hmv, b, delta, tol, max_it=200):
+    x = np.zeros_like(b)
+    r = b.copy()
+    p = r.copy()
+    rr = float(np.dot(r, r))
+    for _ in range(max_it):
+        if np.sqrt(rr) <= tol:
+            break
+        Hp = hmv(p)
+        pHp = float(np.dot(p, Hp))
+        if pHp <= 0:
+            return x + _to_boundary(x, p, delta) * p
+        a = rr / pHp
+        if np.linalg.norm(x + a * p) >= delta:
+            return x + _to_boundary(x, p, delta) * p
+        x += a * p
+        r -= a * Hp
+        rr_new = float(np.dot(r, r))
+        p = r + (rr_new / rr) * p
+        rr = rr_new
+    return x
+
+
+def _to_boundary(x, p, delta):
+    pp = float(np.dot(p, p))
+    xp = float(np.dot(x, p))
+    xx = float(np.dot(x, x))
+    return (-xp + np.sqrt(max(xp * xp + pp * (delta * delta - xx), 0.0))) / pp
+
+
+def solve_cg(tao: Tao, x, xvec):
+    """Nonlinear CG, PRP+ with restart (impls/cg)."""
+    f, g = tao._fg(x)
+    gnorm = float(np.linalg.norm(g))
+    g0norm = gnorm
+    tao._monitor(0, f, gnorm)
+    d = -g
+    it = 0
+    reason = tao._check(0, f, gnorm, g0norm)
+    while reason == TaoR.CONTINUE_ITERATING:
+        xn, fx, gx, t, ok = _wolfe_ls(tao, x, f, g, d, c2=0.4)
+        if not ok:
+            d = -g
+            xn, fx, gx, t, ok = _wolfe_ls(tao, x, f, g, d, c2=0.4)
+            if not ok:
+                reason = TaoR.DIVERGED_LS_FAILURE
+                break
+        beta = max(0.0, float(np.dot(gx, gx - g)) / float(np.dot(g, g)))
+        d = -gx + beta * d
+        x, f, g = xn, fx, gx
+        gnorm = float(np.linalg.norm(g))
+        it += 1
+        tao._monitor(it, f, gnorm)
+        reason = tao._check(it, f, gnorm, g0norm)
+    tao._its, tao._fval, tao._gnorm, tao._reason = it, f, gnorm, reason
+    xvec.setArray(x)
+
+
+def solve_brgn(tao: Tao, x, xvec):
+    """Bounded/regularized Gauss-Newton for least squares (leastsquares/
+    impls/brgn): min 0.5||r(x)||^2 + 0.5*reg*||x||^2, GN step via CG on
+    (J^T J + reg I) d = -(J^T r + reg x) using jvp/vjp products."""
+    if tao._residual is None:
+        raise Error("brgn: call setResidual first")
+    rfun = tao._residual
+    reg = tao._reg
+    f, g = tao._fg(x)
+    if reg:
+        f += 0.5 * reg * float(np.dot(x, x))
+        g = g + reg * x
+    gnorm = float(np.linalg.norm(g))
+    g0norm = gnorm
+    tao._monitor(0, f, gnorm)
+    it = 0
+    reason = tao._check(0, f, gnorm, g0norm)
+    while reason == TaoR.CONTINUE_ITERATING:
+        x0 = jnp.asarray(x)
+        _, vjp = jax.vjp(rfun, x0)
+
+        def jtj(v):
+            jv = jax.jvp(rfun, (x0,), (jnp.asarray(v),))[1]
+            out = np.asarray(vjp(jv)[0])
+            return out + reg * np.asarray(v)
+
+        d = _cg_hess(jtj, -g, tol=1e-2 * gnorm)
+        xn, fx, gx, t, ok = _wolfe_ls(tao, x, f, g, d)
+        if reg:
+            fx += 0.5 * reg * float(np.dot(xn, xn))
+            gx = gx + reg * xn
+        if not ok:
+            reason = TaoR.DIVERGED_LS_FAILURE
+            break
+        x, f, g = xn, fx, gx
+        gnorm = float(np.linalg.norm(g))
+        it += 1
+        tao._monitor(it, f, gnorm)
+        reason = tao._check(it, f, gnorm, g0norm)
+    tao._its, tao._fval, tao._gnorm, tao._reason = it, f, gnorm, reason
+    xvec.setArray(x)
+
+
+def solve_neldermead(tao: Tao, x, xvec):
+    """Derivative-free simplex (impls/neldermead)."""
+    from scipy.optimize import minimize
+    res = minimize(lambda z: tao._fg(z)[0] if False else
+                   float(tao._obj(jnp.asarray(z))), x,
+                   method="Nelder-Mead",
+                   options={"maxiter": tao.max_it, "xatol": tao.gatol,
+                            "fatol": tao.gatol})
+    tao._its = res.nit
+    tao._fval = float(res.fun)
+    tao._gnorm = 0.0
+    tao._reason = TaoR.CONVERGED_USER if res.success \
+        else TaoR.DIVERGED_MAXITS
+    xvec.setArray(res.x)
+
+
+Tao._impls.update({
+    "lmvm": solve_lmvm,
+    "blmvm": solve_blmvm,
+    "nls": solve_nls,
+    "ntr": solve_ntr,
+    "bnls": solve_nls,
+    "cg": solve_cg,
+    "brgn": solve_brgn,
+    "nm": solve_neldermead,
+    "neldermead": solve_neldermead,
+})

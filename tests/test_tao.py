@@ -1,0 +1,65 @@
+"""Tao optimization tests (reference model: src/tao/unconstrained/tutorials
+rosenbrock1.c and leastsquares tests)."""
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+import petsc_tpu as pt
+
+
+def rosenbrock(x):
+    return jnp.sum(100.0 * (x[1::2] - x[0::2] ** 2) ** 2
+                   + (1.0 - x[0::2]) ** 2)
+
+
+@pytest.mark.parametrize("ttype,maxit", [
+    ("lmvm", 200), ("nls", 100), ("ntr", 100), ("cg", 800), ("bnls", 100),
+])
+def test_rosenbrock(ttype, maxit):
+    tao = pt.Tao().create()
+    tao.setType(ttype)
+    tao.setObjective(rosenbrock)
+    tao.setMaximumIterations(maxit)
+    x = pt.Vec.from_array(np.zeros(10))
+    tao.solve(x)
+    assert tao.getConvergedReason().converged, tao.getConvergedReason()
+    assert np.allclose(np.asarray(x.getArray()), 1.0, atol=1e-4)
+
+
+def test_blmvm_bounds():
+    tao = pt.Tao().create()
+    tao.setType("blmvm")
+    tao.setObjective(lambda x: jnp.sum((x - 2.0) ** 2))
+    tao.setVariableBounds(np.zeros(5), np.ones(5))  # optimum clipped at 1
+    x = pt.Vec.from_array(np.full(5, 0.5))
+    tao.solve(x)
+    assert tao.getConvergedReason().converged
+    assert np.allclose(np.asarray(x.getArray()), 1.0, atol=1e-6)
+
+
+def test_brgn_least_squares():
+    """Fit y = a*exp(b*t) by Gauss-Newton."""
+    t = jnp.linspace(0, 1, 20)
+    y = 2.0 * jnp.exp(1.5 * t)
+
+    def resid(p):
+        return p[0] * jnp.exp(p[1] * t) - y
+
+    tao = pt.Tao().create()
+    tao.setType("brgn")
+    tao.setResidual(resid)
+    x = pt.Vec.from_array(np.array([1.0, 1.0]))
+    tao.solve(x)
+    assert tao.getConvergedReason().converged
+    assert np.allclose(np.asarray(x.getArray()), [2.0, 1.5], atol=1e-6)
+
+
+def test_neldermead():
+    tao = pt.Tao().create()
+    tao.setType("nm")
+    tao.setObjective(lambda x: jnp.sum((x - 3.0) ** 2))
+    tao.setTolerances(gatol=1e-8)
+    x = pt.Vec.from_array(np.zeros(3))
+    tao.solve(x)
+    assert np.allclose(np.asarray(x.getArray()), 3.0, atol=1e-3)
