@@ -153,3 +153,124 @@ def solve_gmres(A, B, b, x0, rtol, abstol, divtol, cfg: KSPConfig):
         outer_cond, outer_body, (x, its, rnorm, reason, hist))
     reason = finalize_reason(reason, its, cfg)
     return SolveResult(x, its, rnorm, reason, hist, dp0)
+
+
+def solve_fgmres(A, B, b, x0, rtol, abstol, divtol, cfg: KSPConfig):
+    """Flexible GMRES (right preconditioning, per-iteration preconditioner
+    allowed; reference src/ksp/ksp/impls/gmres/fgmres/fgmres.c). Keeps TWO
+    bases: V (Arnoldi, for A) and Z = B V (solution updates come from Z), so
+    the preconditioner may be a nonlinear operator like an inner Krylov
+    solve. Convergence is on the unpreconditioned residual."""
+    m = int(cfg.extra[0]) if cfg.extra else 30
+    refine = int(cfg.extra[1]) if len(cfg.extra) > 1 else 0
+    n = b.shape[0]
+    dt = b.dtype
+    x_init = x0 if cfg.guess_nonzero else jnp.zeros_like(b)
+
+    def orthogonalize(V, w):
+        h = V @ w
+        w = w - h @ V
+        if refine == 2:
+            h2 = V @ w
+            w = w - h2 @ V
+            h = h + h2
+        elif refine == 1:
+            h2 = V @ w
+            do = norm2(h2) > 1e-8 * norm2(h)
+            w = jnp.where(do, w - h2 @ V, w)
+            h = jnp.where(do, h + h2, h)
+        return h, w
+
+    def cycle(x, its, hist, ttol, dtol_bound):
+        r = b - A.mult(x)
+        res0 = norm2(r)
+        V = jnp.zeros((m + 1, n), dtype=dt)
+        Z = jnp.zeros((m, n), dtype=dt)
+        V = V.at[0].set(r / jnp.where(res0 == 0, 1.0, res0))
+        rs = jnp.zeros((m + 1,), dtype=dt).at[0].set(res0)
+        cc = jnp.zeros((m,), dtype=dt)
+        ss = jnp.zeros((m,), dtype=dt)
+        R = jnp.zeros((m + 1, m), dtype=dt)
+
+        def inner_cond(s):
+            (V, Z, R, cc, ss, rs, k, its, res, reason, hist) = s
+            return (reason == 0) & (k < m) & (its < cfg.max_it)
+
+        def inner_body(s):
+            (V, Z, R, cc, ss, rs, k, its, res, reason, hist) = s
+            z = B.mult(V[k])
+            Z = Z.at[k].set(z)
+            w = A.mult(z)
+            h, w = orthogonalize(V, w)
+            tt = norm2(w)
+            h = h.at[k + 1].set(tt)
+            hapbnd = jnp.minimum(
+                jnp.abs(tt / jnp.where(rs[k] == 0, 1.0, rs[k])), HAPTOL)
+            hapend = tt < hapbnd
+            V = V.at[k + 1].set(
+                jnp.where(tt == 0, 0.0, w / jnp.where(tt == 0, 1.0, tt)))
+
+            def rot_body(i, hh):
+                t = hh[i]
+                hh = hh.at[i].set(cc[i] * t + ss[i] * hh[i + 1])
+                hh = hh.at[i + 1].set(-ss[i] * t + cc[i] * hh[i + 1])
+                return hh
+
+            h = lax.fori_loop(0, k, rot_body, h)
+            g = jnp.sqrt(h[k] ** 2 + h[k + 1] ** 2)
+            g_safe = jnp.where(g == 0, 1.0, g)
+            c, sn = h[k] / g_safe, h[k + 1] / g_safe
+            cc = cc.at[k].set(c)
+            ss = ss.at[k].set(sn)
+            R = R.at[:, k].set(h.at[k].set(g).at[k + 1].set(0.0))
+            rs = rs.at[k + 1].set(-sn * rs[k])
+            rs = rs.at[k].set(c * rs[k])
+            res = jnp.abs(rs[k + 1])
+            res = jnp.where(hapend, 0.0, res)
+            its = its + 1
+            hist = hist.at[jnp.minimum(its, cfg.max_it)].set(res)
+            conv = check_converged(res, ttol, abstol, dtol_bound) \
+                if cfg.normtype != NONE else jnp.zeros((), jnp.int32)
+            conv = jnp.where(hapend & (conv == 0),
+                             int(KR.CONVERGED_HAPPY_BREAKDOWN), conv)
+            conv = jnp.where((g == 0) & ~hapend, int(KR.DIVERGED_NULL), conv)
+            return (V, Z, R, cc, ss, rs, k + 1, its,
+                    res, jnp.asarray(conv, jnp.int32), hist)
+
+        reason0 = jnp.zeros((), jnp.int32)
+        s0 = (V, Z, R, cc, ss, rs, jnp.array(0), its, res0, reason0, hist)
+        V, Z, R, cc, ss, rs, k, its, res, reason, hist = \
+            lax.while_loop(inner_cond, inner_body, s0)
+
+        def back_body(i_, y):
+            i = k - 1 - i_
+            num = rs[i] - jnp.where(jnp.arange(m) > i, R[i, :] * y, 0.0).sum()
+            d = R[i, i]
+            yi = num / jnp.where(d == 0, 1.0, d)
+            return y.at[i].set(jnp.where(i >= 0, yi, 0.0))
+
+        y = lax.fori_loop(0, k, back_body, jnp.zeros((m,), dtype=dt))
+        x = x + y @ Z
+        return x, its, res, reason, hist, res0
+
+    r0 = b - A.mult(x_init) if cfg.guess_nonzero else b
+    dp0 = norm2(r0)
+    hist0 = empty_history(cfg, dt).at[0].set(dp0)
+    ttol = jnp.maximum(rtol * dp0, abstol)
+    dtol_bound = divtol * dp0
+
+    def outer_cond(s):
+        x, its, rnorm, reason, hist = s
+        return (reason == 0) & (its < cfg.max_it)
+
+    def outer_body(s):
+        x, its, rnorm, reason, hist = s
+        x, its, rnorm, reason, hist, _ = cycle(x, its, hist, ttol, dtol_bound)
+        return (x, its, rnorm, reason, hist)
+
+    x, its, rnorm, reason, hist, _ = cycle(x_init, jnp.array(0), hist0,
+                                           ttol, dtol_bound)
+    x, its, rnorm, reason, hist = lax.while_loop(
+        outer_cond, outer_body, (x, its, rnorm, reason, hist))
+    reason = finalize_reason(reason, its, cfg)
+    return SolveResult(x, its, rnorm, reason, hist, dp0)

@@ -337,7 +337,7 @@ def _short_fmt(i, r):
 # ---------------- registration ----------------
 
 from . import impls_basic as _b  # noqa: E402
-from .gmres import solve_gmres as _gmres  # noqa: E402
+from .gmres import solve_gmres as _gmres, solve_fgmres as _fgmres  # noqa: E402
 from .bcgs import solve_bcgs as _bcgs  # noqa: E402
 
 
@@ -381,9 +381,21 @@ register_ksp("richardson", _b.solve_richardson, extras=_rich_extras)
 register_ksp("cg", _b.solve_cg)
 register_ksp("minres", _b.solve_minres)
 register_ksp("gmres", _gmres, extras=_gmres_extras)
-register_ksp("fgmres", _gmres, extras=_gmres_extras)  # placeholder: true FGMRES lands with right-PC support
+register_ksp("fgmres", _fgmres, default_norm=common.UNPRECONDITIONED,
+             extras=_gmres_extras, supports_right=True)
 register_ksp("bcgs", _bcgs)
 
 from .cheby import solve_chebyshev as _cheby  # noqa: E402
 
 register_ksp("chebyshev", _cheby, extras=_cheby_extras)
+
+from . import impls_more as _m  # noqa: E402
+
+register_ksp("cgs", _m.solve_cgs)
+register_ksp("tfqmr", _m.solve_tfqmr)
+register_ksp("cr", _m.solve_cr)
+register_ksp("gcr", _m.solve_gcr, default_norm=common.UNPRECONDITIONED,
+             extras=_gmres_extras, supports_right=True)
+register_ksp("lsqr", _m.solve_lsqr, default_norm=common.UNPRECONDITIONED)
+register_ksp("pipecg", _m.solve_pipecg)
+register_ksp("groppcg", _m.solve_pipecg)

@@ -113,6 +113,38 @@ def trisolve_apply(data, b, m, nlevL, nlevU):
     return x
 
 
+def unit_lower_solve(Ld, Lx, tabL, b, m, nlevL):
+    """y = (I + L)^{-1} b (unit strict-lower), level-scheduled."""
+    bl = b[:m]
+
+    def fwd(l, y):
+        rows = tabL[l]
+        rr = jnp.minimum(rows, m - 1)
+        contrib = jnp.sum(Ld[rr] * y[Lx[rr]], axis=1)
+        return y.at[rows].set(bl[rr] - contrib, mode="drop")
+
+    y = lax.fori_loop(0, nlevL, fwd, jnp.zeros_like(bl))
+    if b.shape[0] > m:
+        y = jnp.pad(y, (0, b.shape[0] - m))
+    return y
+
+
+def unit_upper_solve(Ud, Ux, tabU, b, m, nlevU):
+    """y = (I + U)^{-1} b (unit strict-upper), level-scheduled."""
+    bl = b[:m]
+
+    def bwd(l, x):
+        rows = tabU[l]
+        rr = jnp.minimum(rows, m - 1)
+        contrib = jnp.sum(Ud[rr] * x[Ux[rr]], axis=1)
+        return x.at[rows].set(bl[rr] - contrib, mode="drop")
+
+    x = lax.fori_loop(0, nlevU, bwd, jnp.zeros_like(bl))
+    if b.shape[0] > m:
+        x = jnp.pad(x, (0, b.shape[0] - m))
+    return x
+
+
 def trisolve_transpose_apply(data, b, m, nlevL, nlevU):
     """x = L^{-T} U^{-T} b (for symmetric use / ICC): not yet level-planned;
     falls back to iterating the same tables in reverse."""

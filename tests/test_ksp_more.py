@@ -1,0 +1,75 @@
+"""Tests for the extended KSP set (cgs/tfqmr/cr/gcr/lsqr/pipecg/fgmres)."""
+
+import numpy as np
+import pytest
+import scipy.sparse as sp
+
+import petsc_tpu as pt
+from tests.test_mg_gamg import poisson2d
+
+
+def nonsym(n=20):
+    A = poisson2d(n).tolil()
+    A[0, 1] = -0.5  # break symmetry
+    A[5, 3] = -1.7
+    return A.tocsr()
+
+
+def run(ksp_type, A_sp, pc="jacobi", rtol=1e-8, max_it=500):
+    A = pt.MatAIJ.from_scipy(A_sp)
+    ksp = pt.KSP().create()
+    ksp.setOperators(A)
+    ksp.setType(ksp_type)
+    ksp.getPC().setType(pc)
+    ksp.setTolerances(rtol=rtol, max_it=max_it)
+    u = A.createVecRight()
+    u.setArray(np.random.default_rng(7).random(A_sp.shape[0]))
+    b = A.createVecLeft()
+    A.mult(u, b)
+    x = A.createVecRight()
+    ksp.solve(b, x)
+    x.axpy(-1.0, u)
+    return ksp, float(x.norm()) / float(u.norm())
+
+
+@pytest.mark.parametrize("kt", ["cgs", "tfqmr", "gcr", "fgmres", "lsqr"])
+def test_nonsymmetric(kt):
+    ksp, err = run(kt, nonsym(), max_it=2000 if kt == "lsqr" else 500)
+    assert ksp.getConvergedReason().converged, (kt, ksp.getConvergedReason())
+    assert err < 1e-5, (kt, err)
+
+
+@pytest.mark.parametrize("kt", ["cr", "pipecg"])
+def test_spd(kt):
+    ksp, err = run(kt, poisson2d(24))
+    assert ksp.getConvergedReason().converged, (kt, ksp.getConvergedReason())
+    assert err < 1e-6, (kt, err)
+
+
+def test_pipecg_matches_cg():
+    k1, _ = run("pipecg", poisson2d(20))
+    k2, _ = run("cg", poisson2d(20))
+    assert abs(k1.getIterationNumber() - k2.getIterationNumber()) <= 2
+
+
+def test_lsqr_rectangular_normal():
+    """LSQR on an overdetermined least-squares via MatShell."""
+    rng = np.random.default_rng(0)
+    M = rng.random((40, 12))
+    xstar = rng.random(12)
+    b = M @ xstar
+    import jax.numpy as jnp
+    A = pt.MatShell()
+    A.setSizes((40, 12))
+    Mj = jnp.asarray(M)
+    A.setShellOperations(mult=lambda v: Mj @ v,
+                         mult_transpose=lambda v: Mj.T @ v)
+    ksp = pt.KSP().create()
+    ksp.setOperators(A)
+    ksp.setType("lsqr")
+    ksp.getPC().setType("none")
+    ksp.setTolerances(rtol=1e-12, max_it=300)
+    bx = pt.Vec.from_array(b)
+    x = pt.Vec.from_array(np.zeros(12))
+    ksp.solve(bx, x)
+    assert np.allclose(np.asarray(x.getArray()), xstar, atol=1e-8)

@@ -1,0 +1,113 @@
+"""Tests for sor/asm/composite/ksp/fieldsplit PCs."""
+
+import numpy as np
+import pytest
+import scipy.sparse as sp
+
+import petsc_tpu as pt
+from tests.test_mg_gamg import poisson2d
+
+
+def run(pc_type, A_sp=None, ksp_type="gmres", setup=None, rtol=1e-8,
+        max_it=300):
+    A_sp = A_sp if A_sp is not None else poisson2d(24)
+    A = pt.MatAIJ.from_scipy(A_sp)
+    ksp = pt.KSP().create()
+    ksp.setOperators(A)
+    ksp.setType(ksp_type)
+    pc = ksp.getPC()
+    pc.setType(pc_type)
+    if setup:
+        setup(pc)
+    ksp.setTolerances(rtol=rtol, max_it=max_it)
+    u = A.createVecRight()
+    u.setArray(np.random.default_rng(5).random(A_sp.shape[0]))
+    b = A.createVecLeft()
+    A.mult(u, b)
+    x = A.createVecRight()
+    ksp.solve(b, x)
+    x.axpy(-1.0, u)
+    return ksp, float(x.norm()) / max(float(u.norm()), 1e-30)
+
+
+def test_pc_sor():
+    ksp, err = run("sor", ksp_type="cg")
+    assert ksp.getConvergedReason().converged
+    assert err < 1e-6
+
+
+def test_pc_sor_vs_jacobi_iterations():
+    k1, _ = run("sor", ksp_type="cg")
+    k2, _ = run("jacobi", ksp_type="cg")
+    assert k1.getIterationNumber() < k2.getIterationNumber()
+
+
+def test_pc_asm():
+    ksp, err = run("asm", setup=lambda pc: pc._impl.__dict__.update(
+        nblocks=4, overlap=1))
+    assert ksp.getConvergedReason().converged
+    assert err < 1e-6
+
+
+def test_pc_asm_overlap_helps():
+    def mk(ov):
+        k, _ = run("asm", setup=lambda pc: pc._impl.__dict__.update(
+            nblocks=6, overlap=ov))
+        return k.getIterationNumber()
+    assert mk(2) <= mk(0)
+
+
+def test_pc_composite():
+    def setup(pc):
+        pc._impl.ctype = "multiplicative"
+        pc._impl.addPC("jacobi")
+        pc._impl.addPC("sor")
+    ksp, err = run("composite", setup=setup)
+    assert ksp.getConvergedReason().converged
+    assert err < 1e-6
+
+
+def test_pc_ksp():
+    def setup(pc):
+        inner = pc._impl.getKSP()
+        inner.setType("cg")
+        inner.setTolerances(rtol=1e-2, max_it=20)
+        inner.getPC().setType("jacobi")
+        inner.setNormType("preconditioned")
+    ksp, err = run("ksp", ksp_type="fgmres", setup=setup)
+    assert ksp.getConvergedReason().converged
+    assert err < 1e-6
+
+
+def _stokes_like():
+    """Saddle-ish 2x2 block system: [[A, B^T], [B, -C]] SPD-definite enough
+    for gmres+fieldsplit."""
+    n = 12
+    A0 = poisson2d(n)
+    N = n * n
+    rng = np.random.default_rng(0)
+    B = sp.random(N // 2, N, density=0.05, random_state=1, format="csr")
+    C = sp.eye(N // 2, format="csr") * 0.5
+    return sp.bmat([[A0 + 4 * sp.eye(N), B.T], [B, -C]], format="csr"), N
+
+
+@pytest.mark.parametrize("ftype,fact", [
+    ("additive", None), ("multiplicative", None),
+    ("schur", "diag"), ("schur", "lower"), ("schur", "full"),
+])
+def test_pc_fieldsplit(ftype, fact):
+    S, N = _stokes_like()
+
+    def setup(pc):
+        impl = pc._impl
+        impl.ftype = ftype
+        if fact:
+            impl.schur_fact = fact
+            impl.schur_pre = "selfp"
+        impl.setIS("0", np.arange(N))
+        impl.setIS("1", np.arange(N, S.shape[0]))
+        impl.sub_types = {"0": "ilu", "1": "jacobi"}
+    ksp, err = run("fieldsplit", A_sp=S, setup=setup, max_it=500)
+    assert ksp.getConvergedReason().converged, (ftype, fact,
+                                                ksp.getConvergedReason())
+    assert err < 1e-5
