@@ -1,0 +1,2 @@
+from .regressor import Regressor
+from .letkf import letkf_analysis, gaspari_cohn
