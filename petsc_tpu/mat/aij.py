@@ -409,19 +409,25 @@ class MatAIJ(Mat):
             dd_l.append(dd); di_l.append(di); od_l.append(od); oi_l.append(oi); ga_l.append(gaa)
 
         from jax.sharding import NamedSharding
+        from ..parallel.sf import ExchangePlan
         sh3 = NamedSharding(self.comm.mesh, P(self.comm.axis, None, None))
-        sh2 = NamedSharding(self.comm.mesh, P(self.comm.axis, None))
         sh1 = NamedSharding(self.comm.mesh, P(self.comm.axis))
+        # halo plan: leaves = each shard's compacted offdiag columns
+        # (garray), owners resolved over the COLUMN layout (mpiaij.h:63 +
+        # SF-based Mvctx construction in mmaij.c:8)
+        plan = ExchangePlan(cl_, [per_shard[s][4] for s in range(Pn)],
+                            axis=self.comm.axis)
         self._dev = {
             "dd": jax.device_put(jnp.asarray(np.stack(dd_l), dtype=rd), sh3),
             "di": jax.device_put(jnp.asarray(np.stack(di_l)), sh3),
             "od": jax.device_put(jnp.asarray(np.stack(od_l), dtype=rd), sh3),
             "oi": jax.device_put(jnp.asarray(np.stack(oi_l)), sh3),
-            "ga": jax.device_put(jnp.asarray(np.stack(ga_l)), sh2),
+            "sf": plan.device_tables(self.comm.mesh),
             "diag": jax.device_put(
                 jnp.asarray(np.pad(self._diag_host(), (0, rl_.pad)), dtype=rd), sh1),
         }
-        self._meta = ("mpiaij", Pn, blk, cb, Kd, Ko, H, self.comm.axis, self.comm.mesh)
+        self._meta = ("mpiaij", Pn, blk, cb, Kd, Ko, plan.H, plan.meta(),
+                      self.comm.axis, self.comm.mesh)
 
     # ================= algebra on host CSR =================
 
@@ -549,24 +555,29 @@ def _bind_aij_csr(meta, data):
 
 def _bind_mpiaij(meta, data):
     from jax import shard_map
-    _, Pn, blk, cb, Kd, Ko, H, axis, mesh = meta
+    from ..parallel.sf import ExchangePlan
+    _, Pn, blk, cb, Kd, Ko, H, sf_meta, axis, mesh = meta
 
-    def local_mult(dd, di, od, oi, ga, xl):
-        dd, di, od, oi, ga, xl = dd[0], di[0], od[0], oi[0], ga[0], xl.reshape(-1)
-        xg = jax.lax.all_gather(xl, axis, tiled=True)   # halo (full-x gather v0)
+    def local_mult(dd, di, od, oi, sf, xl):
+        dd, di, od, oi, xl = dd[0], di[0], od[0], oi[0], xl.reshape(-1)
+        # overlap structure of MatMult_MPIAIJ (mpiaij.c:1052-1065): the
+        # halo exchange (neighbor ppermutes) and the diag-block SpMV are
+        # independent — XLA schedules them concurrently
+        halo = ExchangePlan.bcast(sf_meta, sf, xl, axis)
         yd = spmv.ell_spmv(dd, di, xl)                  # diag block: no comm
-        yo = spmv.ell_spmv(od, oi, xg[ga])              # offdiag on gathered halo
+        yo = spmv.ell_spmv(od, oi, halo)                # offdiag on halo
         return (yd + yo).reshape(1, blk)
 
+    sf_specs = {k: P(axis, None) for k in data["sf"]}
     smap = shard_map(
         local_mult, mesh=mesh,
-        in_specs=(P(axis, None, None),) * 2 + (P(axis, None, None),) * 2
-        + (P(axis, None), P(axis)),
+        in_specs=(P(axis, None, None),) * 4 + (sf_specs, P(axis)),
         out_specs=P(axis, None),
     )
 
     def mult(x):
-        y = smap(data["dd"], data["di"], data["od"], data["oi"], data["ga"], x)
+        y = smap(data["dd"], data["di"], data["od"], data["oi"],
+                 data["sf"], x)
         return y.reshape(-1)
 
     return operator.Op(mult=mult, diag=lambda: data["diag"])
