@@ -22,6 +22,15 @@ def ilu0(indptr, indices, vals):
     A ≈ (I + L) (D + U_strict) with dinv = 1/diag(D).
     """
     m = len(indptr) - 1
+    from .. import native
+    a_native = native.ilu0_inplace(np.asarray(indptr, dtype=np.int64),
+                                   np.asarray(indices, dtype=np.int64),
+                                   vals)
+    if a_native is not None:
+        Li, Lj, Lv, Ui, Uj, Uv = _split_lu(indptr, indices, a_native, m)
+        rows = np.repeat(np.arange(m), np.diff(indptr))
+        d = a_native[np.asarray(indices) == rows]
+        return (Li, Lj, Lv), (Ui, Uj, Uv), 1.0 / d
     a = np.array(vals, dtype=np.float64)
     # per-row position maps for O(1) (i,j) lookup
     colpos = [dict(zip(indices[indptr[i]:indptr[i + 1]],

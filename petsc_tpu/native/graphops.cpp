@@ -1,0 +1,183 @@
+// Native host-side graph/symbolic kernels for petsc_tpu.
+//
+// Role: the reference implements ALL of these in C (MIS aggregation
+// src/mat/graphops/coarsen/impls/mis/mis.c, fixAggregatesWithSquare
+// src/ksp/pc/impls/gamg/agg.c:913, ILU(0) numeric factorization
+// src/mat/impls/aij/seq/aijfact.c:216, RCM ordering
+// src/mat/graphops/order/genrcm.c, greedy coloring
+// src/mat/graphops/color/impls/greedy). These are inherently sequential
+// host "symbolic phase" loops — the part of the TPU framework that stays
+// native C++ while the numeric phase runs on-device. Exposed with C
+// linkage for ctypes; the Python callers keep pure-numpy fallbacks.
+//
+// Build: cc -O2 -shared -fPIC graphops.cpp -o libgraphops.so
+
+#include <cstdint>
+#include <cstring>
+#include <vector>
+#include <queue>
+#include <algorithm>
+
+extern "C" {
+
+// Greedy MIS aggregation over `perm` order (mis.c:89-207 serial
+// strict-aggs semantics). agg must be length n; returns nagg. roots_out
+// (length n capacity) receives root vertex of each aggregate.
+int64_t mis_aggregate(int64_t n, const int64_t* indptr,
+                      const int64_t* indices, const int64_t* perm,
+                      int64_t* agg, int64_t* roots_out) {
+  for (int64_t i = 0; i < n; i++) agg[i] = -2;
+  int64_t nagg = 0;
+  for (int64_t k = 0; k < n; k++) {
+    int64_t v = perm[k];
+    if (agg[v] != -2) continue;
+    int64_t lo = indptr[v], hi = indptr[v + 1];
+    if (hi - lo < 2) { agg[v] = -1; continue; }  // singleton: removed
+    agg[v] = nagg;
+    for (int64_t p = lo; p < hi; p++) {
+      int64_t j = indices[p];
+      if (agg[j] == -2) agg[j] = nagg;
+    }
+    roots_out[nagg++] = v;
+  }
+  for (int64_t i = 0; i < n; i++)
+    if (agg[i] == -2) agg[i] = -1;
+  return nagg;
+}
+
+// Post-MIS(G^2) fixup (agg.c:913): every root steals its direct
+// (unsquared-graph) non-root neighbors into its own aggregate.
+void fix_aggregates(int64_t n, const int64_t* indptr,
+                    const int64_t* indices, const int64_t* roots,
+                    int64_t nroots, int64_t* agg) {
+  std::vector<uint8_t> is_root(n, 0);
+  for (int64_t a = 0; a < nroots; a++) is_root[roots[a]] = 1;
+  for (int64_t a = 0; a < nroots; a++) {
+    int64_t r = roots[a];
+    for (int64_t p = indptr[r]; p < indptr[r + 1]; p++) {
+      int64_t j = indices[p];
+      if (!is_root[j]) agg[j] = a;
+    }
+  }
+  for (int64_t a = 0; a < nroots; a++) agg[roots[a]] = a;
+}
+
+// In-pattern ILU(0) numeric factorization (aijfact.c:216 algorithm):
+// vals modified in place to hold L (strict lower, unit diag implied) and
+// U (diag + strict upper). Returns -row-1 on zero pivot, 0 on success.
+// Requires column-sorted CSR with present diagonals.
+int64_t ilu0(int64_t n, const int64_t* indptr, const int64_t* indices,
+             double* vals) {
+  std::vector<int64_t> diag(n);
+  std::vector<int64_t> work(n, -1);  // col -> position in current row
+  for (int64_t i = 0; i < n; i++) {
+    diag[i] = -1;
+    for (int64_t p = indptr[i]; p < indptr[i + 1]; p++)
+      if (indices[p] == i) { diag[i] = p; break; }
+    if (diag[i] < 0) return -i - 1;
+  }
+  for (int64_t i = 0; i < n; i++) {
+    int64_t lo = indptr[i], hi = indptr[i + 1];
+    for (int64_t p = lo; p < hi; p++) work[indices[p]] = p;
+    for (int64_t p = lo; p < hi; p++) {
+      int64_t k = indices[p];
+      if (k >= i) break;
+      double akk = vals[diag[k]];
+      if (akk == 0.0) { for (int64_t q=lo;q<hi;q++) work[indices[q]]=-1;
+                        return -k - 1; }
+      double lik = vals[p] / akk;
+      vals[p] = lik;
+      for (int64_t q = diag[k] + 1; q < indptr[k + 1]; q++) {
+        int64_t pj = work[indices[q]];
+        if (pj >= 0) vals[pj] -= lik * vals[q];
+      }
+    }
+    for (int64_t p = lo; p < hi; p++) work[indices[p]] = -1;
+    if (vals[diag[i]] == 0.0) return -i - 1;
+  }
+  return 0;
+}
+
+// Dependency levels of a strictly-triangular CSR (trisolve level
+// scheduling). lower != 0 -> forward order. Returns nlevels.
+int64_t levels(int64_t n, const int64_t* indptr, const int64_t* indices,
+               int64_t lower, int64_t* lev) {
+  int64_t nlev = 0;
+  if (lower) {
+    for (int64_t i = 0; i < n; i++) {
+      int64_t l = 0;
+      for (int64_t p = indptr[i]; p < indptr[i + 1]; p++)
+        l = std::max(l, lev[indices[p]] + 1);
+      lev[i] = l;
+      nlev = std::max(nlev, l + 1);
+    }
+  } else {
+    for (int64_t i = n - 1; i >= 0; i--) {
+      int64_t l = 0;
+      for (int64_t p = indptr[i]; p < indptr[i + 1]; p++)
+        l = std::max(l, lev[indices[p]] + 1);
+      lev[i] = l;
+      nlev = std::max(nlev, l + 1);
+    }
+  }
+  return nlev < 1 ? 1 : nlev;
+}
+
+// Reverse Cuthill-McKee ordering (genrcm.c role): BFS from a
+// pseudo-peripheral vertex of each component, neighbors by increasing
+// degree, then reverse. perm[newidx] = oldidx.
+void rcm(int64_t n, const int64_t* indptr, const int64_t* indices,
+         int64_t* perm) {
+  std::vector<int64_t> deg(n);
+  for (int64_t i = 0; i < n; i++) deg[i] = indptr[i + 1] - indptr[i];
+  std::vector<uint8_t> visited(n, 0);
+  std::vector<int64_t> order;
+  order.reserve(n);
+  std::vector<int64_t> nbrs;
+  for (int64_t start = 0; start < n; start++) {
+    if (visited[start]) continue;
+    // pseudo-peripheral: min-degree unvisited in this sweep start
+    int64_t root = start;
+    for (int64_t i = start; i < n; i++)
+      if (!visited[i] && deg[i] < deg[root]) root = i;
+    // (cheap variant of the GPS root finder)
+    std::queue<int64_t> q;
+    q.push(root);
+    visited[root] = 1;
+    while (!q.empty()) {
+      int64_t v = q.front(); q.pop();
+      order.push_back(v);
+      nbrs.clear();
+      for (int64_t p = indptr[v]; p < indptr[v + 1]; p++) {
+        int64_t j = indices[p];
+        if (!visited[j]) { visited[j] = 1; nbrs.push_back(j); }
+      }
+      std::sort(nbrs.begin(), nbrs.end(),
+                [&](int64_t a, int64_t b) { return deg[a] < deg[b]; });
+      for (int64_t j : nbrs) q.push(j);
+    }
+  }
+  for (int64_t i = 0; i < n; i++) perm[i] = order[n - 1 - i];
+}
+
+// Greedy distance-1 coloring of an adjacency CSR (columns of a conflict
+// graph; impls/color/greedy role). Returns number of colors.
+int64_t greedy_color(int64_t n, const int64_t* indptr,
+                     const int64_t* indices, int64_t* colors) {
+  for (int64_t i = 0; i < n; i++) colors[i] = -1;
+  std::vector<int64_t> mark(n + 1, -1);
+  int64_t ncolor = 0;
+  for (int64_t v = 0; v < n; v++) {
+    for (int64_t p = indptr[v]; p < indptr[v + 1]; p++) {
+      int64_t c = colors[indices[p]];
+      if (c >= 0) mark[c] = v;
+    }
+    int64_t c = 0;
+    while (mark[c] == v) c++;
+    colors[v] = c;
+    if (c + 1 > ncolor) ncolor = c + 1;
+  }
+  return ncolor;
+}
+
+}  // extern "C"

@@ -28,6 +28,12 @@ def levels_from_csr(indptr, indices, lower: bool):
     Returns (levels (m,), nlevels).
     """
     m = len(indptr) - 1
+    from .. import native
+    out = native.levels(np.asarray(indptr, dtype=np.int64),
+                        np.asarray(indices, dtype=np.int64), lower)
+    if out is not None:
+        lev, nlev = out
+        return lev, nlev
     lev = np.zeros(m, dtype=np.int64)
     order = range(m) if lower else range(m - 1, -1, -1)
     for i in order:

@@ -70,6 +70,12 @@ def mis_aggregate(G, perm=None):
         # reference default: random visit order (PCGAMGCoarsen_AGG
         # agg.c:1279-1303 shuffle); deterministic seed for reproducible runs
         perm = np.random.default_rng(2026).permutation(n)
+    from .. import native
+    out = native.mis_aggregate(indptr.astype(np.int64),
+                               indices.astype(np.int64),
+                               np.asarray(perm, dtype=np.int64))
+    if out is not None:
+        return out
     agg = np.full(n, -2, dtype=np.int64)   # -2 undecided
     roots = []
     for v in perm:
@@ -93,6 +99,12 @@ def fix_aggregates_with_square(G1, agg, roots):
     turning distance-2 MIS roots into G1-connected balls and absorbing
     removed singletons. Roots processed in index order; later roots win
     (reference lid-order semantics)."""
+    from .. import native
+    out = native.fix_aggregates(G1.indptr.astype(np.int64),
+                                G1.indices.astype(np.int64),
+                                np.asarray(roots, dtype=np.int64), agg)
+    if out is not None:
+        return out
     indptr, indices = G1.indptr, G1.indices
     n = G1.shape[0]
     is_root = np.zeros(n, dtype=bool)

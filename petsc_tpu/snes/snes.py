@@ -401,6 +401,11 @@ def _greedy_color(S):
     colors = np.full(n, -1, dtype=np.int64)
     # column conflict graph: C = S^T S pattern
     C = (Sc.T @ Sc).tocsr()
+    from .. import native
+    out = native.greedy_color(C.indptr.astype(np.int64),
+                              C.indices.astype(np.int64))
+    if out is not None:
+        return out
     for j in range(n):
         nbr = C.indices[C.indptr[j]:C.indptr[j + 1]]
         used = set(colors[nbr[nbr < j]].tolist()) if len(nbr) else set()
