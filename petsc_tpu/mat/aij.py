@@ -238,6 +238,11 @@ class MatAIJ(Mat):
         rl = np.diff(self._indptr)
         if len(rl) == 0 or rl.max() == 0:
             return "ell"
+        # bs-blocked (BAIJ role, src/mat/impls/baij): dense bs x bs blocks,
+        # block-ELL storage — the elasticity path (bs=2,3,6)
+        if (self.row_layout.bs or 1) > 1 and self.row_layout.bs == \
+                (self.col_layout.bs or 1):
+            return "bell"
         # Banded/stencil pattern (every structured-grid operator): DIA layout —
         # each diagonal a contiguous stream, SpMV with no gather (TPU has no
         # hardware gather; DIA is ~60x faster than ELL/CSR here).
@@ -267,7 +272,37 @@ class MatAIJ(Mat):
         kind = self._choose_kind()
         indptr, indices, vals = self._indptr, self._indices, self._vals
         rd = config.real_dtype()
-        if kind == "dia":
+        if kind == "bell":
+            # block-ELL (MATBAIJ analog, baij.h blocked CSR): group CSR
+            # entries into bs x bs dense blocks; SpMV = batched small
+            # matvecs over gathered x blocks
+            bs = self.row_layout.bs
+            mb, nb = m // bs, n // bs
+            rows = np.repeat(np.arange(m, dtype=np.int64), np.diff(indptr))
+            br, bc = rows // bs, indices // bs
+            key = br * nb + bc
+            order = np.argsort(key, kind="stable")
+            uk, first = np.unique(key[order], return_index=True)
+            ubr, ubc = uk // nb, uk % nb
+            # block row lengths -> Kb
+            brl = np.bincount(ubr, minlength=mb)
+            Kb = max(int(brl.max()) if len(brl) else 0, 1)
+            bpos = np.arange(len(uk)) - np.concatenate(
+                [[0], np.cumsum(brl)])[ubr]
+            bdata = np.zeros((mb, Kb, bs, bs))
+            bidx = np.zeros((mb, Kb), dtype=np.int32)
+            bidx[ubr, bpos] = ubc
+            slot_of = np.searchsorted(uk, key)   # block slot per entry
+            bdata[ubr[slot_of], bpos[slot_of],
+                  rows % bs, indices % bs] = vals
+            # CSR-order scatter for device numeric updates
+            bell_scatter = (ubr[slot_of] * Kb + bpos[slot_of]) * bs * bs \
+                + (rows % bs) * bs + (indices % bs)
+            self._dev = {"bdata": jnp.asarray(bdata, dtype=rd),
+                         "bidx": jnp.asarray(bidx),
+                         "bell_scatter": jnp.asarray(bell_scatter)}
+            self._meta = ("aij_bell", mb, nb, bs, Kb)
+        elif kind == "dia":
             offs = self._dia_offsets()
             if offs is None:  # explicit -mat_spmv_kind dia on any pattern
                 rows = np.repeat(np.arange(m, dtype=np.int64), np.diff(indptr))
@@ -334,6 +369,11 @@ class MatAIJ(Mat):
             m, noffs = self._meta[1], len(self._meta[3])
             flat = jnp.zeros((noffs * m,), dtype=csr_vals.dtype)
             self._dev["data"] = flat.at[self._dev["dia_scatter"]].set(csr_vals).reshape(noffs, m)
+        elif kind == "aij_bell":
+            _, mb, nb, bs, Kb = self._meta
+            flat = jnp.zeros((mb * Kb * bs * bs,), dtype=csr_vals.dtype)
+            self._dev["bdata"] = flat.at[self._dev["bell_scatter"]] \
+                .set(csr_vals).reshape(mb, Kb, bs, bs)
         elif kind == "aij_csr":
             self._dev["vals"] = csr_vals
         else:
@@ -533,6 +573,30 @@ def _bind_aij_ell(meta, data):
     )
 
 
+def _bind_aij_bell(meta, data):
+    _, mb, nb, bs, Kb = meta
+    bd, bi = data["bdata"], data["bidx"]
+
+    def mult(x):
+        xb = x[: nb * bs].reshape(nb, bs)
+        gathered = xb[bi]                       # (mb, Kb, bs)
+        y = jnp.einsum("mkij,mkj->mi", bd, gathered)
+        if x.shape[0] > mb * bs:
+            return jnp.pad(y.reshape(-1), (0, x.shape[0] - mb * bs))
+        return y.reshape(-1)
+
+    def mult_t(x):
+        xb = x[: mb * bs].reshape(mb, bs)
+        contrib = jnp.einsum("mkij,mi->mkj", bd, xb)   # (mb, Kb, bs)
+        y = jnp.zeros((nb, bs), dtype=x.dtype)
+        y = y.at[bi.reshape(-1)].add(contrib.reshape(-1, bs))
+        if x.shape[0] > nb * bs:
+            return jnp.pad(y.reshape(-1), (0, x.shape[0] - nb * bs))
+        return y.reshape(-1)
+
+    return operator.Op(mult=mult, mult_t=mult_t, diag=lambda: data["diag"])
+
+
 def _bind_aij_dia(meta, data):
     _, m, n, offsets, lpad, rpad = meta
     d = data["data"]
@@ -585,5 +649,6 @@ def _bind_mpiaij(meta, data):
 
 operator.register_binder("aij_ell", _bind_aij_ell)
 operator.register_binder("aij_dia", _bind_aij_dia)
+operator.register_binder("aij_bell", _bind_aij_bell)
 operator.register_binder("aij_csr", _bind_aij_csr)
 operator.register_binder("mpiaij", _bind_mpiaij)

@@ -98,6 +98,19 @@ class Mat(PObject):
         self.col_layout = Layout(int(n), self.comm.nshards, bs=bs, axis=self.comm.axis)
         return self
 
+    def setBlockSize(self, bs: int):
+        """MatSetBlockSize: dof blocking (BAIJ layout + nodal graph ops)."""
+        self.row_layout = Layout(self.row_layout.N, self.comm.nshards,
+                                 bs=bs, axis=self.comm.axis)
+        self.col_layout = Layout(self.col_layout.N, self.comm.nshards,
+                                 bs=bs, axis=self.comm.axis)
+        if getattr(self, "_indptr", None) is not None and self._assembled:
+            self._build_device()
+        return self
+
+    def getBlockSize(self):
+        return self.row_layout.bs
+
     def getSize(self):
         return (self.row_layout.N, self.col_layout.N)
 

@@ -1,0 +1,247 @@
+"""Utility/wrapper matrix formats: implicit transpose, normal (A^T A),
+diagonal, composite (sum/product), low-rank correction, nest, centering.
+
+Behavioral reference: src/mat/impls/{transpose (MATTRANSPOSEVIRTUAL),
+normal/normm.c (MATNORMAL), diagonal, composite (MATCOMPOSITE
+additive/multiplicative), lrc (MATLRC: A + U C V^T), nest (MATNEST),
+cdbdm (MATCENTERING I - (1/n) 1 1^T)}. In the TPU design these are a few
+lines each: an Op closure over the wrapped operators — the jit
+composability contract makes 'wrapper formats' nearly free.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from .. import config
+from ..ops import operator
+from ..sys.error import Error
+from .mat import Mat
+
+
+class _WrapperMat(Mat):
+    """Common plumbing: subclasses define _meta/_data at create time."""
+
+    def __init__(self, comm=None, **kw):
+        super().__init__(comm, **kw)
+        self._meta_v = None
+        self._data_v = None
+        self._assembled = True
+
+    @property
+    def meta(self):
+        return self._meta_v
+
+    def device_data(self):
+        return self._data_v
+
+
+class MatTranspose(_WrapperMat):
+    """A^T without forming it (MatCreateTranspose)."""
+
+    @classmethod
+    def create(cls, A, comm=None):
+        M = cls(comm or A.comm)
+        m, n = A.getSize()
+        M.setSizes((n, m))
+        M._meta_v = ("mat_transpose", A.meta)
+        M._data_v = {"A": A.device_data()}
+        return M
+
+
+def _bind_transpose(meta, data):
+    inner = operator.bind(meta[1], data["A"])
+    if inner.mult_t is None:
+        raise Error("MatTranspose: wrapped operator has no mult_t")
+    return operator.Op(mult=inner.mult_t, mult_t=inner.mult)
+
+
+class MatNormal(_WrapperMat):
+    """A^T A (MatCreateNormal, normm.c) — least squares operator."""
+
+    @classmethod
+    def create(cls, A, comm=None):
+        M = cls(comm or A.comm)
+        m, n = A.getSize()
+        M.setSizes((n, n))
+        M._meta_v = ("mat_normal", A.meta)
+        M._data_v = {"A": A.device_data()}
+        return M
+
+
+def _bind_normal(meta, data):
+    inner = operator.bind(meta[1], data["A"])
+    mult = lambda x: inner.mult_t(inner.mult(x))
+    return operator.Op(mult=mult, mult_t=mult)
+
+
+class MatDiagonal(_WrapperMat):
+    """diag(d) (MatCreateDiagonal)."""
+
+    @classmethod
+    def create(cls, d, comm=None):
+        from ..vec.vec import Vec
+        arr = d.array if isinstance(d, Vec) else jnp.asarray(
+            np.asarray(d), dtype=config.real_dtype())
+        M = cls(comm)
+        M.setSizes((arr.shape[0], arr.shape[0]))
+        M._meta_v = ("mat_diagonal", int(arr.shape[0]))
+        M._data_v = {"d": arr}
+        return M
+
+
+def _bind_diagonal(meta, data):
+    d = data["d"]
+    return operator.Op(mult=lambda x: d * x, mult_t=lambda x: d * x,
+                       diag=lambda: d)
+
+
+class MatComposite(_WrapperMat):
+    """Sum or product of matrices (MatCreateComposite; composite.c).
+    additive: y = (A_1 + ... + A_k) x; multiplicative: y = A_k ... A_1 x."""
+
+    @classmethod
+    def create(cls, mats, ctype="additive", comm=None):
+        M = cls(comm or mats[0].comm)
+        M.setSizes(mats[0].getSize() if ctype == "additive"
+                   else (mats[-1].getSize()[0], mats[0].getSize()[1]))
+        M._meta_v = ("mat_composite", ctype, tuple(A.meta for A in mats))
+        M._data_v = {"mats": tuple(A.device_data() for A in mats)}
+        return M
+
+
+def _bind_composite(meta, data):
+    _, ctype, metas = meta
+    ops = [operator.bind(mi, di) for mi, di in zip(metas, data["mats"])]
+
+    def mult(x):
+        if ctype == "additive":
+            y = ops[0].mult(x)
+            for o in ops[1:]:
+                y = y + o.mult(x)
+            return y
+        y = x
+        for o in ops:
+            y = o.mult(y)
+        return y
+
+    return operator.Op(mult=mult)
+
+
+class MatLRC(_WrapperMat):
+    """Low-rank correction A + U C V^T (MatCreateLRC, lrc.c); U,V dense
+    (n,k), C dense (k,k) or None for identity."""
+
+    @classmethod
+    def create(cls, A, U, C=None, V=None, comm=None):
+        M = cls(comm or (A.comm if A is not None else None))
+        Uj = jnp.asarray(np.asarray(U), dtype=config.real_dtype())
+        Vj = Uj if V is None else jnp.asarray(np.asarray(V),
+                                              dtype=config.real_dtype())
+        Cj = None if C is None else jnp.asarray(np.asarray(C),
+                                                dtype=config.real_dtype())
+        n = Uj.shape[0]
+        M.setSizes((n, n))
+        M._meta_v = ("mat_lrc", None if A is None else A.meta, C is None)
+        M._data_v = {"A": None if A is None else A.device_data(),
+                     "U": Uj, "V": Vj,
+                     "C": Cj if Cj is not None else jnp.zeros(())}
+        return M
+
+
+def _bind_lrc(meta, data):
+    _, ameta, c_is_id = meta
+    U, V = data["U"], data["V"]
+    inner = None if ameta is None else operator.bind(ameta, data["A"])
+
+    def mult(x):
+        t = V.T @ x
+        if not c_is_id:
+            t = data["C"] @ t
+        y = U @ t
+        if inner is not None:
+            y = y + inner.mult(x)
+        return y
+
+    return operator.Op(mult=mult)
+
+
+class MatCentering(_WrapperMat):
+    """I - (1/n) 1 1^T (MatCreateCentering)."""
+
+    @classmethod
+    def create(cls, n, comm=None):
+        M = cls(comm)
+        M.setSizes((n, n))
+        M._meta_v = ("mat_centering", int(n))
+        M._data_v = {}
+        return M
+
+
+def _bind_centering(meta, data):
+    n = meta[1]
+    mult = lambda x: x - jnp.mean(x[:n])
+    return operator.Op(mult=mult, mult_t=mult)
+
+
+class MatNest(_WrapperMat):
+    """Block matrix of sub-mats (MatCreateNest; impls/nest). Blocks may be
+    None (zero). Vectors are the flat concatenation of row/col segments."""
+
+    @classmethod
+    def create(cls, blocks, comm=None):
+        nr = len(blocks)
+        nc = len(blocks[0])
+        row_sizes = [None] * nr
+        col_sizes = [None] * nc
+        for i in range(nr):
+            for j in range(nc):
+                if blocks[i][j] is not None:
+                    m, n = blocks[i][j].getSize()
+                    row_sizes[i] = m
+                    col_sizes[j] = n
+        if any(s is None for s in row_sizes + col_sizes):
+            raise Error("MatNest: every row/col needs at least one block")
+        comm = comm or next(b.comm for r in blocks for b in r
+                            if b is not None)
+        M = cls(comm)
+        M.setSizes((sum(row_sizes), sum(col_sizes)))
+        M._row_sizes, M._col_sizes = row_sizes, col_sizes
+        M._meta_v = ("mat_nest", tuple(row_sizes), tuple(col_sizes),
+                     tuple(tuple(None if b is None else b.meta
+                                 for b in r) for r in blocks))
+        M._data_v = {"blocks": tuple(tuple(
+            None if b is None else b.device_data() for b in r)
+            for r in blocks)}
+        return M
+
+
+def _bind_nest(meta, data):
+    _, row_sizes, col_sizes, metas = meta
+    roff = np.concatenate([[0], np.cumsum(row_sizes)])
+    coff = np.concatenate([[0], np.cumsum(col_sizes)])
+    ops = [[None if metas[i][j] is None else
+            operator.bind(metas[i][j], data["blocks"][i][j])
+            for j in range(len(col_sizes))] for i in range(len(row_sizes))]
+
+    def mult(x):
+        segs = []
+        for i in range(len(row_sizes)):
+            yi = jnp.zeros((row_sizes[i],), dtype=x.dtype)
+            for j in range(len(col_sizes)):
+                if ops[i][j] is not None:
+                    yi = yi + ops[i][j].mult(x[coff[j]:coff[j + 1]])
+            segs.append(yi)
+        return jnp.concatenate(segs)
+
+    return operator.Op(mult=mult)
+
+
+operator.register_binder("mat_transpose", _bind_transpose)
+operator.register_binder("mat_normal", _bind_normal)
+operator.register_binder("mat_diagonal", _bind_diagonal)
+operator.register_binder("mat_composite", _bind_composite)
+operator.register_binder("mat_lrc", _bind_lrc)
+operator.register_binder("mat_centering", _bind_centering)
+operator.register_binder("mat_nest", _bind_nest)

@@ -1,0 +1,105 @@
+"""Wrapper-format tests (MATTRANSPOSE/NORMAL/DIAGONAL/COMPOSITE/LRC/NEST/
+CENTERING analogs)."""
+
+import numpy as np
+import pytest
+
+import petsc_tpu as pt
+from petsc_tpu.mat.utility import (MatCentering, MatComposite, MatDiagonal,
+                                   MatLRC, MatNest, MatNormal, MatTranspose)
+from tests.test_mg_gamg import poisson2d
+
+
+def _nonsym():
+    A = poisson2d(6).tolil()
+    A[0, 5] = -2.5
+    return A.tocsr()
+
+
+def _apply(M, x):
+    y = M.createVecLeft()
+    M.mult(pt.Vec.from_array(x), y)
+    return np.asarray(y.getArray())
+
+
+def test_transpose():
+    A_sp = _nonsym()
+    A = pt.MatAIJ.from_scipy(A_sp)
+    T = MatTranspose.create(A)
+    x = np.random.default_rng(0).random(36)
+    assert np.allclose(_apply(T, x), A_sp.T @ x)
+
+
+def test_normal():
+    A_sp = _nonsym()
+    A = pt.MatAIJ.from_scipy(A_sp)
+    N = MatNormal.create(A)
+    x = np.random.default_rng(1).random(36)
+    assert np.allclose(_apply(N, x), A_sp.T @ (A_sp @ x))
+
+
+def test_diagonal():
+    d = np.arange(1.0, 11.0)
+    D = MatDiagonal.create(d)
+    x = np.ones(10)
+    assert np.allclose(_apply(D, x), d)
+
+
+def test_composite_additive_and_multiplicative():
+    A_sp, B_sp = poisson2d(5), poisson2d(5) * 0.5
+    A, B = pt.MatAIJ.from_scipy(A_sp), pt.MatAIJ.from_scipy(B_sp)
+    x = np.random.default_rng(2).random(25)
+    Cs = MatComposite.create([A, B], "additive")
+    assert np.allclose(_apply(Cs, x), (A_sp + B_sp) @ x)
+    Cp = MatComposite.create([A, B], "multiplicative")
+    assert np.allclose(_apply(Cp, x), B_sp @ (A_sp @ x))
+
+
+def test_lrc():
+    A_sp = poisson2d(5)
+    A = pt.MatAIJ.from_scipy(A_sp)
+    rng = np.random.default_rng(3)
+    U = rng.random((25, 3)); V = rng.random((25, 3)); C = rng.random((3, 3))
+    M = MatLRC.create(A, U, C, V)
+    x = rng.random(25)
+    assert np.allclose(_apply(M, x), A_sp @ x + U @ (C @ (V.T @ x)))
+
+
+def test_centering():
+    M = MatCentering.create(9)
+    x = np.arange(9.0)
+    assert np.allclose(_apply(M, x), x - x.mean())
+
+
+def test_nest():
+    A_sp = poisson2d(4)
+    rng = np.random.default_rng(4)
+    import scipy.sparse as sp
+    B_sp = sp.random(16, 8, density=0.4, random_state=5, format="csr")
+    D_sp = sp.eye(8, format="csr") * 2.0
+    A = pt.MatAIJ.from_scipy(A_sp)
+    B = pt.MatAIJ.from_scipy(B_sp)
+    D = pt.MatAIJ.from_scipy(D_sp)
+    N = MatNest.create([[A, B], [None, D]])
+    x = rng.random(24)
+    full = np.block([[A_sp.toarray(), B_sp.toarray()],
+                     [np.zeros((8, 16)), D_sp.toarray()]])
+    assert np.allclose(_apply(N, x), full @ x)
+
+
+def test_wrapper_in_ksp():
+    """A wrapper operator drives a KSP solve (normal equations)."""
+    A_sp = _nonsym()
+    A = pt.MatAIJ.from_scipy(A_sp)
+    N = MatNormal.create(A)
+    ksp = pt.KSP().create()
+    ksp.setOperators(N)
+    ksp.setType("cg")
+    ksp.getPC().setType("none")
+    ksp.setTolerances(rtol=1e-12, max_it=500)
+    rng = np.random.default_rng(6)
+    xstar = rng.random(36)
+    b = pt.Vec.from_array(A_sp.T @ (A_sp @ xstar))
+    x = N.createVecRight()
+    ksp.solve(b, x)
+    assert np.allclose(np.asarray(x.getArray()), xstar, atol=1e-6)
