@@ -177,6 +177,13 @@ class KSP(PObject):
     def setGMRESRestart(self, r):
         return self.setParam("restart", int(r))
 
+    def setGuessType(self, kind="fischer", size=10):
+        """Attach a KSPGuess (petscksp.h:1120 Fischer/POD) predicting x0
+        from previous solves of the same operator."""
+        from .guess import KSPGuess
+        self._guess = KSPGuess(self, kind, size)
+        return self._guess
+
     def setMonitor(self, fn):
         self._monitors.append(fn)
 
@@ -244,6 +251,13 @@ class KSP(PObject):
             x = self.mat.createVecRight()
         self._solution = x
         self.setUp()
+        guess = getattr(self, "_guess", None)
+        saved_nonzero = self.guess_nonzero
+        if guess is not None and not self.guess_nonzero:
+            g = guess.formGuess(np.asarray(b.array))
+            if g is not None:
+                x.setArray(g)
+                self.guess_nonzero = True
         cfg = self._static_cfg()
         fn = _compiled_solver(self._type, self.mat.meta, self.pc.meta, cfg)
         x0 = x.array if self.guess_nonzero else jnp.zeros_like(b.array)
@@ -252,7 +266,11 @@ class KSP(PObject):
                  b.array, x0, self.rtol, self.abstol, self.divtol)
         res = jax.block_until_ready(res)
         dt = time.perf_counter() - t0
+        self.guess_nonzero = saved_nonzero
         x.array = res.x
+        if guess is not None and int(res.reason) > 0:
+            guess.update(np.asarray(res.x)[: self.mat.row_layout.N],
+                         np.asarray(b.array)[: self.mat.row_layout.N])
         self._its = int(res.its)
         self._rnorm = float(res.rnorm)
         self._rnorm0 = float(res.rnorm0)
@@ -291,10 +309,45 @@ class KSP(PObject):
         if o("get_bool", "ksp_view", False):
             self.view()
 
-    def matSolve(self, B, X):
-        """Multi-RHS solve (KSPMatSolve itfunc.c): vmapped over columns —
-        the batched-solve TPU win."""
-        raise NotImplementedError("KSPMatSolve lands with the dense-RHS path")
+    def matSolve(self, B, X=None):
+        """Multi-RHS solve (KSPMatSolve itfunc.c): ONE jitted solver vmapped
+        over the RHS columns — all SpMVs become SpMM on the MXU, the
+        batched-solve TPU win. B, X: MatDense or (n, k) arrays."""
+        self.setUp()
+        cfg = self._static_cfg()
+        fn = _IMPLS[self._type]["fn"]
+        mat_meta, pc_meta = self.mat.meta, self.pc.meta
+
+        def run_one(mat_data, pc_data, b, rtol, abstol, divtol):
+            A = operator.bind(mat_meta, mat_data)
+            Bop = operator.bind(pc_meta, pc_data)
+            return fn(A, Bop, b, jnp.zeros_like(b), rtol, abstol, divtol,
+                      cfg)
+
+        vrun = jax.jit(jax.vmap(run_one,
+                                in_axes=(None, None, 1, None, None, None)))
+        barr = B.getDenseArray() if hasattr(B, "getDenseArray") else B
+        barr = jnp.asarray(np.asarray(barr), dtype=config.real_dtype())
+        t0 = time.perf_counter()
+        res = vrun(self.mat.device_data(), self.pc.device_data(), barr,
+                   self.rtol, self.abstol, self.divtol)
+        jax.block_until_ready(res.x)
+        dt = time.perf_counter() - t0
+        Xarr = np.asarray(res.x).T
+        self._its = int(np.max(res.its))
+        self._reason = KR(int(np.min(res.reason)))
+        nnz = self.mat.nnz() if hasattr(self.mat, "nnz") else 0
+        config.log().log_event(
+            "KSPMatSolve", dt,
+            flops=2.0 * nnz * max(self._its, 1) * barr.shape[1])
+        if X is None:
+            from ..mat.mat import MatDense
+            X = MatDense(self.comm)
+            X.setSizes((Xarr.shape[0], Xarr.shape[1]))
+        if hasattr(X, "setDenseArray"):
+            X.setDenseArray(Xarr)
+            return X
+        return Xarr
 
     # ---------------- results ----------------
 

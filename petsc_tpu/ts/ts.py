@@ -182,6 +182,92 @@ class TS(PObject):
     def setMonitor(self, fn):
         self._monitors.append(fn)
 
+    # ---------------- events (ts/event/tsevent.c) ----------------
+
+    def setEventHandler(self, indicator, postevent=None, terminate=False):
+        """indicator(ts, t, u) -> array of event function values; an event
+        fires when any component changes sign across a step. The event
+        time is located by bisection re-stepping (tsevent.c root finding);
+        postevent(ts, t, u) may modify u; terminate=True stops the solve
+        (TSSetEventHandler)."""
+        self._event = (indicator, postevent, terminate)
+        return self
+
+    # ---------------- trajectory / adjoints (tssen.c, TSTrajectory) ------
+
+    def setSaveTrajectory(self, flag=True):
+        """Record (t, dt) of accepted steps (TSTrajectory memory impl);
+        enables adjointSolve/forwardSensitivities pure replays."""
+        self._save_traj = bool(flag)
+        self._traj = []
+        return self
+
+    def getTrajectory(self):
+        return list(getattr(self, "_traj", []))
+
+    def _pure_step(self, t, u, dt):
+        """One explicit step as a pure jax function (for AD replay)."""
+        if self._type == "euler":
+            return u + dt * self._rhs(t, u)
+        if self._type == "ssp":
+            f = self._rhs
+            u1 = u + dt * f(t, u)
+            u2 = 0.75 * u + 0.25 * (u1 + dt * f(t + dt, u1))
+            return u / 3.0 + 2.0 / 3.0 * (u2 + dt * f(t + 0.5 * dt, u2))
+        if self._type == "rk":
+            A, b, bhat, order = _RK_TABLES[self.rk_type]
+            c = [float(sum(row)) for row in A]
+            ks = []
+            for i in range(len(b)):
+                ui = u
+                for j in range(i):
+                    if A[i][j] != 0.0:
+                        ui = ui + (dt * A[i][j]) * ks[j]
+                ks.append(self._rhs(t + c[i] * dt, ui))
+            un = u
+            for i in range(len(b)):
+                if b[i] != 0.0:
+                    un = un + (dt * b[i]) * ks[i]
+            return un
+        raise Error(f"TS adjoint replay: type {self._type} is not a pure "
+                    "explicit step (use euler/ssp/rk)")
+
+    def replay(self, u0):
+        """Pure forward integration over the recorded trajectory —
+        differentiable; each step rematerialized (jax.checkpoint = the
+        Revolve-checkpointing role, TSTrajectory memory impl)."""
+        traj = getattr(self, "_traj", None)
+        if not traj:
+            raise Error("TS.replay: call setSaveTrajectory before solve")
+        step = jax.checkpoint(lambda tt, uu, dd: self._pure_step(tt, uu, dd),
+                              static_argnums=())
+        u = jnp.asarray(u0)
+        for (t, dt) in traj:
+            u = step(t, u, dt)
+        return u
+
+    def adjointSolve(self, dJdu, u0):
+        """lambda_0 = (d u_final / d u_0)^T dJdu via reverse-mode AD over
+        the recorded trajectory (TSAdjointSolve tssen.c:1563 role)."""
+        u0 = jnp.asarray(np.asarray(u0.getArray() if isinstance(u0, Vec)
+                                    else u0))
+        g = jnp.asarray(np.asarray(dJdu.getArray() if isinstance(dJdu, Vec)
+                                   else dJdu))
+        lam = jax.vjp(self.replay, u0)[1](g)[0]
+        return Vec.from_array(np.asarray(lam), comm=self.comm)
+
+    def forwardSensitivities(self, u0, V):
+        """S_final = (d u_final / d u_0) V via forward-mode AD
+        (TSForwardSetSensitivities role). V: (n, k) seed matrix."""
+        u0 = jnp.asarray(np.asarray(u0.getArray() if isinstance(u0, Vec)
+                                    else u0))
+        V = jnp.asarray(np.asarray(V))
+        if V.ndim == 1:
+            return np.asarray(jax.jvp(self.replay, (u0,), (V,))[1])
+        out = jax.vmap(lambda v: jax.jvp(self.replay, (u0,), (v,))[1],
+                       in_axes=1, out_axes=1)(V)
+        return np.asarray(out)
+
     def getSNES(self):
         if self.snes is None:
             from ..snes.snes import SNES
@@ -274,15 +360,53 @@ class TS(PObject):
                         break
                     continue
                 self._rejects = 0
+            ev = getattr(self, "_event", None)
+            if ev is not None:
+                fired, dt, unew, stop = self._event_step(
+                    impl, self.t, u_np, dt, unew)
+            else:
+                fired = stop = False
+            if getattr(self, "_save_traj", False):
+                self._traj.append((self.t, dt))
             self.t += dt
             u_np = unew
             self._steps += 1
             self._monitor(self._steps, self.t, u_np)
+            if stop:
+                self._reason = TR.CONVERGED_EVENT
+                break
         u.setArray(u_np)
         if self.opt("get_bool", "ts_converged_reason", False):
             print(f"TS solve converged due to {self._reason.name} "
                   f"steps {self._steps}")
         return u
+
+    def _event_step(self, impl, t, u0, dt, unew):
+        """Sign-change detection + bisection root location by re-stepping
+        (tsevent.c). Returns (fired, dt_used, u_used, terminate)."""
+        indicator, postevent, terminate = self._event
+        g0 = np.atleast_1d(np.asarray(indicator(self, t, u0)))
+        g1 = np.atleast_1d(np.asarray(indicator(self, t + dt, unew)))
+        change = (np.sign(g0) != np.sign(g1)) & (np.sign(g0) != 0)
+        if not change.any():
+            return False, dt, unew, False
+        lo, hi = 0.0, dt
+        u_hi = unew
+        for _ in range(40):
+            if hi - lo < 1e-10 * max(dt, 1e-30):
+                break
+            mid = 0.5 * (lo + hi)
+            u_mid, _, _, ok = impl(self, t, u0, mid)
+            g_mid = np.atleast_1d(np.asarray(indicator(self, t + mid, u_mid)))
+            if ((np.sign(g0) != np.sign(g_mid)) & (np.sign(g0) != 0)).any():
+                hi, u_hi = mid, u_mid
+            else:
+                lo = mid
+        if postevent is not None:
+            out = postevent(self, t + hi, u_hi)
+            if out is not None:
+                u_hi = np.asarray(out)
+        return True, hi, u_hi, bool(terminate)
 
     # ---------------- results ----------------
 
