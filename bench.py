@@ -71,6 +71,7 @@ def main():
     A_sp = _poisson3d_27pt(n)
     nnz = A_sp.nnz
     A = pt.MatAIJ.from_scipy(A_sp)
+    A.setStencilGrid((n, n, n))   # DMDA-style grid: fused N-d stencil SpMV
     meta = A.meta
 
     def loopmult(data, xv, K):
