@@ -177,6 +177,12 @@ class KSP(PObject):
     def setGMRESRestart(self, r):
         return self.setParam("restart", int(r))
 
+    def setMixedPrecision(self, flag=True, inner_rtol=1e-6, max_outer=30):
+        """f32 inner Krylov + f64 outer iterative refinement (ksp/ir.py):
+        f64-accurate answers at f32 TPU rates."""
+        self._mixed = (bool(flag), float(inner_rtol), int(max_outer))
+        return self
+
     def setGuessType(self, kind="fischer", size=10):
         """Attach a KSPGuess (petscksp.h:1120 Fischer/POD) predicting x0
         from previous solves of the same operator."""
@@ -237,6 +243,34 @@ class KSP(PObject):
                          converged_maxits=self.converged_maxits,
                          extra=extras)
 
+    def _compiled_ir(self, cfg, mixed):
+        """Jitted mixed-precision refinement solver (ksp/ir.py)."""
+        from .ir import solve_ir
+        _, inner_rtol, max_outer = mixed
+        key = ("ir", self._type, self.mat.meta, self.pc.meta, cfg,
+               inner_rtol, max_outer)
+        if key in _jit_cache:
+            return _jit_cache[key]
+        inner_fn = _IMPLS[self._type]["fn"]
+        inner_cfg = KSPConfig(max_it=min(cfg.max_it, 1000),
+                              normtype=cfg.normtype,
+                              converged_maxits=True, extra=cfg.extra)
+        outer_cfg = KSPConfig(max_it=max_outer, normtype=cfg.normtype,
+                              guess_nonzero=cfg.guess_nonzero,
+                              extra=(max_outer, inner_rtol))
+        mat_meta, pc_meta = self.mat.meta, self.pc.meta
+
+        def run(d64, d32, p32, b, x0, rtol, abstol, divtol):
+            A64 = operator.bind(mat_meta, d64)
+            A32 = operator.bind(mat_meta, d32)
+            B32 = operator.bind(pc_meta, p32)
+            return solve_ir(inner_fn, inner_cfg, A64, A32, B32, b, x0,
+                            rtol, abstol, divtol, outer_cfg)
+
+        jitted = jax.jit(run)
+        _jit_cache[key] = jitted
+        return jitted
+
     def solve(self, b: Vec | None = None, x: Vec | None = None):
         """KSPSolve (itfunc.c:1104): setup, dispatch the jitted loop, record
         history/reason, run monitors and option-driven reporting. With a DM
@@ -259,11 +293,25 @@ class KSP(PObject):
                 x.setArray(g)
                 self.guess_nonzero = True
         cfg = self._static_cfg()
-        fn = _compiled_solver(self._type, self.mat.meta, self.pc.meta, cfg)
+        mixed = getattr(self, "_mixed", None)
+        if mixed is None and self.opt("get_bool", "ksp_mixed_precision",
+                                      False):
+            mixed = (True, 1e-6, 30)
+            self._mixed = mixed
         x0 = x.array if self.guess_nonzero else jnp.zeros_like(b.array)
         t0 = time.perf_counter()
-        res = fn(self.mat.device_data(), self.pc.device_data(),
-                 b.array, x0, self.rtol, self.abstol, self.divtol)
+        if mixed and mixed[0]:
+            fn = self._compiled_ir(cfg, mixed)
+            from .ir import _to_f32
+            res = fn(self.mat.device_data(),
+                     _to_f32(self.mat.device_data()),
+                     _to_f32(self.pc.device_data()),
+                     b.array, x0, self.rtol, self.abstol, self.divtol)
+        else:
+            fn = _compiled_solver(self._type, self.mat.meta, self.pc.meta,
+                                  cfg)
+            res = fn(self.mat.device_data(), self.pc.device_data(),
+                     b.array, x0, self.rtol, self.abstol, self.divtol)
         res = jax.block_until_ready(res)
         dt = time.perf_counter() - t0
         self.guess_nonzero = saved_nonzero
