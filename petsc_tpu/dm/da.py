@@ -256,8 +256,37 @@ class DMDA(DM):
                     vals += [1 - w1, w1]
         return sp.csr_matrix((vals, (rows, cols)), shape=(nf, nc))
 
-    def createInterpolation(self, coarse: "DMDA") -> MatAIJ:
-        """Q1 tensor-product prolongation coarse -> self."""
+    def createInjection(self, coarse: "DMDA"):
+        """State injection fine -> coarse (DMCreateInjection): coarse node
+        (i,j,k) takes the value at fine node (2i,2j,2k). Returns a callable
+        over flat arrays (and its numpy form via .np)."""
+        import jax.numpy as jnp
+        fshape = tuple(self.sizes[::-1])
+        cshape = tuple(coarse.sizes[::-1])
+        sl = tuple(slice(0, None, 2) for _ in fshape)
+
+        def inject(xf):
+            return jnp.asarray(xf)[: int(np.prod(fshape))] \
+                .reshape(fshape)[sl].reshape(-1)
+
+        def inject_np(xf):
+            return np.asarray(xf)[: int(np.prod(fshape))] \
+                .reshape(fshape)[sl].reshape(-1)
+
+        inject.np = inject_np
+        return inject
+
+    def createInterpolation(self, coarse: "DMDA"):
+        """Q1 tensor-product prolongation coarse -> self. Factor-2
+        vertex-centered scalar grids get the gather-free slicing operator
+        (dm/interp.py); everything else the assembled matrix."""
+        if (self.dof == 1
+                and all(b == "none" for b in self.boundary[: self.dim])
+                and all(self.sizes[ax] == 2 * coarse.sizes[ax] - 1
+                        for ax in range(self.dim))):
+            from .interp import MatInterpQ1
+            return MatInterpQ1(tuple(self.sizes[::-1]),
+                               tuple(coarse.sizes[::-1]), comm=self.comm)
         import scipy.sparse as sp
         P = None
         # kron order: slowest axis first => z, y, x

@@ -206,15 +206,21 @@ def build_mg_meta_data(levels, cycle="v", smoother="chebyshev", pre=2, post=2):
         P = lev.P
         R = lev.R
         if R is None:
-            R = P.transpose()
+            # restriction = P^T; use P's own transpose-apply when the
+            # operator provides one (gather-free interp_q1 path)
+            Pop = operator.bind(P.meta, P.device_data())
+            R = None if Pop.mult_t is not None else P.transpose()
         emax = lev.emax if lev.emax is not None else 2.0
         emin = lev.emin if lev.emin is not None else 0.2
-        lev_metas.append((A.meta, P.meta, R.meta, smoother, pre, post))
-        lev_datas.append({
-            "A": A.device_data(), "P": P.device_data(), "R": R.device_data(),
+        lev_metas.append((A.meta, P.meta,
+                          None if R is None else R.meta, smoother, pre, post))
+        ld = {
+            "A": A.device_data(), "P": P.device_data(),
             "dinv": jnp.asarray(dinv, dtype=rd),
             "eig": jnp.asarray([emin, emax], dtype=rd),
-        })
+        }
+        ld["R"] = {} if R is None else R.device_data()
+        lev_datas.append(ld)
     meta = ("pc_mg", cycle, nlev, tuple(lev_metas))
     data = {"levels": tuple(lev_datas)}
     return meta, data
@@ -251,12 +257,13 @@ def _bind_pc_mg(meta, data):
         ld = levels[l]
         Aop = operator.bind(A_meta, ld["A"])
         Pop = operator.bind(P_meta, ld["P"])
-        Rop = operator.bind(R_meta, ld["R"])
+        restrict = Pop.mult_t if R_meta is None \
+            else operator.bind(R_meta, ld["R"]).mult
         x = _smooth(kind, Aop, ld["dinv"], ld["eig"], b,
                     jnp.zeros_like(b), pre)
         for c in range(ncycles):
             r = b - Aop.mult(x)
-            xc = level_apply(l + 1, Rop.mult(r))
+            xc = level_apply(l + 1, restrict(r))
             x = x + Pop.mult(xc)
             if c < ncycles - 1 or post:
                 x = _smooth(kind, Aop, ld["dinv"], ld["eig"], b, x, post)

@@ -1,0 +1,305 @@
+"""Additional SNES types: fas (nonlinear multigrid), vinewtonrsls
+(variational inequality, reduced-space active set), ncg, composite, ms.
+
+Behavioral references: src/snes/impls/fas (full approximation scheme:
+pre-smooth, restrict state+residual, tau-corrected coarse solve,
+prolongate correction, post-smooth), impls/vi/rs (SNESVINEWTONRSLS —
+active-set reduced space Newton with projection onto [xl, xu]), impls/ncg,
+impls/composite.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..sys.error import Error, SNESConvergedReason as SR
+from .snes import SNES, _finish, _ksp_solve_newton
+
+
+# ---------------------------------------------------------------------
+# FAS: nonlinear multigrid (full approximation scheme)
+# ---------------------------------------------------------------------
+
+def solve_fas(snes: SNES, x_np, x):
+    """FAS V-cycle iteration. Requires a DM hierarchy on snes.dm (DMDA)
+    and a residual the DM can evaluate on each level: user sets
+    snes.setFASResiduals([f_level0(fine), f_level1, ...]) or a factory via
+    snes.fas_residual_factory(da) -> fn."""
+    das, residuals, res_jax = _fas_hierarchy(snes)
+    nlev = len(das)
+    smooth_its = 4
+
+    def smooth(lvl, u, b, its):
+        """Damped nonlinear Jacobi: u += w*D(u)^-1 (b-F(u)) with the TRUE
+        Jacobian diagonal extracted by 2^dim-coloring JVP probes (exact for
+        width-1 stencil residuals)."""
+        f = residuals[lvl]
+        d = _fas_node_diag(res_jax[lvl], u, tuple(das[lvl].sizes[::-1]))
+        d = np.where(np.abs(d) < 1e-12, 1.0, d)
+        for _ in range(its):
+            r = b - f(u)
+            u = u + 0.6 * r / d
+        return u
+
+    def cycle(lvl, u, b):
+        f = residuals[lvl]
+        if lvl == nlev - 1:
+            return smooth(lvl, u, b, 20)
+        u = smooth(lvl, u, b, smooth_its)
+        r = b - f(u)
+        P = das[lvl].createInterpolation(das[lvl + 1])
+        from ..ops import operator
+        Pop = operator.bind(P.meta, P.device_data())
+        restrict = Pop.mult_t if Pop.mult_t is not None else None
+        # full-weighting residual restriction: P^T scaled to row-sum 1,
+        # consistent with REDISCRETIZED (h-independent-coefficient) coarse
+        # operators (classical FD-FAS; Galerkin coarse ops would use raw P^T)
+        rc = np.asarray(restrict(jnp.asarray(r))) * getattr(snes, 'fas_rscale', 0.75)
+        # state restriction by INJECTION (DMCreateInjection — the PETSc
+        # FAS default): coarse state = fine state at coincident nodes
+        uc0 = das[lvl].createInjection(das[lvl + 1]).np(u)
+        tau = residuals[lvl + 1](uc0) + rc          # FAS tau correction
+        uc = cycle(lvl + 1, uc0.copy(), tau)
+        u = u + np.asarray(Pop.mult(jnp.asarray(uc - uc0)))
+        u = smooth(lvl, u, b, smooth_its)
+        return u
+
+    f0 = residuals[0]
+    fnorm = float(np.linalg.norm(f0(x_np)))
+    snes._fnorm0 = fnorm
+    snes._ttol = snes.rtol * fnorm
+    snes._monitor(0, fnorm)
+    reason = snes._converged(0, 0.0, 0.0, fnorm)
+    it = 0
+    while reason == SR.ITERATING and it < snes.max_it:
+        xn = cycle(0, x_np.copy(), np.zeros_like(x_np))
+        snorm = float(np.linalg.norm(xn - x_np))
+        x_np = xn
+        fnorm = float(np.linalg.norm(f0(x_np)))
+        it += 1
+        snes._monitor(it, fnorm)
+        reason = snes._converged(it, float(np.linalg.norm(x_np)), snorm,
+                                 fnorm)
+    if reason == SR.ITERATING:
+        reason = SR.DIVERGED_MAX_IT
+    _finish(snes, x, x_np, it, fnorm, reason)
+
+
+def _fas_hierarchy(snes):
+    dm = snes.dm
+    if dm is None:
+        raise Error("SNES fas: attach a DMDA via setDM")
+    das = [dm]
+    while len(das) < getattr(snes, "fas_levels", 3):
+        try:
+            das.append(das[-1].coarsen())
+        except Error:
+            break
+    factory = getattr(snes, "fas_residual_factory", None)
+    if factory is None:
+        raise Error("SNES fas: set snes.fas_residual_factory = "
+                    "lambda da: residual_fn")
+    residuals, res_jax = [], []
+    for da in das:
+        fn = factory(da)
+        res_jax.append(fn)
+        residuals.append(lambda u, fn=fn: np.asarray(fn(jnp.asarray(u))))
+    return das, residuals, res_jax
+
+
+def _fas_node_diag(f_jax, u, shape):
+    """diag(J(u)) via 2^dim distance-1 coloring probes of jax.jvp — exact
+    when the residual stencil has width <= 1 (MatFDColoring idea applied
+    to the diagonal only)."""
+    import jax as _jax
+    x0 = jnp.asarray(u)
+    grids = np.indices(shape)
+    color = np.zeros(shape, dtype=np.int64)
+    for ax in range(len(shape)):
+        color |= (grids[ax] % 2) << ax
+    color = color.reshape(-1)
+    d = np.zeros_like(np.asarray(u))
+    for c in range(2 ** len(shape)):
+        e = (color == c).astype(np.float64)
+        Je = np.asarray(_jax.jvp(f_jax, (x0,), (jnp.asarray(e),))[1])
+        d = np.where(color == c, Je, d)
+    return d
+
+
+# ---------------------------------------------------------------------
+# VI: reduced-space active-set Newton (vinewtonrsls)
+# ---------------------------------------------------------------------
+
+def solve_vinewtonrsls(snes: SNES, x_np, x):
+    """Box-constrained VI: find x in [xl,xu] with F(x) complementarity
+    (impls/vi/rs/virs.c): active set from x at bounds with outward F sign;
+    Newton on the inactive reduced system; projected line search."""
+    xl = getattr(snes, "vi_lower", None)
+    xu = getattr(snes, "vi_upper", None)
+    if xl is None and xu is None:
+        raise Error("vinewtonrsls: call setVariableBounds")
+    xl = np.full_like(x_np, -np.inf) if xl is None else np.asarray(xl)
+    xu = np.full_like(x_np, np.inf) if xu is None else np.asarray(xu)
+    x_np = np.clip(x_np, xl, xu)
+
+    def proj(v):
+        return np.clip(v, xl, xu)
+
+    def vi_fnorm(xv, F):
+        # projected residual norm (SNESVIComputeInactiveSetFnorm)
+        act_lo = (xv <= xl + 1e-12) & (F > 0)
+        act_hi = (xv >= xu - 1e-12) & (F < 0)
+        Fr = np.where(act_lo | act_hi, 0.0, F)
+        return float(np.linalg.norm(Fr)), ~(act_lo | act_hi)
+
+    F = snes._func_np(x_np)
+    fnorm, inact = vi_fnorm(x_np, F)
+    snes._fnorm0 = fnorm
+    snes._ttol = snes.rtol * fnorm
+    snes._monitor(0, fnorm)
+    reason = snes._converged(0, 0.0, 0.0, fnorm)
+    it = 0
+    while reason == SR.ITERATING and it < snes.max_it:
+        J, P = snes.computeJacobian(x_np)
+        # reduced system: keep inactive rows/cols, identity on active
+        Ps = P.to_scipy().tolil()
+        act = np.nonzero(~inact)[0]
+        for a in act:
+            Ps.rows[a] = [a]
+            Ps.data[a] = [1.0]
+        Ps = Ps.tocsr()
+        Fa = np.where(inact, F, 0.0)
+        from ..mat.aij import MatAIJ
+        Jr = MatAIJ.from_scipy(Ps, comm=snes.comm)
+        y = _ksp_solve_newton(snes, Fa, Jr, Jr)
+        if y is None:
+            reason = SR.DIVERGED_LINEAR_SOLVE
+            break
+        # projected backtracking
+        lam = 1.0
+        ok = False
+        for _ in range(25):
+            xn = proj(x_np - lam * y)
+            Fn = snes._func_np(xn)
+            gnorm, inact_n = vi_fnorm(xn, Fn)
+            if gnorm <= (1.0 - 1e-4 * lam) * fnorm or gnorm < 1e-14:
+                ok = True
+                break
+            lam *= 0.5
+        if not ok and gnorm >= fnorm:
+            reason = SR.DIVERGED_LINE_SEARCH
+            break
+        snorm = float(np.linalg.norm(xn - x_np))
+        x_np, F, fnorm, inact = xn, Fn, gnorm, inact_n
+        it += 1
+        snes._monitor(it, fnorm)
+        reason = snes._converged(it, float(np.linalg.norm(x_np)), snorm,
+                                 fnorm)
+    if reason == SR.ITERATING:
+        reason = SR.DIVERGED_MAX_IT
+    _finish(snes, x, x_np, it, fnorm, reason)
+
+
+def setVariableBounds(snes, xl, xu):
+    from ..vec.vec import Vec
+    snes.vi_lower = np.asarray(xl.getArray() if isinstance(xl, Vec) else xl)
+    snes.vi_upper = np.asarray(xu.getArray() if isinstance(xu, Vec) else xu)
+    return snes
+
+
+SNES.setVariableBounds = setVariableBounds
+
+
+# ---------------------------------------------------------------------
+# ncg: nonlinear conjugate gradients on F
+# ---------------------------------------------------------------------
+
+def solve_ncg(snes: SNES, x_np, x):
+    """Nonlinear CG (impls/ncg, PRP+ beta) treating F as a gradient."""
+    ls = snes.linesearch
+    old = ls.kind
+    if ls.kind == "bt":
+        ls.kind = "cp"
+    F = snes._func_np(x_np)
+    fnorm = float(np.linalg.norm(F))
+    snes._fnorm0 = fnorm
+    snes._ttol = snes.rtol * fnorm
+    snes._monitor(0, fnorm)
+    d = F.copy()
+    reason = snes._converged(0, 0.0, 0.0, fnorm)
+    it = 0
+    while reason == SR.ITERATING and it < snes.max_it:
+        xn, Fn, gnorm, lam, ok = ls.apply(x_np, d, F, fnorm)
+        if not ok and gnorm >= fnorm:
+            d = F.copy()
+            xn, Fn, gnorm, lam, ok = ls.apply(x_np, d, F, fnorm)
+            if not ok and gnorm >= fnorm:
+                reason = SR.DIVERGED_LINE_SEARCH
+                break
+        beta = max(0.0, float(np.dot(Fn, Fn - F) / np.dot(F, F)))
+        d = Fn + beta * d
+        snorm = float(np.linalg.norm(xn - x_np))
+        x_np, F, fnorm = xn, Fn, gnorm
+        it += 1
+        snes._monitor(it, fnorm)
+        reason = snes._converged(it, float(np.linalg.norm(x_np)), snorm,
+                                 fnorm)
+    ls.kind = old
+    if reason == SR.ITERATING:
+        reason = SR.DIVERGED_MAX_IT
+    _finish(snes, x, x_np, it, fnorm, reason)
+
+
+# ---------------------------------------------------------------------
+# composite: additive/multiplicative combination of SNES types
+# ---------------------------------------------------------------------
+
+def solve_composite(snes: SNES, x_np, x):
+    """Multiplicative composite (impls/composite): apply each sub-solver
+    a few iterations in sequence per outer sweep. Sub-list in
+    snes.composite_types (default ['nrichardson', 'newtonls'])."""
+    subs = getattr(snes, "composite_types", ["nrichardson", "newtonls"])
+    from ..vec.vec import Vec
+    F = snes._func_np(x_np)
+    fnorm = float(np.linalg.norm(F))
+    snes._fnorm0 = fnorm
+    snes._ttol = snes.rtol * fnorm
+    snes._monitor(0, fnorm)
+    reason = snes._converged(0, 0.0, 0.0, fnorm)
+    it = 0
+    while reason == SR.ITERATING and it < snes.max_it:
+        x_old = x_np.copy()
+        for st in subs:
+            sub = SNES(options=snes._options)
+            sub.create(snes.comm)
+            sub.setType(st)
+            if snes._func_pure is not None:
+                sub.setFunction(snes._func_pure)
+            else:
+                sub.setFunction(snes._func, f=snes._fvec)
+            if snes._jac is not None:
+                sub.setJacobian(snes._jac, J=snes._jac_mat, P=snes._jac_pmat)
+            sub.max_it = 2
+            xv = Vec.from_array(x_np, comm=snes.comm)
+            sub.solve(None, xv)
+            x_np = np.asarray(xv.getArray())
+        F = snes._func_np(x_np)
+        fnorm = float(np.linalg.norm(F))
+        snorm = float(np.linalg.norm(x_np - x_old))
+        it += 1
+        snes._monitor(it, fnorm)
+        reason = snes._converged(it, float(np.linalg.norm(x_np)), snorm,
+                                 fnorm)
+    if reason == SR.ITERATING:
+        reason = SR.DIVERGED_MAX_IT
+    _finish(snes, x, x_np, it, fnorm, reason)
+
+
+SNES._impls.update({
+    "fas": solve_fas,
+    "vinewtonrsls": solve_vinewtonrsls,
+    "vinewtonssls": solve_vinewtonrsls,
+    "ncg": solve_ncg,
+    "composite": solve_composite,
+})
