@@ -1,0 +1,61 @@
+"""basicsymplectic / pseudo / alpha TS tests."""
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+import petsc_tpu as pt
+
+
+@pytest.mark.parametrize("order,drift", [(1, 2e-2), (2, 1e-3), (4, 1e-6)])
+def test_symplectic_harmonic_energy(order, drift):
+    """Harmonic oscillator: H = p^2/2 + q^2/2; energy drift bounded."""
+    ts = pt.TS().create()
+    ts.setType("basicsymplectic")
+    ts.symplectic_order = order
+    ts.setHamiltonianSplit(lambda t, p: p, lambda t, q: -q)
+    ts.setTimeStep(0.05)
+    ts.setMaxTime(20.0)
+    ts.adapt.kind = "none"
+    u = pt.Vec.from_array(np.array([1.0, 0.0]))
+    ts.solve(u)
+    q, p = np.asarray(u.getArray())
+    E = 0.5 * (q * q + p * p)
+    assert abs(E - 0.5) < drift, E
+    # phase accuracy at least first order
+    assert abs(q - np.cos(ts.getTime())) < 0.3
+
+
+def test_pseudo_steady_state():
+    """PTC drives du/dt = -(u^3 + u - 2) to the root u=1."""
+    def rhs(t, u):
+        return -(u ** 3 + u - 2.0)
+
+    ts = pt.TS().create()
+    ts.setType("pseudo")
+    ts.setRHSFunction(rhs)
+    ts.setTimeStep(0.05)
+    ts.setMaxTime(1e12)
+    ts.setMaxSteps(200)
+    ts.pseudo_fatol = 1e-10
+    ts.adapt.kind = "none"
+    u = pt.Vec.from_array(np.array([5.0, -3.0]))
+    ts.solve(u)
+    assert np.allclose(np.asarray(u.getArray()), 1.0, atol=1e-6)
+    assert ts.getStepNumber() < 100  # SER accelerates
+
+
+def test_alpha_decay_order2():
+    errs = []
+    for dt in (0.1, 0.05):
+        ts = pt.TS().create()
+        ts.setType("alpha")
+        ts.setRHSFunction(lambda t, u: -u)
+        ts.setTimeStep(dt)
+        ts.setMaxTime(1.0)
+        ts.adapt.kind = "none"
+        u = pt.Vec.from_array(np.array([1.0]))
+        ts.solve(u)
+        errs.append(abs(float(u.getArray()[0]) - np.exp(-1.0)))
+    rate = np.log2(errs[0] / errs[1])
+    assert rate > 1.5, (errs, rate)
