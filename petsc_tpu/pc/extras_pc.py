@@ -1,0 +1,291 @@
+"""More preconditioners: eisenstat, kaczmarz, deflation, galerkin, mat,
+redundant, vpbjacobi.
+
+Behavioral references: src/ksp/pc/impls/{eisens (Eisenstat-trick SSOR),
+kaczmarz, deflation (PCDeflation: coarse correction from a deflation
+space), galerkin (PCGALERKIN user P/R coarse solve), mat (PCMAT: apply a
+given matrix), redundant (full solve on every rank — in the single-program
+model simply a direct solve), vpbjacobi (variable-size point-block Jacobi
+with batched inverses, vpbjacobi_cuda.cu role)}.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from .. import config
+from ..ops import operator
+from ..sys.error import Error
+from .pc import PC
+from .more_pc import _PCSOR
+
+
+class _PCEisenstat(_PCSOR):
+    """SSOR with the Eisenstat trick (eisens.c). The trick halves the
+    triangular-solve work by folding the operator application into the
+    sweeps; under XLA the fused SSOR apply already performs one pass, so
+    this is the SSOR apply with omega defaulting like PETSc."""
+
+    def set_from_options(self):
+        super().set_from_options()
+        w = self.pc.opt("get_real", "pc_eisenstat_omega", None)
+        if w:
+            self.omega = w
+
+
+class _PCKaczmarz:
+    """Sequential Kaczmarz sweep (kaczmarz.c): successive row projections
+    x += a_i (b_i - <a_i, x>)/||a_i||^2 — algebraically a forward SOR
+    sweep on G = A A^T followed by A^T, which the TPU runs as a
+    level-scheduled unit-triangular solve on G."""
+
+    def __init__(self, pc):
+        self.pc = pc
+        self.lmbda = 1.0
+
+    def set_from_options(self):
+        v = self.pc.opt("get_real", "pc_kaczmarz_lambda", None)
+        if v:
+            self.lmbda = v
+
+    def setup(self):
+        from ..ops import trisolve
+        A = self.pc.pmat
+        A_sp = A.to_scipy()
+        G = (A_sp @ A_sp.T).tocsr()
+        m = G.shape[0]
+        w = self.lmbda
+        rows = np.repeat(np.arange(m), np.diff(G.indptr))
+        dmask = G.indices == rows
+        d = np.zeros(m)
+        np.add.at(d, rows[dmask], G.data[dmask])
+        d = np.where(d == 0, 1.0, d)
+        lo = G.indices < rows
+        cnt = np.zeros(m + 1, dtype=np.int64)
+        np.add.at(cnt, rows[lo] + 1, 1)
+        Li = np.cumsum(cnt)
+        Lv = G.data[lo] * (w / d)[rows[lo]]
+        levL, nlevL = trisolve.levels_from_csr(Li, G.indices[lo], lower=True)
+        tabL = trisolve.build_level_table(levL, nlevL, m)
+        Ld, Lx = trisolve.ell_of_csr(Li, G.indices[lo], Lv, m)
+        rd = config.real_dtype()
+        return (("pc_kaczmarz", A.meta, m, nlevL, A.row_layout.Npad), {
+            "A": A.device_data(),
+            "Ld": jnp.asarray(Ld, rd), "Lx": jnp.asarray(Lx),
+            "tabL": jnp.asarray(tabL),
+            "winv": jnp.asarray(np.pad(w / d, (0, A.row_layout.pad)), rd),
+        })
+
+
+def _bind_kaczmarz(meta, data):
+    from ..ops import trisolve
+    _, ameta, m, nlevL, npad = meta
+    Aop = operator.bind(ameta, data["A"])
+    if Aop.mult_t is None:
+        raise Error("kaczmarz: operator needs mult_t")
+
+    def mult(x):
+        z = trisolve.unit_lower_solve(data["Ld"], data["Lx"], data["tabL"],
+                                      data["winv"] * x, m, nlevL)
+        return Aop.mult_t(z)
+
+    return operator.Op(mult=mult)
+
+
+class _PCDeflation:
+    """PCDeflation: additive coarse correction from a deflation space W
+    (n, k): y = B x + W (W^T A W)^-1 W^T x, with B the sub-PC (default
+    jacobi). Set W via pc._impl.setSpace(W) or the near-nullspace."""
+
+    def __init__(self, pc):
+        self.pc = pc
+        self.W = None
+        self.sub_type = "jacobi"
+
+    def setSpace(self, W):
+        self.W = np.asarray(W, dtype=np.float64)
+
+    def set_from_options(self):
+        t = self.pc.opt("get_string", "pc_deflation_sub_type", None)
+        if t:
+            self.sub_type = t
+
+    def setup(self):
+        A = self.pc.pmat
+        W = self.W
+        if W is None:
+            W = getattr(A, "near_nullspace", None)
+            if W is None:
+                raise Error("PCDeflation: setSpace(W) first")
+            W = np.asarray(W.vectors if hasattr(W, "vectors") else W)
+        A_sp = A.to_scipy()
+        E = W.T @ (A_sp @ W)
+        import scipy.linalg as sla
+        lu, piv = sla.lu_factor(E)
+        sub = PC(options=self.pc._options)
+        sub.setOperators(self.pc.mat, self.pc.pmat)
+        sub.setType(self.sub_type)
+        rd = config.real_dtype()
+        Wp = np.pad(W, ((0, A.row_layout.pad), (0, 0)))
+        return (("pc_deflation", sub.meta, W.shape[1]),
+                {"W": jnp.asarray(Wp, rd), "lu": jnp.asarray(lu, rd),
+                 "piv": jnp.asarray(piv, jnp.int32),
+                 "sub": sub.device_data()})
+
+
+def _bind_deflation(meta, data):
+    import jax
+    _, sub_meta, k = meta
+    sub = operator.bind(sub_meta, data["sub"])
+    W = data["W"]
+
+    def mult(x):
+        c = jax.scipy.linalg.lu_solve((data["lu"], data["piv"]), W.T @ x)
+        return sub.mult(x) + W @ c
+
+    return operator.Op(mult=mult)
+
+
+class _PCGalerkin:
+    """PCGALERKIN: y = P (R A P)^-1 R x with user transfer operators
+    (galerkin.c); coarse problem solved directly."""
+
+    def __init__(self, pc):
+        self.pc = pc
+        self.P = None
+        self.R = None
+
+    def setInterpolation(self, P):
+        self.P = P
+
+    def setRestriction(self, R):
+        self.R = R
+
+    def setup(self):
+        if self.P is None:
+            raise Error("PCGalerkin: setInterpolation first")
+        Ps = self.P.to_scipy()
+        Rs = self.R.to_scipy() if self.R is not None else Ps.T
+        A_sp = self.pc.pmat.to_scipy()
+        C = (Rs @ A_sp @ Ps).toarray()
+        import scipy.linalg as sla
+        lu, piv = sla.lu_factor(C)
+        rd = config.real_dtype()
+        pad = self.pc.pmat.row_layout.pad
+        Pd = np.pad(Ps.toarray(), ((0, pad), (0, 0)))
+        Rd = np.pad(Rs.toarray(), ((0, 0), (0, pad)))
+        return (("pc_galerkin", C.shape[0]),
+                {"P": jnp.asarray(Pd, rd), "R": jnp.asarray(Rd, rd),
+                 "lu": jnp.asarray(lu, rd),
+                 "piv": jnp.asarray(piv, jnp.int32)})
+
+
+def _bind_galerkin(meta, data):
+    import jax
+
+    def mult(x):
+        c = jax.scipy.linalg.lu_solve((data["lu"], data["piv"]),
+                                      data["R"] @ x)
+        return data["P"] @ c
+
+    return operator.Op(mult=mult)
+
+
+class _PCMat:
+    """PCMAT: the preconditioner IS a user matrix apply (pcmat.c)."""
+
+    def __init__(self, pc):
+        self.pc = pc
+        self.M = None
+
+    def setMat(self, M):
+        self.M = M
+
+    def setup(self):
+        M = self.M if self.M is not None else self.pc.pmat
+        return ("pc_mat", M.meta), {"M": M.device_data()}
+
+
+def _bind_pcmat(meta, data):
+    op = operator.bind(meta[1], data["M"])
+    return operator.Op(mult=op.mult, mult_t=op.mult_t)
+
+
+class _PCVPBJacobi:
+    """Variable-size point-block Jacobi: diagonal blocks given by a sizes
+    list (default: bs blocks); batched inverses grouped by size
+    (vpbjacobi.c + vpbjacobi_cuda.cu role)."""
+
+    def __init__(self, pc):
+        self.pc = pc
+        self.sizes = None
+
+    def setBlockSizes(self, sizes):
+        self.sizes = np.asarray(sizes, dtype=np.int64)
+
+    def setup(self):
+        A = self.pc.pmat
+        m = A.row_layout.N
+        if self.sizes is None:
+            bs = A.row_layout.bs or 1
+            self.sizes = np.full(m // bs, bs, dtype=np.int64)
+        starts = np.concatenate([[0], np.cumsum(self.sizes)])
+        A_sp = A.to_scipy()
+        dense = np.zeros((m, int(self.sizes.max())))
+        # dense block-diagonal inverse assembled into a padded row form
+        inv_flat = np.zeros((m, int(self.sizes.max())))
+        col0 = np.zeros(m, dtype=np.int64)
+        for b, (lo, hi) in enumerate(zip(starts[:-1], starts[1:])):
+            blk = A_sp[lo:hi, lo:hi].toarray()
+            try:
+                binv = np.linalg.inv(blk)
+            except np.linalg.LinAlgError:
+                binv = np.linalg.pinv(blk)
+            inv_flat[lo:hi, : hi - lo] = binv
+            col0[lo:hi] = lo
+        rd = config.real_dtype()
+        K = int(self.sizes.max())
+        idx = (col0[:, None] + np.arange(K)[None, :]).clip(0, m - 1)
+        pad = A.row_layout.pad
+        return (("pc_vpbjacobi", m, K, A.row_layout.Npad),
+                {"inv": jnp.asarray(np.pad(inv_flat, ((0, pad), (0, 0))), rd),
+                 "idx": jnp.asarray(np.pad(idx, ((0, pad), (0, 0))))})
+
+
+def _bind_vpbjacobi(meta, data):
+    _, m, K, npad = meta
+
+    def mult(x):
+        return jnp.sum(data["inv"] * x[data["idx"]], axis=1)
+
+    return operator.Op(mult=mult)
+
+
+PC.register_impl("eisenstat", _PCEisenstat)
+PC.register_impl("kaczmarz", _PCKaczmarz)
+PC.register_impl("deflation", _PCDeflation)
+PC.register_impl("galerkin", _PCGalerkin)
+PC.register_impl("mat", _PCMat)
+PC.register_impl("vpbjacobi", _PCVPBJacobi)
+operator.register_binder("pc_kaczmarz", _bind_kaczmarz)
+operator.register_binder("pc_deflation", _bind_deflation)
+operator.register_binder("pc_galerkin", _bind_galerkin)
+operator.register_binder("pc_mat", _bind_pcmat)
+operator.register_binder("pc_vpbjacobi", _bind_vpbjacobi)
+
+
+class _PCRedundant:
+    """PCREDUNDANT: every rank solves the full system (redundant.c); in
+    the single-program model this is a direct LU apply."""
+
+    def __init__(self, pc):
+        from .factor_pc import _PCLU
+        self._inner = _PCLU(pc)
+        self.pc = pc
+
+    def setup(self):
+        return self._inner.setup()
+
+
+PC.register_impl("redundant", _PCRedundant)
