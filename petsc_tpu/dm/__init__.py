@@ -1,2 +1,4 @@
 from .dm import DM
 from .da import DMDA
+from .composite import DMComposite, DMShell, DMRedundant
+from .stag import DMStag

@@ -1,0 +1,80 @@
+"""DMComposite/DMShell/DMRedundant/DMStag tests."""
+
+import numpy as np
+
+import petsc_tpu as pt
+from petsc_tpu.dm import DMComposite, DMRedundant, DMShell, DMStag
+
+
+def test_composite_pack_unpack():
+    da = pt.DMDA.create(2, (5, 5))
+    red = DMRedundant.create(3)
+    dmc = DMComposite.create([da, red])
+    assert dmc.N == 28
+    v = dmc.createGlobalVector()
+    subs = dmc.getAccess(v)
+    subs[0].set(1.0)
+    subs[1].setArray(np.array([7.0, 8.0, 9.0]))
+    dmc.restoreAccess(v, subs)
+    arr = np.asarray(v.getArray())
+    assert np.allclose(arr[:25], 1.0)
+    assert np.allclose(arr[25:], [7, 8, 9])
+    iss = dmc.getFieldIS()
+    assert len(iss) == 2 and len(iss[1]) == 3
+
+
+def test_composite_fieldsplit():
+    """DMComposite field ISes drive PCFieldSplit."""
+    import scipy.sparse as sp
+    from tests.test_mg_gamg import poisson2d
+    da = pt.DMDA.create(2, (6, 6))
+    red = DMRedundant.create(4)
+    dmc = DMComposite.create([da, red])
+    A00 = poisson2d(6)
+    A11 = sp.eye(4, format="csr") * 3.0
+    A = sp.block_diag([A00 + sp.eye(36), A11]).tocsr()
+    M = pt.MatAIJ.from_scipy(A)
+    ksp = pt.KSP().create()
+    ksp.setOperators(M)
+    ksp.setType("gmres")
+    pc = ksp.getPC()
+    pc.setType("fieldsplit")
+    iss = dmc.getFieldIS()
+    pc._impl.setIS("0", iss[0])
+    pc._impl.setIS("1", iss[1])
+    ksp.setTolerances(rtol=1e-10)
+    b = M.createVecLeft(); b.set(1.0)
+    x = M.createVecRight()
+    ksp.solve(b, x)
+    assert ksp.getConvergedReason().converged
+
+
+def test_shell():
+    dm = DMShell()
+    dm.setCreateGlobalVector(lambda d: pt.Vec.from_array(np.zeros(7)))
+    v = dm.createGlobalVector()
+    assert v.getSize() == 7
+
+
+def test_stag_2d_layout():
+    st = DMStag.create((4, 3), (1, 1, 2))  # vertices, faces, 2 per element
+    # vertices (5*4), left faces (5*3... shapes: left=(ny, nx+1)) etc.
+    offs = st.getStratumOffsets()
+    assert offs["vertex"][1] == (4, 5)
+    assert offs["element"][2] == 2
+    v = st.createGlobalVector()
+    assert v.getSize() == st.N
+    el = st.getVecArray(v, "element")
+    assert el.shape == (3, 4, 2)
+    el[:] = 2.5
+    st.setVecArray(v, "element", el)
+    da, dv = st.splitToDMDA(v, "element")
+    assert np.allclose(np.asarray(dv.getArray()), 2.5)
+
+
+def test_stag_1d():
+    st = DMStag.create(8, (1, 1))
+    assert st.N == 9 + 8
+    v = st.createGlobalVector()
+    st.setVecArray(v, "vertex", np.arange(9.0))
+    assert np.allclose(st.getVecArray(v, "vertex"), np.arange(9.0))
