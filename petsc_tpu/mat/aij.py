@@ -476,7 +476,12 @@ class MatAIJ(Mat):
     def _build_device_mpi(self):
         """Split into diag/offdiag per shard (MPIAIJHEADER model) with
         uniform padded shapes; stack along a leading shard axis sharded over
-        the mesh rows axis."""
+        the mesh rows axis. Grid-structured operators take the slab path:
+        coefficient arrays sharded over the slowest grid axis with
+        plane-halo ppermute exchange (the DMDA 3-D decomposition of
+        SURVEY §2.12 done the XLA way)."""
+        if self._build_device_dnd_mpi():
+            return
         Pn = self.comm.nshards
         rl_, cl_ = self.row_layout, self.col_layout
         blk, cb = rl_.block, cl_.block
@@ -484,6 +489,55 @@ class MatAIJ(Mat):
         rd = config.real_dtype()
         self._sync_host_vals()
         indptr, indices, vals = self._indptr, self._indices, self._vals
+        return self._finish_build_mpi(Pn, rl_, cl_, blk, cb, m, rd,
+                                      indptr, indices, vals)
+
+    def _build_device_dnd_mpi(self):
+        """Slab-sharded N-d stencil layout (returns False if not
+        applicable): grid's slowest axis divided evenly over shards; apply
+        = plane-halo ppermute + fused shifted multiply-adds per slab."""
+        out = self._grid_offsets()
+        if out is None:
+            return False
+        uniq, inv, rows = out
+        shape = self._grid_shape
+        Pn = self.comm.nshards
+        nz = shape[0]
+        if nz % Pn != 0:
+            return False
+        nzl = nz // Pn
+        s = int(np.abs(uniq[:, 0]).max())
+        if s > nzl:
+            return False
+        if self.row_layout.pad != 0:
+            return False
+        rd = config.real_dtype()
+        K = len(uniq)
+        coef = np.zeros((K,) + shape)
+        multi = np.unravel_index(rows, shape)
+        coef[(inv,) + multi] = self._vals
+        coef = coef.reshape((K, Pn, nzl) + shape[1:]).transpose(
+            (1, 0, 2) + tuple(range(3, 3 + len(shape) - 1)))
+        from jax.sharding import NamedSharding
+        sh = NamedSharding(self.comm.mesh,
+                           P(self.comm.axis, *([None] * (len(shape) + 1))))
+        sh1 = NamedSharding(self.comm.mesh, P(self.comm.axis))
+        self._dev = {
+            "coef": jax.device_put(jnp.asarray(coef, dtype=rd), sh),
+            "diag": jax.device_put(
+                jnp.asarray(self._diag_host(), dtype=rd), sh1),
+        }
+        lpad = tuple(int(max(0, -uniq[:, ax].min()))
+                     for ax in range(1, len(shape)))
+        rpad = tuple(int(max(0, uniq[:, ax].max()))
+                     for ax in range(1, len(shape)))
+        self._meta = ("dnd_mpi", Pn, nzl, shape,
+                      tuple(tuple(int(v) for v in o) for o in uniq),
+                      s, lpad, rpad, self.comm.axis, self.comm.mesh)
+        return True
+
+    def _finish_build_mpi(self, Pn, rl_, cl_, blk, cb, m, rd,
+                          indptr, indices, vals):
 
         def row_pos(r):
             """Position of each entry within its row (r nondecreasing)."""
@@ -732,6 +786,52 @@ def _bind_aij_csr(meta, data):
     )
 
 
+def _bind_dnd_mpi(meta, data):
+    from jax import shard_map
+    from jax import lax
+    (_, Pn, nzl, shape, offs, s, lpad, rpad, axis, mesh) = meta
+    tail = shape[1:]
+    nd = len(shape)
+    slab = (nzl,) + tail
+    blk = int(np.prod(slab))
+
+    def local_mult(coef, xl):
+        coef = coef[0]                          # (K, nzl, ...)
+        v = xl.reshape(-1)[:blk].reshape(slab)
+        if s > 0:
+            top = v[nzl - s:]
+            bot = v[:s]
+            # planes from prev shard (their top) and next shard (their
+            # bottom); edges receive zeros (ppermute semantics) — exactly
+            # the no-neighbor boundary condition
+            halo_prev = lax.ppermute(top, axis,
+                                     [(i, i + 1) for i in range(Pn - 1)])
+            halo_next = lax.ppermute(bot, axis,
+                                     [(i + 1, i) for i in range(Pn - 1)])
+            ext = jnp.concatenate([halo_prev, v, halo_next], axis=0)
+        else:
+            ext = v
+        pads = ((0, 0),) + tuple(zip(lpad, rpad))
+        extp = jnp.pad(ext, pads)
+        acc = jnp.zeros(slab, dtype=v.dtype)
+        for k, off in enumerate(offs):
+            start = (s + off[0],) + tuple(lpad[ax - 1] + off[ax]
+                                          for ax in range(1, nd))
+            acc = acc + coef[k] * lax.dynamic_slice(extp, start, slab)
+        return acc.reshape(1, blk)
+
+    smap = shard_map(
+        local_mult, mesh=mesh,
+        in_specs=(P(axis, *([None] * (nd + 1))), P(axis)),
+        out_specs=P(axis, None),
+    )
+
+    def mult(x):
+        return smap(data["coef"], x).reshape(-1)
+
+    return operator.Op(mult=mult, diag=lambda: data["diag"])
+
+
 def _bind_mpiaij(meta, data):
     from jax import shard_map
     from ..parallel.sf import ExchangePlan
@@ -768,3 +868,4 @@ operator.register_binder("aij_bell", _bind_aij_bell)
 operator.register_binder("aij_dnd", _bind_aij_dnd)
 operator.register_binder("aij_csr", _bind_aij_csr)
 operator.register_binder("mpiaij", _bind_mpiaij)
+operator.register_binder("dnd_mpi", _bind_dnd_mpi)
