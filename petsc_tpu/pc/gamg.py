@@ -216,9 +216,13 @@ class _PCGAMG(_PCMG):
         from ..mat.aij import MatAIJ
 
         A = self.pc.pmat
-        if A.comm.nshards > 1:
-            raise Error("PCGAMG: multi-shard setup lands with re-sharding; "
-                        "use a single-shard operator for now")
+        # multi-shard: the fine level keeps its sharded operator; every
+        # coarse level is REPLICATED on one shard (the PCTelescope /
+        # GAMG process-reduction pattern, gamg.c:155-201 — coarse grids
+        # are latency-bound, so collapsing them beats distributing them).
+        # GSPMD inserts the gather/scatter at the fine/coarse boundary.
+        from ..parallel.mesh import comm_self
+        coarse_comm = A.comm if A.comm.nshards == 1 else comm_self()
         bs = A.row_layout.bs or 1
         Bn = getattr(A, "near_nullspace", None)
         A_sp = A.to_scipy()
@@ -255,9 +259,9 @@ class _PCGAMG(_PCMG):
             levels[-1].emin = 0.1 * emax
             Ac = (P.T @ cur @ P).tocsr()
             Ac.eliminate_zeros()
-            Pm = MatAIJ.from_scipy(P, comm=A.comm)
+            Pm = MatAIJ.from_scipy(P, comm=coarse_comm)
             levels[-1].P = Pm
-            levels.append(MGLevelSpec(MatAIJ.from_scipy(Ac, comm=A.comm)))
+            levels.append(MGLevelSpec(MatAIJ.from_scipy(Ac, comm=coarse_comm)))
             cur = Ac
             Bn = Bc
             cur_bs = Bc.shape[1] if Bc.shape[1] > 1 else 1

@@ -104,3 +104,24 @@ def test_vecscatter():
     sc = VecScatter(x.layout, [7, 1, 3, 9], y.layout, [0, 1, 2, 3])
     sc.apply(x, y)
     assert np.allclose(np.asarray(y.getArray()), [7, 1, 3, 9])
+
+
+def test_gamg_sharded():
+    """Multi-shard GAMG: sharded fine level + replicated coarse levels
+    (telescope/process-reduction pattern)."""
+    A_sp = poisson3d(16)
+    A = pt.MatAIJ.from_scipy(A_sp, comm=make_comm(8))
+    A.setStencilGrid((16, 16, 16))
+    ksp = pt.KSP().create()
+    ksp.setOperators(A)
+    ksp.setType("cg")
+    ksp.getPC().setType("gamg")
+    ksp.setTolerances(rtol=1e-8, max_it=100)
+    u = A.createVecRight(); u.set(1.0)
+    b = A.createVecLeft(); A.mult(u, b)
+    x = A.createVecRight()
+    ksp.solve(b, x)
+    assert ksp.getConvergedReason().converged
+    assert ksp.getIterationNumber() <= 15
+    x.axpy(-1.0, u)
+    assert float(x.norm()) < 1e-5
