@@ -1,0 +1,200 @@
+"""petsc4py-compatible namespace (the Bindings row of SURVEY §1).
+
+Reference: src/binding/petsc4py — `from petsc4py import PETSc`. Existing
+petsc4py scripts keep their shape:
+
+    from petsc_tpu.petsc4py_compat import PETSc
+    A = PETSc.Mat().createAIJ((n, n), csr=(indptr, indices, vals))
+    ksp = PETSc.KSP().create()
+    ...
+
+Only naming/ergonomics live here; everything dispatches to the native
+petsc_tpu classes.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from . import config
+from .mat.aij import MatAIJ
+from .mat.mat import MatDense, MatShell
+from .sys import viewer as _viewer
+from .sys.error import (KSPConvergedReason, SNESConvergedReason,
+                        TSConvergedReason)
+from .vec.vec import InsertMode, NormType, Vec as _Vec
+
+
+class _MatFactory:
+    """PETSc.Mat() factory object."""
+
+    def __call__(self):
+        return self
+
+    def createAIJ(self, size, bsize=None, nnz=None, csr=None, comm=None):
+        m, n = size if isinstance(size, tuple) else (size, size)
+        A = MatAIJ(comm)
+        A.setSizes((m, n), bs=bsize or 1)
+        if csr is not None:
+            A.setValuesCSR(*csr)
+            A.assemble()
+        return A
+
+    create = createAIJ
+
+    def createDense(self, size, array=None, comm=None):
+        m, n = size if isinstance(size, tuple) else (size, size)
+        D = MatDense(comm)
+        D.setSizes((m, n))
+        if array is not None:
+            D.setDenseArray(np.asarray(array))
+        return D
+
+    def createPython(self, size, context=None, comm=None):
+        m, n = size if isinstance(size, tuple) else (size, size)
+        S = MatShell(comm)
+        S.setSizes((m, n))
+        if context is not None and hasattr(context, "mult"):
+            S.setShellOperations(
+                mult=lambda x: context.mult(None, x),
+                mult_transpose=getattr(context, "multTranspose", None))
+        return S
+
+
+class _VecFactory:
+    def __call__(self):
+        return self
+
+    def createSeq(self, n, comm=None):
+        v = _Vec(comm)
+        v.setSizes(int(n))
+        v.setUp()
+        return v
+
+    createMPI = createSeq
+    create = createSeq
+
+    def createWithArray(self, arr, comm=None):
+        return _Vec.from_array(np.asarray(arr), comm=comm)
+
+
+class _Lazy:
+    def __init__(self, path):
+        self._path = path
+
+    def __call__(self):
+        mod, cls = self._path
+        import importlib
+        m = importlib.import_module(mod, package=__package__)
+        return getattr(m, cls)()
+
+
+class _PETScNS:
+    """The PETSc namespace object."""
+
+    Mat = _MatFactory()
+    Vec = _VecFactory()
+    InsertMode = InsertMode
+    NormType = NormType
+
+    class KSP:
+        Type = type("Type", (), {n.upper(): n for n in (
+            "cg", "gmres", "fgmres", "bcgs", "cgs", "tfqmr", "cr", "gcr",
+            "lsqr", "minres", "chebyshev", "richardson", "preonly",
+            "pipecg", "groppcg")})
+        ConvergedReason = KSPConvergedReason
+
+        def __new__(cls):
+            from .ksp.ksp import KSP as _KSP
+            return _KSP()
+
+    class PC:
+        def __new__(cls):
+            from .pc.pc import PC as _PC
+            return _PC()
+
+    class SNES:
+        ConvergedReason = SNESConvergedReason
+
+        def __new__(cls):
+            from .snes.snes import SNES as _SNES
+            return _SNES()
+
+    class TS:
+        ConvergedReason = TSConvergedReason
+
+        def __new__(cls):
+            from .ts.ts import TS as _TS
+            return _TS()
+
+    class TAO:
+        def __new__(cls):
+            from .tao.tao import Tao as _Tao
+            return _Tao()
+
+    class DMDA:
+        def __new__(cls):
+            from .dm.da import DMDA as _DMDA
+            return _DMDA()
+
+        @staticmethod
+        def create(*a, **kw):
+            from .dm.da import DMDA as _DMDA
+            return _DMDA.create(*a, **kw)
+
+    class IS:
+        def __new__(cls):
+            from .parallel.index import IS as _IS
+            return _IS()
+
+    class Viewer:
+        @staticmethod
+        def createBinary(name, mode="r", comm=None):
+            return _BinaryViewer(name, mode)
+
+    class Options:
+        def __init__(self, prefix=""):
+            self._prefix = prefix
+
+        def getInt(self, name, default=None):
+            return config.options().get_int(name, prefix=self._prefix,
+                                            default=default)
+
+        def getReal(self, name, default=None):
+            return config.options().get_real(name, prefix=self._prefix,
+                                             default=default)
+
+        def getString(self, name, default=None):
+            return config.options().get_string(name, prefix=self._prefix,
+                                               default=default)
+
+        def getBool(self, name, default=None):
+            return config.options().get_bool(name, prefix=self._prefix,
+                                             default=default)
+
+        def setValue(self, name, value):
+            config.options().set_value(name, value)
+
+    COMM_WORLD = None
+    COMM_SELF = None
+
+
+class _BinaryViewer:
+    def __init__(self, name, mode):
+        self.name = name
+        self.mode = mode
+        self._appended = False
+
+    def view(self, obj):
+        from .mat.mat import Mat
+        if isinstance(obj, Mat):
+            _viewer.mat_save(self.name, obj, append=self._appended)
+        else:
+            _viewer.vec_save(self.name, obj, append=self._appended)
+        self._appended = True
+
+    def load(self):
+        return _viewer.load(self.name)
+
+
+PETSc = _PETScNS()
