@@ -35,7 +35,7 @@ def test_vec_ghost():
     v = VecGhost.createGhost(10, [2, 7])
     v.setArray(np.arange(10.0))
     v.ghostUpdate()  # forward
-    lf = np.asarray(v.getLocalForm())
+    lf = np.array(v.getLocalForm())
     assert np.allclose(lf[10:], [2.0, 7.0])
     # reverse ADD: contributions land on owners
     lf[10:] = [100.0, 200.0]
