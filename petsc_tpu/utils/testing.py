@@ -15,15 +15,16 @@ import re
 _NUM = re.compile(r"[-+]?\d*\.?\d+(?:[eE][-+]?\d+)?")
 
 
-def run_example(main_fn, args: str | list):
-    """Run an example's main() capturing stdout; returns the text."""
+def run_example(main_fn, args: str | list, **kw):
+    """Run an example's main() capturing stdout; returns the text. Extra
+    kwargs (e.g. comm= for an nsize>1 run) pass through to main()."""
     import petsc_tpu as pt
     pt.config.state().options.clear()
     if isinstance(args, str):
         args = args.split()
     buf = io.StringIO()
     with contextlib.redirect_stdout(buf):
-        main_fn(list(args))
+        main_fn(list(args), **kw)
     return buf.getvalue()
 
 

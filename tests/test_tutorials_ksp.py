@@ -87,3 +87,48 @@ def test_ex2_gmres_restart():
                                 "-pc_type jacobi -ksp_rtol 1e-8 ")
     line = [l for l in out.splitlines() if l.startswith("Norm")][0]
     assert float(line.split()[3]) < 1e-4
+
+
+# reference: output/ex2_3.out (-pc_type sor -pc_sor_symmetric, default 8x7)
+EX2_3 = """\
+  0 KSP Residual norm 2.98499
+  1 KSP Residual norm 1.13133
+  2 KSP Residual norm 0.575925
+  3 KSP Residual norm 0.108871
+  4 KSP Residual norm 0.0213225
+  5 KSP Residual norm 0.00325239
+  6 KSP Residual norm 0.000874208
+  7 KSP Residual norm 0.000179613
+Norm of error 0.000300302 iterations 7
+"""
+
+# reference: output/ex2_2.out (nsize=2: parallel default bjacobi+ilu blocks)
+EX2_2 = """\
+  0 KSP Residual norm 2.73499
+  1 KSP Residual norm 0.795482
+  2 KSP Residual norm 0.261984
+  3 KSP Residual norm 0.0752998
+  4 KSP Residual norm 0.0230031
+  5 KSP Residual norm 0.00521255
+  6 KSP Residual norm 0.00145783
+  7 KSP Residual norm 0.000277319
+Norm of error 0.000292349 iterations 7
+"""
+
+
+def test_ex2_3_sor_reference_parity():
+    """GMRES + symmetric SOR: char-exact vs reference ex2_3.out."""
+    out = run_example(ex2.main, "-pc_type sor -pc_sor_symmetric "
+                      "-ksp_monitor_short "
+                      "-ksp_gmres_cgs_refinement_type refine_always")
+    assert_output(out, EX2_3, rtol=1e-6)
+
+
+def test_ex2_2_nsize2_reference_parity():
+    """nsize=2 run (sharded MPIAIJ + default bjacobi/ILU): char-exact vs
+    reference ex2_2.out — the 'same binary at any size' contract."""
+    from petsc_tpu.parallel.mesh import make_comm
+    out = run_example(ex2.main, "-ksp_monitor_short -m 5 -n 5 "
+                      "-ksp_gmres_cgs_refinement_type refine_always",
+                      comm=make_comm(2))
+    assert_output(out, EX2_2, rtol=1e-6)
