@@ -138,3 +138,16 @@ def test_gamg_elasticity_bs2():
     ksp, relerr = solve(A2, near_null=B, bs=2, max_it=100)
     assert ksp.getConvergedReason().converged
     assert relerr < 1e-6
+
+
+def test_ex56_elasticity_gamg():
+    """3-D Q1 hex elasticity with rigid-body near-nullspace (reference
+    ex56.c pins CONVERGED_RTOL in 14-15 its at ne=11, rtol 1e-4,
+    output/ex56_1.out; our defaults converge in <= that)."""
+    from examples import ex56
+    ksp = ex56.main(["-ne", "11", "-alpha", "1e-3", "-ksp_type", "cg",
+                     "-pc_type", "gamg"])
+    assert ksp.getConvergedReason().converged
+    assert ksp.getIterationNumber() <= 15   # reference: 14-15
+    # bs=3 + nvec=6 rigid-body modes flowed through aggregation/QR
+    assert ksp.mat.getBlockSize() == 3
