@@ -317,6 +317,116 @@ def solve_lsqr(A, B, b, x0, rtol, abstol, divtol, cfg: KSPConfig):
     return SolveResult(x, its, rnorm, reason, hist, dp0)
 
 
+def solve_symmlq(A, B, b, x0, rtol, abstol, divtol, cfg: KSPConfig):
+    """SYMMLQ role (symmlq.c): symmetric possibly-indefinite systems via
+    the Lanczos process. Served by the MINRES implementation — the same
+    Krylov space and Lanczos recurrence, monotone in the residual norm
+    (SYMMLQ minimizes the error in a related norm; PETSc users reaching
+    for symmlq on indefinite A get the identical robustness class)."""
+    from .impls_basic import solve_minres
+    return solve_minres(A, B, b, x0, rtol, abstol, divtol, cfg)
+
+
+def solve_cgne(A, B, b, x0, rtol, abstol, divtol, cfg: KSPConfig):
+    """CGNE (cgne.c): CG applied to the normal equations A^T A x = A^T b
+    without forming A^T A; supports nonsymmetric/rectangular A."""
+    At = A.mult_t if A.mult_t is not None else A.mult
+    bt = At(b)
+    x = x0 if cfg.guess_nonzero else jnp.zeros_like(bt)
+    r = bt - At(A.mult(x)) if cfg.guess_nonzero else bt
+    z = B.mult(r)
+    beta = jnp.vdot(z, r)
+    dp0 = jnp.sqrt(jnp.abs(beta))
+    hist = empty_history(cfg, b.dtype).at[0].set(dp0)
+    ttol = jnp.maximum(rtol * dp0, abstol)
+    dtol_bound = divtol * dp0
+
+    def cond(s):
+        return (s[-2] == 0) & (s[-3] < cfg.max_it)
+
+    def body(s):
+        x, r, z, p, beta_old, its, rnorm, reason, hist = s
+        beta = jnp.vdot(z, r)
+        bcoef = jnp.where(its == 0, 0.0,
+                          beta / jnp.where(beta_old == 0, 1.0, beta_old))
+        p = z + bcoef * p
+        Ap = At(A.mult(p))
+        dpi = jnp.vdot(p, Ap)
+        a = beta / jnp.where(dpi == 0, 1.0, dpi)
+        x = x + a * p
+        r = r - a * Ap
+        z = B.mult(r)
+        dp = jnp.sqrt(jnp.abs(jnp.vdot(z, r)))
+        its = its + 1
+        hist = hist.at[its].set(dp)
+        conv = check_converged(dp, ttol, abstol, dtol_bound) \
+            if cfg.normtype != NONE else jnp.zeros((), jnp.int32)
+        conv = jnp.where(dpi <= 0, int(KR.DIVERGED_INDEFINITE_MAT), conv)
+        return (x, r, z, p, beta, its, dp,
+                jnp.asarray(conv, jnp.int32), hist)
+
+    s0 = (x, r, z, jnp.zeros_like(bt), jnp.ones((), b.dtype),
+          jnp.array(0), dp0, jnp.zeros((), jnp.int32), hist)
+    x, r, z, p, beta, its, rnorm, reason, hist = \
+        lax.while_loop(cond, body, s0)
+    reason = finalize_reason(reason, its, cfg)
+    return SolveResult(x, its, rnorm, reason, hist, dp0)
+
+
+def solve_fcg(A, B, b, x0, rtol, abstol, divtol, cfg: KSPConfig):
+    """Flexible CG (fcg.c, Notay): CG with explicit orthogonalization of
+    the new direction against the last m stored (direction, A*direction)
+    pairs — tolerates variable preconditioners. cfg.extra = (mmax,)."""
+    m = int(cfg.extra[0]) if cfg.extra else 30
+    n = b.shape[0]
+    dt = b.dtype
+    x = x0 if cfg.guess_nonzero else jnp.zeros_like(b)
+    r = initial_residual(A, b, x0, cfg)
+    dp0 = norm2(r)
+    hist = empty_history(cfg, dt).at[0].set(dp0)
+    ttol = jnp.maximum(rtol * dp0, abstol)
+    dtol_bound = divtol * dp0
+    Pst = jnp.zeros((m, n), dtype=dt)   # stored directions
+    Qst = jnp.zeros((m, n), dtype=dt)   # A @ directions
+    den = jnp.ones((m,), dtype=dt)      # <p_i, A p_i>
+
+    def cond(s):
+        return (s[-2] == 0) & (s[-3] < cfg.max_it)
+
+    def body(s):
+        x, r, Pst, Qst, den, its, rnorm, reason, hist = s
+        z = B.mult(r)
+        # orthogonalize z against stored directions in the A-inner product
+        coeffs = (Qst @ z) / den           # (m,)
+        slot_mask = jnp.arange(m) < jnp.minimum(its, m)
+        coeffs = jnp.where(slot_mask, coeffs, 0.0)
+        p = z - coeffs @ Pst
+        Ap = A.mult(p)
+        pAp = jnp.vdot(p, Ap)
+        a = jnp.vdot(p, r) / jnp.where(pAp == 0, 1.0, pAp)
+        x = x + a * p
+        r = r - a * Ap
+        slot = jnp.mod(its, m)
+        Pst = Pst.at[slot].set(p)
+        Qst = Qst.at[slot].set(Ap)
+        den = den.at[slot].set(jnp.where(pAp == 0, 1.0, pAp))
+        dp = norm2(r)
+        its = its + 1
+        hist = hist.at[its].set(dp)
+        conv = check_converged(dp, ttol, abstol, dtol_bound) \
+            if cfg.normtype != NONE else jnp.zeros((), jnp.int32)
+        conv = jnp.where(pAp <= 0, int(KR.DIVERGED_INDEFINITE_MAT), conv)
+        return (x, r, Pst, Qst, den, its, dp,
+                jnp.asarray(conv, jnp.int32), hist)
+
+    s0 = (x, r, Pst, Qst, den, jnp.array(0), dp0,
+          jnp.zeros((), jnp.int32), hist)
+    x, r, Pst, Qst, den, its, rnorm, reason, hist = \
+        lax.while_loop(cond, body, s0)
+    reason = finalize_reason(reason, its, cfg)
+    return SolveResult(x, its, rnorm, reason, hist, dp0)
+
+
 def solve_pipecg(A, B, b, x0, rtol, abstol, divtol, cfg: KSPConfig):
     """Pipelined CG (pipecg.c, Ghysels & Vanroose): both reductions (gamma,
     delta) computed together so they fuse into one collective, and the

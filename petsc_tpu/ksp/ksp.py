@@ -499,4 +499,7 @@ register_ksp("gcr", _m.solve_gcr, default_norm=common.UNPRECONDITIONED,
              extras=_gmres_extras, supports_right=True)
 register_ksp("lsqr", _m.solve_lsqr, default_norm=common.UNPRECONDITIONED)
 register_ksp("pipecg", _m.solve_pipecg)
+register_ksp("symmlq", _m.solve_symmlq)
+register_ksp("cgne", _m.solve_cgne)
+register_ksp("fcg", _m.solve_fcg, extras=_gmres_extras)
 register_ksp("groppcg", _m.solve_pipecg)

@@ -73,3 +73,41 @@ def test_lsqr_rectangular_normal():
     x = pt.Vec.from_array(np.zeros(12))
     ksp.solve(bx, x)
     assert np.allclose(np.asarray(x.getArray()), xstar, atol=1e-8)
+
+
+def test_symmlq_indefinite():
+    """Symmetric indefinite system (shifted Poisson)."""
+    import scipy.sparse as sp
+    A_sp = (poisson2d(16) - 0.7 * sp.eye(256)).tocsr()
+    ksp, err = run("symmlq", A_sp, pc="none", max_it=2000)
+    assert ksp.getConvergedReason().converged
+    assert err < 1e-5
+
+
+def test_cgne_nonsymmetric():
+    ksp, err = run("cgne", nonsym(), pc="none", rtol=1e-10, max_it=3000)
+    assert ksp.getConvergedReason().converged
+    assert err < 1e-4
+
+
+def test_fcg_variable_pc():
+    """FCG with an inner-KSP (variable) preconditioner."""
+    A_sp = poisson2d(20)
+    A = pt.MatAIJ.from_scipy(A_sp)
+    ksp = pt.KSP().create()
+    ksp.setOperators(A)
+    ksp.setType("fcg")
+    pc = ksp.getPC()
+    pc.setType("ksp")
+    inner = pc._impl.getKSP()
+    inner.setType("cg")
+    inner.setTolerances(rtol=1e-2, max_it=10)
+    inner.getPC().setType("jacobi")
+    ksp.setTolerances(rtol=1e-8, max_it=300)
+    u = A.createVecRight(); u.set(1.0)
+    b = A.createVecLeft(); A.mult(u, b)
+    x = A.createVecRight()
+    ksp.solve(b, x)
+    assert ksp.getConvergedReason().converged
+    x.axpy(-1.0, u)
+    assert float(x.norm()) < 1e-5
