@@ -92,6 +92,8 @@ def init(args=None, options_dict=None, file=None):
         args = _sys.argv[1:]
     st.options.insert_args(list(args))
 
+    if st.options.has_name("help"):
+        st.options._help_requested = True
     dt = st.options.get_string("real_dtype", default=None)
     if dt is not None:
         set_real_dtype(dt)
@@ -118,6 +120,11 @@ def real_dtype():
 
 def index_dtype():
     return state().index_dtype
+
+
+def print_help():
+    """-help: list registered + queried options (PetscOptionsBegin role)."""
+    state().options.print_help()
 
 
 def finalize(print_unused=False):

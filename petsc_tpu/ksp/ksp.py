@@ -228,6 +228,9 @@ class KSP(PObject):
         if self.normtype is None:
             self.normtype = _IMPLS[self._type]["norm"]
         self.getPC().setUp()
+        from ..sys.info import info
+        info(self, f"setUp: type={self._type} norm={self.normtype} "
+                   f"rtol={self.rtol:g}")
         self._setup_called = True
         return self
 

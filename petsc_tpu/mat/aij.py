@@ -120,6 +120,8 @@ class MatAIJ(Mat):
             self._indices = np.zeros(0, dtype=np.int64)
             self._vals = np.zeros(0, dtype=np.float64)
         self._build_device()
+        from ..sys.info import info
+        info(self, f"assembled: kind={self._meta[0]} nnz={self.nnz()}")
         self._assembled = True
         self.increase_state()
         return self

@@ -110,8 +110,13 @@ class Options:
     def has_name(self, name: str, prefix: str = "") -> bool:
         return (prefix + name.lstrip("-")) in self._store
 
+    def _queried_record(self, full):
+        self._queried = getattr(self, "_queried", set())
+        self._queried.add(full)
+
     def _raw(self, name: str, prefix: str = ""):
         key = prefix + name.lstrip("-")
+        self._queried_record(key)
         if key in self._store:
             self._used.add(key)
             return True, self._store[key]
@@ -162,6 +167,15 @@ class Options:
 
     def register_help(self, name: str, text: str):
         self._help.append((name, text))
+
+    def print_help(self):
+        """-help output: registered help lines plus every option name the
+        program has queried so far (PetscOptionsBegin/-help role)."""
+        print("Options Database (queried by this program):")
+        for name, text in sorted(self._help):
+            print(f"  -{name:<40} {text}")
+        for full in sorted(getattr(self, "_queried", set())):
+            print(f"  -{full}")
 
     def unused(self):
         """Options set but never queried (-options_left)."""
