@@ -11,6 +11,9 @@ Run:  python examples/ex2.py -m 5 -n 5 -ksp_monitor_short
 
 import sys
 
+import os as _os
+import sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 import petsc_tpu as pt
 from petsc_tpu.vec.vec import InsertMode
 

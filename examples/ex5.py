@@ -16,6 +16,9 @@ import sys
 import numpy as np
 import jax.numpy as jnp
 
+import os as _os
+import sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 import petsc_tpu as pt
 
 
