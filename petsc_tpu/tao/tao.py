@@ -524,6 +524,86 @@ def solve_brgn(tao: Tao, x, xvec):
     xvec.setArray(x)
 
 
+def solve_almm(tao: Tao, x, xvec):
+    """Augmented Lagrangian multiplier method for equality/inequality
+    constraints (constrained/impls/almm): min f(x) s.t. g(x)=0, h(x)<=0.
+    Subproblems solved with the lmvm path; classic multiplier/penalty
+    updates. Constraints set via tao.setEqualityConstraints(g) /
+    tao.setInequalityConstraints(h) (pure jax functions)."""
+    g = getattr(tao, "_eq", None)
+    h = getattr(tao, "_ineq", None)
+    if g is None and h is None:
+        raise Error("almm: set equality/inequality constraints first")
+    mu = 10.0
+    lam_eq = None
+    lam_in = None
+    f_obj = tao._obj
+    x_cur = x.copy()
+    outer_its = 0
+    for outer in range(30):
+        geval = np.asarray(g(jnp.asarray(x_cur))) if g else np.zeros(0)
+        heval = np.asarray(h(jnp.asarray(x_cur))) if h else np.zeros(0)
+        if lam_eq is None:
+            lam_eq = np.zeros(len(geval))
+            lam_in = np.zeros(len(heval))
+        viol = max(float(np.abs(geval).max()) if len(geval) else 0.0,
+                   float(np.maximum(heval, 0.0).max()) if len(heval) else 0.0)
+        if viol < tao.gatol * 10 and outer > 0:
+            break
+        le = jnp.asarray(lam_eq)
+        li = jnp.asarray(lam_in)
+        muj = mu
+
+        def aug(z, le=le, li=li, muj=muj):
+            val = f_obj(z)
+            if g is not None:
+                gz = g(z)
+                val = val + jnp.sum(le * gz) + 0.5 * muj * jnp.sum(gz ** 2)
+            if h is not None:
+                hz = h(z)
+                s = jnp.maximum(0.0, li / muj + hz)
+                val = val + 0.5 * muj * jnp.sum(s ** 2 - (li / muj) ** 2)
+            return val
+
+        sub = Tao(options=tao._options)
+        sub.create(tao.comm)
+        sub.setType("lmvm")
+        sub.setObjective(aug)
+        sub.setTolerances(gatol=max(tao.gatol, 1e-2 / (10 ** outer)))
+        sub.setMaximumIterations(200)
+        xv = Vec.from_array(x_cur, comm=tao.comm)
+        sub.solve(xv)
+        x_cur = np.asarray(xv.getArray())
+        outer_its += sub.getIterationNumber()
+        # multiplier updates
+        if g is not None:
+            lam_eq = lam_eq + mu * np.asarray(g(jnp.asarray(x_cur)))
+        if h is not None:
+            lam_in = np.maximum(
+                0.0, lam_in + mu * np.asarray(h(jnp.asarray(x_cur))))
+        mu = min(mu * 4.0, 1e8)
+    f, gr = tao._fg(x_cur)
+    tao._its = outer_its
+    tao._fval = f
+    tao._gnorm = float(np.linalg.norm(gr))
+    tao._reason = TaoR.CONVERGED_USER
+    xvec.setArray(x_cur)
+
+
+def setEqualityConstraints(tao, fn):
+    tao._eq = fn
+    return tao
+
+
+def setInequalityConstraints(tao, fn):
+    tao._ineq = fn
+    return tao
+
+
+Tao.setEqualityConstraints = setEqualityConstraints
+Tao.setInequalityConstraints = setInequalityConstraints
+
+
 def solve_neldermead(tao: Tao, x, xvec):
     """Derivative-free simplex (impls/neldermead)."""
     from scipy.optimize import minimize
@@ -549,5 +629,6 @@ Tao._impls.update({
     "cg": solve_cg,
     "brgn": solve_brgn,
     "nm": solve_neldermead,
+    "almm": solve_almm,
     "neldermead": solve_neldermead,
 })

@@ -63,3 +63,25 @@ def test_neldermead():
     x = pt.Vec.from_array(np.zeros(3))
     tao.solve(x)
     assert np.allclose(np.asarray(x.getArray()), 3.0, atol=1e-3)
+
+
+def test_almm_equality_constrained():
+    """min x^2+y^2 s.t. x+y=1 -> (0.5, 0.5)."""
+    tao = pt.Tao().create()
+    tao.setType("almm")
+    tao.setObjective(lambda x: jnp.sum(x ** 2))
+    tao.setEqualityConstraints(lambda x: jnp.array([x[0] + x[1] - 1.0]))
+    x = pt.Vec.from_array(np.zeros(2))
+    tao.solve(x)
+    assert np.allclose(np.asarray(x.getArray()), 0.5, atol=1e-4)
+
+
+def test_almm_inequality():
+    """min (x-2)^2 s.t. x <= 1 -> x = 1."""
+    tao = pt.Tao().create()
+    tao.setType("almm")
+    tao.setObjective(lambda x: jnp.sum((x - 2.0) ** 2))
+    tao.setInequalityConstraints(lambda x: x - 1.0)
+    x = pt.Vec.from_array(np.zeros(3))
+    tao.solve(x)
+    assert np.allclose(np.asarray(x.getArray()), 1.0, atol=1e-3)
