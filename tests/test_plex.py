@@ -1,0 +1,66 @@
+"""DMPlex-lite tests: topology queries, boundary marking, P1 Poisson
+solves on tri/tet meshes vs analytic solutions."""
+
+import numpy as np
+import pytest
+
+import petsc_tpu as pt
+from petsc_tpu.dm import DMPlex
+
+
+def test_chart_and_cone():
+    p = DMPlex.createBoxMesh((2, 2), simplex=True)
+    assert p.ncells == 8 and p.nvertices == 9
+    pS, pE = p.getChart()
+    assert pE == 17
+    cone = p.getCone(0)
+    assert len(cone) == 3 and (cone >= p.ncells).all()
+    sup = p.getSupport(p.ncells)  # vertex 0
+    assert len(sup) >= 1
+
+
+def test_boundary_vertices():
+    p = DMPlex.createBoxMesh((3, 3), simplex=True)
+    bnd = p.markBoundaryVertices()
+    coords = p.coords[bnd]
+    on_edge = ((coords == 0.0) | (coords == 1.0)).any(axis=1)
+    assert on_edge.all()
+    assert len(bnd) == 12  # 4x4 grid: all but the 4 interior vertices
+
+
+def test_p1_poisson_2d_convergence():
+    """-Lap u = 1, u=0 on boundary of unit square: compare center value
+    against the series solution ~0.07367."""
+    errs = []
+    for n in (8, 16):
+        p = DMPlex.createBoxMesh((n, n), simplex=True)
+        A, b = p.assemblePoissonP1(f=1.0)
+        ksp = pt.KSP().create()
+        ksp.setOperators(A)
+        ksp.setType("cg")
+        ksp.getPC().setType("gamg")
+        ksp.setTolerances(rtol=1e-10, max_it=200)
+        x = A.createVecRight()
+        ksp.solve(b, x)
+        assert ksp.getConvergedReason().converged
+        u = np.asarray(x.getArray())
+        center = np.argmin(np.sum((p.coords - 0.5) ** 2, axis=1))
+        errs.append(abs(u[center] - 0.07367135))
+    assert errs[1] < errs[0]          # mesh convergence
+    assert errs[1] < 2e-3
+
+
+def test_p1_poisson_3d():
+    p = DMPlex.createBoxMesh((6, 6, 6), simplex=True)
+    assert p.cells.shape[1] == 4      # tets
+    A, b = p.assemblePoissonP1(f=1.0)
+    ksp = pt.KSP().create()
+    ksp.setOperators(A)
+    ksp.setType("cg")
+    ksp.getPC().setType("jacobi")
+    ksp.setTolerances(rtol=1e-10, max_it=500)
+    x = A.createVecRight()
+    ksp.solve(b, x)
+    assert ksp.getConvergedReason().converged
+    u = np.asarray(x.getArray())
+    assert u.max() > 0.02 and u.min() >= -1e-12
