@@ -141,7 +141,7 @@ class DMDA(DM):
 
     # ---- matrix (fdda.c) ----
 
-    def createMatrix(self) -> MatAIJ:
+    def createMatrix(self, preallocate_pattern=False) -> MatAIJ:
         A = MatAIJ(self.comm)
         A.setSizes((self.N, self.N))
         if self.dof > 1:
@@ -149,6 +149,39 @@ class DMDA(DM):
             A.row_layout = Layout(self.N, bs=self.dof)
             A.col_layout = Layout(self.N, bs=self.dof)
         A._dm = self
+        if preallocate_pattern:
+            self.preallocateStencilPattern(A)
+        return A
+
+    def preallocateStencilPattern(self, A: MatAIJ):
+        """Fill A with the explicit stencil nonzero PATTERN (zeros), the
+        DMCreateMatrix_DA preallocation (fdda.c) — enables FD-coloring
+        Jacobians without a user-assembled matrix."""
+        xyz = self.node_coords()
+        cols_all, rows_all = [], []
+        n_ax = self.sizes
+        for off in self.stencil_offsets():
+            shifted = xyz[:, : self.dim] + np.asarray(off)
+            ok = np.ones(len(xyz), dtype=bool)
+            for ax in range(self.dim):
+                if self.boundary[ax] == "periodic":
+                    shifted[:, ax] %= n_ax[ax]
+                else:
+                    ok &= (shifted[:, ax] >= 0) & (shifted[:, ax] < n_ax[ax])
+            src = self.dof_index(*(xyz[ok, ax] for ax in range(self.dim)))
+            dst = self.dof_index(*(shifted[ok, ax] for ax in range(self.dim)))
+            for cs in range(self.dof):
+                for cd in range(self.dof):
+                    rows_all.append(src * 1 + cs if self.dof > 1 else src)
+                    cols_all.append(dst * 1 + cd if self.dof > 1 else dst)
+        rows = np.concatenate(rows_all)
+        cols = np.concatenate(cols_all)
+        import scipy.sparse as sp
+        S = sp.csr_matrix((np.ones(len(rows)), (rows, cols)),
+                          shape=(self.N, self.N))
+        S.sum_duplicates()
+        A.setValuesCSR(S.indptr, S.indices, np.zeros(S.nnz))
+        A.assemble()
         return A
 
     def stencil_offsets(self):

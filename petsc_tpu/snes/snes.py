@@ -244,6 +244,12 @@ class SNES(PObject):
         pattern = None
         if self._jac_pmat is not None and self._jac_pmat.nnz() > 0:
             pattern = self._jac_pmat
+        elif self.dm is not None and hasattr(self.dm,
+                                             "preallocateStencilPattern"):
+            # DMDA stencil preallocation -> colored FD Jacobian, the
+            # classic SNESSetDM + SNESComputeJacobianDefaultColor workflow
+            self._jac_pmat = self.dm.createMatrix(preallocate_pattern=True)
+            pattern = self._jac_pmat
         if mode is None:
             mode = "fd_color" if pattern is not None else (
                 "jacfwd" if self._func_pure is not None else "fd")

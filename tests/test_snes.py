@@ -142,3 +142,18 @@ def test_ew_forcing():
     snes, x = ex5.main(["-da_grid_x", "17", "-da_grid_y", "17",
                         "-snes_ksp_ew"])
     assert snes.getConvergedReason().converged
+
+
+def test_bratu_dm_fd_coloring():
+    """SNES + DMDA with NO user Jacobian: stencil-pattern preallocation
+    drives the colored FD Jacobian (snesj2.c + fdda.c workflow)."""
+    from examples import ex5
+    da = pt.DMDA.create(2, (17, 17), stencil_type="star")
+    snes = pt.SNES().create()
+    snes.setDM(da)
+    snes.setFunction(ex5.make_residual(da, 6.0))
+    snes.setUseFD(True, coloring=True)
+    x = da.createGlobalVector()
+    snes.solve(None, x)
+    assert snes.getConvergedReason().converged
+    assert snes.getIterationNumber() <= 8
