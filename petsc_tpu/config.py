@@ -122,6 +122,24 @@ def index_dtype():
     return state().index_dtype
 
 
+def ensure_virtual_devices(n: int, platform: str = "cpu"):
+    """Best-effort: if the backend is not yet initialized and fewer than n
+    devices would be available, switch to `platform` with n virtual host
+    devices (the tests/conftest.py trick; used by scaling/dryrun drivers)."""
+    try:
+        initialized = jax._src.xla_bridge._backends  # noqa: SLF001
+    except AttributeError:
+        initialized = {}
+    if initialized:
+        return len(jax.devices()) >= n
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (
+            flags + f" --xla_force_host_platform_device_count={n}")
+    jax.config.update("jax_platforms", platform)
+    return True
+
+
 def print_help():
     """-help: list registered + queried options (PetscOptionsBegin role)."""
     state().options.print_help()

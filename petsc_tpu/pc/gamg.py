@@ -175,6 +175,85 @@ def tentative_prolongator(agg, nagg, Bn, bs=1):
     return P0, Bc
 
 
+class MatSmoothedProl:
+    """Factored smoothed prolongator P = (I - omega D^-1 A) P0 kept
+    UNASSEMBLED for scalar problems (nvec=1): P0 x_c = w * x_c[agg] (small
+    gather), so P rides the level operator's fast SpMV instead of an
+    unstructured 8-entries-per-row gather — on TPU (no hardware gather)
+    this is ~the difference between the dnd stencil path and the ELL path.
+    Presents the standard Mat (meta, data) contract; to_scipy() returns the
+    assembled form for host RAP."""
+
+    def __init__(self, A_level, agg, w, dinv, omega, P_scipy, comm):
+        import jax.numpy as jnp
+        from .. import config as _cfg
+        rd = _cfg.real_dtype()
+        self.comm = comm
+        self._P_scipy = P_scipy
+        self._A = A_level
+        nf, nc = P_scipy.shape
+        self._shape = (nf, nc)
+        self._meta_v = ("prol_sa", A_level.meta, nf, nc)
+        self._data_v = {
+            "A": A_level.device_data(),
+            "agg": jnp.asarray(np.where(agg >= 0, agg, nc)),
+            "w": jnp.asarray(np.where(agg >= 0, w, 0.0), dtype=rd),
+            "dinv": jnp.asarray(dinv, dtype=rd),
+            "omega": jnp.asarray(omega, dtype=rd),
+        }
+
+    @property
+    def meta(self):
+        return self._meta_v
+
+    def device_data(self):
+        return self._data_v
+
+    def getSize(self):
+        return self._shape
+
+    def to_scipy(self):
+        return self._P_scipy
+
+    def transpose(self):
+        from ..mat.aij import MatAIJ
+        return MatAIJ.from_scipy(self._P_scipy.T.tocsr(), comm=self.comm)
+
+
+def _bind_prol_sa(meta, data):
+    import jax.numpy as jnp
+    from ..ops import operator as _op
+    _, A_meta, nf, nc = meta
+    Aop = _op.bind(A_meta, data["A"])
+    agg, w, dinv, omega = data["agg"], data["w"], data["dinv"], data["omega"]
+
+    def p0(xc):
+        xc_ext = jnp.concatenate([xc, jnp.zeros((1,), xc.dtype)])
+        return w * xc_ext[agg]
+
+    def p0t(y):
+        import jax
+        return jax.ops.segment_sum(w * y, agg, num_segments=nc + 1)[:nc]
+
+    def mult(xc):
+        y = p0(xc[:nc])
+        out = y - omega * (dinv * Aop.mult(y))
+        return out
+
+    def mult_t(r):
+        rr = r[:nf]
+        z = rr - omega * Aop.mult_t(dinv * rr) if Aop.mult_t is not None \
+            else rr - omega * Aop.mult(dinv * rr)  # A symmetric in SA
+        return p0t(z)
+
+    return _op.Op(mult=mult, mult_t=mult_t)
+
+
+from ..ops import operator as _operator_mod  # noqa: E402
+
+_operator_mod.register_binder("prol_sa", _bind_prol_sa)
+
+
 class _PCGAMG(_PCMG):
     """Smoothed-aggregation AMG setup driving the shared MG machinery."""
 
@@ -259,7 +338,18 @@ class _PCGAMG(_PCMG):
             levels[-1].emin = 0.1 * emax
             Ac = (P.T @ cur @ P).tocsr()
             Ac.eliminate_zeros()
-            Pm = MatAIJ.from_scipy(P, comm=coarse_comm)
+            if Bn.shape[1] == 1 and cur_bs == 1 and self.nsmooths <= 1:
+                # scalar path: keep P factored so its apply reuses the
+                # level operator's fast SpMV (no big unstructured gather)
+                nf = P0.shape[0]
+                rows0 = np.repeat(np.arange(nf), np.diff(P0.indptr))
+                w = np.zeros(nf)
+                w[rows0] = P0.data
+                omega = (1.4 / emax) if self.nsmooths == 1 else 0.0
+                Pm = MatSmoothedProl(levels[-1].A, agg, w, dinv, omega,
+                                     P, A.comm)
+            else:
+                Pm = MatAIJ.from_scipy(P, comm=coarse_comm)
             levels[-1].P = Pm
             levels.append(MGLevelSpec(MatAIJ.from_scipy(Ac, comm=coarse_comm)))
             cur = Ac
