@@ -83,10 +83,35 @@ class Mat(PObject):
         return A
 
     @staticmethod
-    def createStencil(grid, offsets, coeffs=None, comm=None):
-        from .stencil import MatStencil
-        A = MatStencil(comm)
-        A.setGrid(grid, offsets, coeffs)
+    def createStencil(grid, offsets, coeffs, comm=None):
+        """Grid-stencil matrix from per-offset coefficient arrays
+        (the dnd fast-path layout, DMDA/fdda.c matrices): grid=(...,ny,nx),
+        offsets=[(dz,dy,dx)...], coeffs=(K,)+grid. Out-of-range couplings
+        must already be zero in coeffs."""
+        from .aij import MatAIJ
+        import scipy.sparse as sp
+        grid = tuple(int(g) for g in grid)
+        N = int(np.prod(grid))
+        idx = np.arange(N)
+        multi = np.stack(np.unravel_index(idx, grid), axis=1)
+        rows_l, cols_l, vals_l = [], [], []
+        for k, off in enumerate(offsets):
+            nb = multi + np.asarray(off)
+            ok = np.ones(N, dtype=bool)
+            for ax in range(len(grid)):
+                ok &= (nb[:, ax] >= 0) & (nb[:, ax] < grid[ax])
+            cols = np.ravel_multi_index(tuple(nb[ok].T), grid)
+            vals = np.asarray(coeffs[k]).reshape(-1)[ok]
+            nz = vals != 0
+            rows_l.append(idx[ok][nz])
+            cols_l.append(cols[nz])
+            vals_l.append(vals[nz])
+        A_sp = sp.csr_matrix(
+            (np.concatenate(vals_l),
+             (np.concatenate(rows_l), np.concatenate(cols_l))),
+            shape=(N, N))
+        A = MatAIJ.from_scipy(A_sp, comm=comm)
+        A.setStencilGrid(grid)
         return A
 
     # ---------------- sizes ----------------
@@ -190,6 +215,15 @@ class Mat(PObject):
         return v
 
     # ---------------- nullspaces ----------------
+
+    def getFactor(self, solver_type="petsc", factor_kind="lu"):
+        """MatGetFactor (matrix.c): pluggable factorization backends. The
+        built-in backend covers lu/ilu/cholesky/icc via the framework's
+        host factorizations + device trisolve; external MatSolverTypes
+        (mumps/superlu/...) are out of scope but route through this same
+        call, preserving the reference's plug-in surface."""
+        from .factorctx import FactorContext
+        return FactorContext(self, solver_type, factor_kind)
 
     def setNullSpace(self, ns):
         self.nullspace = ns

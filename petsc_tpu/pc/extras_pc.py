@@ -289,3 +289,34 @@ class _PCRedundant:
 
 
 PC.register_impl("redundant", _PCRedundant)
+
+
+class _PCSVD:
+    """PCSVD (impls/svd): pseudo-inverse via dense SVD with a zero-singular
+    -value threshold — the bombproof small-system preconditioner."""
+
+    def __init__(self, pc):
+        self.pc = pc
+        self.zero_sing = 1e-12
+
+    def setup(self):
+        A = self.pc.pmat.to_scipy().toarray() \
+            if hasattr(self.pc.pmat, "to_scipy") \
+            else self.pc.pmat.getDenseArray()
+        U, s, Vt = np.linalg.svd(A)
+        sinv = np.where(s > self.zero_sing * s.max(), 1.0 / np.where(
+            s == 0, 1.0, s), 0.0)
+        pinv = (Vt.T * sinv) @ U.T
+        rd = config.real_dtype()
+        pad = self.pc.pmat.row_layout.pad
+        pinv = np.pad(pinv, ((0, pad), (0, pad)))
+        return ("pc_svd", pinv.shape[0]), {"pinv": jnp.asarray(pinv, rd)}
+
+
+def _bind_svd(meta, data):
+    return operator.Op(mult=lambda x: data["pinv"] @ x,
+                       mult_t=lambda x: data["pinv"].T @ x)
+
+
+PC.register_impl("svd", _PCSVD)
+operator.register_binder("pc_svd", _bind_svd)
