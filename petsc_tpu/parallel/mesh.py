@@ -29,6 +29,12 @@ class Comm:
 
     @property
     def nshards(self) -> int:
+        """Shards along the row axis. `axis` may be one mesh axis name or a
+        TUPLE of axis names — the two-level (DCN host axis x ICI chip axis)
+        decomposition of SURVEY §2.12; collectives then ride the flattened
+        axis pair (jax collectives accept axis-name sequences)."""
+        if isinstance(self.axis, (tuple, list)):
+            return int(np.prod([self.mesh.shape[a] for a in self.axis]))
         return int(self.mesh.shape[self.axis])
 
     def row_sharding(self, ndim=1):
@@ -67,3 +73,13 @@ def comm_world(ndev: int | None = None, axis: str = "rows") -> Comm:
 def make_comm(ndev: int, axis: str = "rows") -> Comm:
     devs = jax.devices()[:ndev]
     return Comm(Mesh(np.array(devs), (axis,)), axis)
+
+
+def make_comm2(hosts: int, chips: int, axes=("dcn", "ici")) -> Comm:
+    """Two-level communicator: host (DCN) x chip (ICI) axes, rows sharded
+    over the flattened pair (SURVEY §2.12 two-level halo plans). Halo
+    ppermutes between adjacent shards on the same host ride ICI; the
+    host-boundary pairs cross DCN — exactly the slab decomposition's
+    traffic pattern."""
+    devs = np.array(jax.devices()[: hosts * chips]).reshape(hosts, chips)
+    return Comm(Mesh(devs, tuple(axes)), tuple(axes))

@@ -125,3 +125,27 @@ def test_gamg_sharded():
     assert ksp.getIterationNumber() <= 15
     x.axpy(-1.0, u)
     assert float(x.norm()) < 1e-5
+
+
+def test_two_level_mesh_solve():
+    """2x4 (DCN x ICI) mesh: rows sharded over the flattened axis pair;
+    full CG solve on the slab-stencil path."""
+    from petsc_tpu.parallel.mesh import make_comm2
+    comm = make_comm2(2, 4)
+    assert comm.nshards == 8
+    A_sp = poisson3d(16)
+    A = pt.MatAIJ.from_scipy(A_sp, comm=comm)
+    A.setStencilGrid((16, 16, 16))
+    assert A.meta[0] == "dnd_mpi"
+    ksp = pt.KSP().create()
+    ksp.setOperators(A)
+    ksp.setType("cg")
+    ksp.getPC().setType("jacobi")
+    ksp.setTolerances(rtol=1e-8, max_it=500)
+    u = A.createVecRight(); u.set(1.0)
+    b = A.createVecLeft(); A.mult(u, b)
+    x = A.createVecRight()
+    ksp.solve(b, x)
+    assert ksp.getConvergedReason().converged
+    x.axpy(-1.0, u)
+    assert float(x.norm()) < 1e-5
