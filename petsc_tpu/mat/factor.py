@@ -67,6 +67,33 @@ def ilu0(indptr, indices, vals):
     return (Li, Lj, Lv), (Ui, Uj, Uv), 1.0 / d
 
 
+def iluk(indptr, indices, vals, k):
+    """ILU(k): native level-of-fill symbolic pattern (graphops.cpp
+    iluk_symbolic, the MatILUFactorSymbolic aijfact.c:1536 role) followed
+    by the in-pattern numeric factorization on the extended structure."""
+    if k <= 0:
+        return ilu0(indptr, indices, vals)
+    from .. import native
+    out = native.iluk_symbolic(np.asarray(indptr, dtype=np.int64),
+                               np.asarray(indices, dtype=np.int64), k)
+    if out is None:   # no native lib: fall back to ILU(0)
+        return ilu0(indptr, indices, vals)
+    ip2, ix2 = out
+    m = len(indptr) - 1
+    # scatter original values into the extended pattern (fill slots = 0);
+    # rows of both patterns are column-sorted, so positions come from a
+    # per-row searchsorted
+    ext_vals = np.zeros(len(ix2))
+    indptr = np.asarray(indptr)
+    indices = np.asarray(indices)
+    for i in range(m):
+        lo, hi = indptr[i], indptr[i + 1]
+        elo, ehi = ip2[i], ip2[i + 1]
+        pos = elo + np.searchsorted(ix2[elo:ehi], indices[lo:hi])
+        ext_vals[pos] = vals[lo:hi]
+    return ilu0(ip2, ix2, ext_vals)
+
+
 def _split_lu(indptr, indices, a, m):
     rows = np.repeat(np.arange(m), np.diff(indptr))
     lower = indices < rows

@@ -54,6 +54,9 @@ def lib():
         L.rcm.argtypes = [i64, p64, p64, p64]
         L.greedy_color.restype = i64
         L.greedy_color.argtypes = [i64, p64, p64, p64]
+        L.iluk_symbolic.restype = i64
+        L.iluk_symbolic.argtypes = [i64, p64, p64, i64,
+                                    ctypes.c_void_p, ctypes.c_void_p]
         _lib = L
         return L
     except Exception:
@@ -130,3 +133,20 @@ def greedy_color(indptr, indices):
     colors = np.empty(n, dtype=np.int64)
     L.greedy_color(n, _c64(indptr), _c64(indices), colors)
     return colors
+
+
+def iluk_symbolic(indptr, indices, k):
+    """Level-of-fill ILU(k) pattern; returns (indptr, indices) or None."""
+    L = lib()
+    if L is None:
+        return None
+    n = len(indptr) - 1
+    ip = _c64(indptr)
+    ix = _c64(indices)
+    nnz = L.iluk_symbolic(n, ip, ix, int(k), None, None)
+    out_ip = np.empty(n + 1, dtype=np.int64)
+    out_ix = np.empty(int(nnz), dtype=np.int64)
+    L.iluk_symbolic(n, ip, ix, int(k),
+                    out_ip.ctypes.data_as(ctypes.c_void_p),
+                    out_ix.ctypes.data_as(ctypes.c_void_p))
+    return out_ip, out_ix

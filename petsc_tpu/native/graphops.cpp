@@ -180,4 +180,69 @@ int64_t greedy_color(int64_t n, const int64_t* indptr,
   return ncolor;
 }
 
+// ILU(k) symbolic factorization (aijfact.c:1536 MatILUFactorSymbolic
+// role): level-of-fill pattern, k >= 0. Two-call protocol: call with
+// out_indptr/out_indices = nullptr to get the required nnz; then call
+// again with allocated buffers. Rows are emitted column-sorted.
+int64_t iluk_symbolic(int64_t n, const int64_t* indptr,
+                      const int64_t* indices, int64_t k,
+                      int64_t* out_indptr, int64_t* out_indices) {
+  // rowstruct[i] = sorted (col, level) pairs of factored row i
+  std::vector<std::vector<std::pair<int64_t, int64_t>>> rows(n);
+  std::vector<int64_t> lev(n, -1);   // col -> level for current row
+  std::vector<int64_t> touched;
+  int64_t total = 0;
+  for (int64_t i = 0; i < n; i++) {
+    touched.clear();
+    for (int64_t p = indptr[i]; p < indptr[i + 1]; p++) {
+      int64_t c = indices[p];
+      if (lev[c] < 0) touched.push_back(c);
+      lev[c] = 0;
+    }
+    if (lev[i] < 0) { lev[i] = 0; touched.push_back(i); }  // force diag
+    // eliminate with factored rows kk < i present in the pattern
+    // (process kk in ascending order: collect, sort, sweep)
+    std::vector<int64_t> pivots;
+    for (int64_t c : touched)
+      if (c < i) pivots.push_back(c);
+    std::sort(pivots.begin(), pivots.end());
+    for (size_t pi = 0; pi < pivots.size(); pi++) {
+      int64_t kk = pivots[pi];
+      int64_t lkk = lev[kk];
+      if (lkk >= k + 1) continue;  // L entry beyond level limit: unused
+      for (auto& ce : rows[kk]) {
+        int64_t j = ce.first;
+        if (j <= kk) continue;     // U-part of row kk only
+        int64_t nl = lkk + ce.second + 1;
+        if (nl > k) continue;
+        if (lev[j] < 0) {
+          lev[j] = nl;
+          touched.push_back(j);
+          if (j < i && j > kk) {
+            // new pivot discovered; insert keeping order
+            pivots.insert(std::upper_bound(pivots.begin() + pi + 1,
+                                           pivots.end(), j), j);
+          }
+        } else if (nl < lev[j]) {
+          lev[j] = nl;
+        }
+      }
+    }
+    std::sort(touched.begin(), touched.end());
+    rows[i].reserve(touched.size());
+    for (int64_t c : touched) rows[i].emplace_back(c, lev[c]);
+    total += (int64_t)touched.size();
+    for (int64_t c : touched) lev[c] = -1;
+  }
+  if (out_indptr) {
+    int64_t pos = 0;
+    out_indptr[0] = 0;
+    for (int64_t i = 0; i < n; i++) {
+      for (auto& ce : rows[i]) out_indices[pos++] = ce.first;
+      out_indptr[i + 1] = pos;
+    }
+  }
+  return total;
+}
+
 }  // extern "C"

@@ -40,9 +40,18 @@ class _PCFactorBase:
 
 
 class _PCILU(_PCFactorBase):
+    def __init__(self, pc):
+        super().__init__(pc)
+        self.levels = 0
+
+    def set_from_options(self):
+        n = self.pc.opt("get_int", "pc_factor_levels", None)
+        if n is not None:
+            self.levels = n
+
     def setup(self):
         (indptr, indices, vals), layout = self._csr()
-        L, U, dinv = factor.ilu0(indptr, indices, vals)
+        L, U, dinv = factor.iluk(indptr, indices, vals, self.levels)
         tail, data = trisolve.make_trisolve_plan(L, U, dinv)
         return ("pc_trisolve",) + tail + (layout.Npad,), data
 

@@ -87,3 +87,42 @@ def test_native_coloring_valid():
     rows = np.repeat(np.arange(C.shape[0]), np.diff(C.indptr))
     off = C.indices != rows
     assert (colors[rows[off]] != colors[C.indices[off]]).all()
+
+
+def test_iluk_reduces_iterations():
+    """ILU(k) fill levels strengthen the preconditioner monotonically."""
+    import petsc_tpu as pt
+    A_sp = poisson2d(24)
+    its = []
+    for k in (0, 1, 2):
+        pt.init(args=["-pc_factor_levels", str(k)])
+        A = pt.MatAIJ.from_scipy(A_sp)
+        ksp = pt.KSP().create()
+        ksp.setOperators(A)
+        ksp.setType("gmres")
+        ksp.getPC().setType("ilu")
+        ksp.setFromOptions()
+        ksp.setTolerances(rtol=1e-10, max_it=500)
+        b = A.createVecLeft(); b.set(1.0)
+        x = A.createVecRight()
+        ksp.solve(b, x)
+        assert ksp.getConvergedReason().converged
+        its.append(ksp.getIterationNumber())
+    assert its[2] < its[1] < its[0], its
+
+
+def test_iluk_exact_limit():
+    """Large k approaches a complete factorization (1-2 iterations)."""
+    import petsc_tpu as pt
+    pt.init(args=["-pc_factor_levels", "30"])
+    A = pt.MatAIJ.from_scipy(poisson2d(10))
+    ksp = pt.KSP().create()
+    ksp.setOperators(A)
+    ksp.setType("gmres")
+    ksp.getPC().setType("ilu")
+    ksp.setFromOptions()
+    ksp.setTolerances(rtol=1e-10)
+    b = A.createVecLeft(); b.set(1.0)
+    x = A.createVecRight()
+    ksp.solve(b, x)
+    assert ksp.getIterationNumber() <= 2
