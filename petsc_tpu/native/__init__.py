@@ -54,6 +54,8 @@ def lib():
         L.rcm.argtypes = [i64, p64, p64, p64]
         L.greedy_color.restype = i64
         L.greedy_color.argtypes = [i64, p64, p64, p64]
+        L.hem_aggregate.restype = i64
+        L.hem_aggregate.argtypes = [i64, p64, p64, ctypes.c_void_p, i64, p64]
         L.iluk_symbolic.restype = i64
         L.iluk_symbolic.argtypes = [i64, p64, p64, i64,
                                     ctypes.c_void_p, ctypes.c_void_p]
@@ -150,3 +152,19 @@ def iluk_symbolic(indptr, indices, k):
                     out_ip.ctypes.data_as(ctypes.c_void_p),
                     out_ix.ctypes.data_as(ctypes.c_void_p))
     return out_ip, out_ix
+
+
+def hem_aggregate(indptr, indices, weights, rounds):
+    """Heavy-edge-matching aggregation; returns (agg, nagg) or None."""
+    L = lib()
+    if L is None:
+        return None
+    n = len(indptr) - 1
+    agg = np.empty(n, dtype=np.int64)
+    w = None if weights is None else np.ascontiguousarray(
+        weights, dtype=np.float64)
+    nagg = L.hem_aggregate(
+        n, _c64(indptr), _c64(indices),
+        w.ctypes.data_as(ctypes.c_void_p) if w is not None else None,
+        int(rounds), agg)
+    return agg, int(nagg)

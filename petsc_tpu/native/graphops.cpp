@@ -180,6 +180,73 @@ int64_t greedy_color(int64_t n, const int64_t* indptr,
   return ncolor;
 }
 
+// Heavy-edge matching coarsening (mat/graphops/coarsen/impls/hem role):
+// greedily match each vertex with its heaviest unmatched neighbor,
+// repeated `rounds` times on the contracted graph. Returns nagg; agg[i]
+// receives the final aggregate id of vertex i.
+int64_t hem_aggregate(int64_t n, const int64_t* indptr,
+                      const int64_t* indices, const double* weights,
+                      int64_t rounds, int64_t* agg) {
+  std::vector<int64_t> label(n);
+  for (int64_t i = 0; i < n; i++) label[i] = i;
+  // edge list view is re-derived per round through the labels
+  for (int64_t r = 0; r < rounds; r++) {
+    // order vertices by heaviest incident edge (desc) for greedy matching
+    std::vector<int64_t> reps;
+    reps.reserve(n);
+    std::vector<uint8_t> matched(n, 0);
+    std::vector<double> best(n, -1.0);
+    for (int64_t i = 0; i < n; i++)
+      if (label[i] == label[label[i]])  ;  // no-op, labels are flat
+    // flatten labels
+    for (int64_t i = 0; i < n; i++) {
+      int64_t l = label[i];
+      while (l != label[l]) l = label[l];
+      label[i] = l;
+    }
+    // accumulate inter-aggregate weights on the fly: for each vertex pick
+    // the heaviest edge to a different aggregate
+    std::vector<int64_t> heavy_to(n, -1);
+    std::vector<double> heavy_w(n, 0.0);
+    for (int64_t i = 0; i < n; i++) {
+      int64_t li = label[i];
+      for (int64_t p = indptr[i]; p < indptr[i + 1]; p++) {
+        int64_t j = indices[p];
+        int64_t lj = label[j];
+        if (lj == li) continue;
+        double w = weights ? std::abs(weights[p]) : 1.0;
+        if (w > heavy_w[li]) { heavy_w[li] = w; heavy_to[li] = lj; }
+      }
+    }
+    // greedy symmetric-ish matching over aggregate representatives
+    std::vector<int64_t> order;
+    for (int64_t i = 0; i < n; i++)
+      if (label[i] == i) order.push_back(i);
+    std::sort(order.begin(), order.end(), [&](int64_t a, int64_t b) {
+      return heavy_w[a] > heavy_w[b];
+    });
+    for (int64_t a : order) {
+      if (matched[a] || heavy_to[a] < 0) continue;
+      int64_t b = heavy_to[a];
+      if (matched[b]) continue;
+      matched[a] = matched[b] = 1;
+      label[b] = a;
+    }
+  }
+  // final flatten + compact ids
+  std::vector<int64_t> id(n, -1);
+  int64_t nagg = 0;
+  for (int64_t i = 0; i < n; i++) {
+    int64_t l = label[i];
+    while (l != label[l]) l = label[l];
+    label[i] = l;
+  }
+  for (int64_t i = 0; i < n; i++)
+    if (label[i] == i) id[i] = nagg++;
+  for (int64_t i = 0; i < n; i++) agg[i] = id[label[i]];
+  return nagg;
+}
+
 // ILU(k) symbolic factorization (aijfact.c:1536 MatILUFactorSymbolic
 // role): level-of-fill pattern, k >= 0. Two-call protocol: call with
 // out_indptr/out_indices = nullptr to get the required nnz; then call

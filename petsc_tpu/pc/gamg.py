@@ -265,6 +265,8 @@ class _PCGAMG(_PCMG):
         self.nsmooths = 1
         self.aggressive_levels = 1
         self.square_aggressive = True
+        self.coarsen_type = "mis"      # mis | hem
+        self.hem_rounds = 3
 
     def set_from_options(self):
         super().set_from_options()
@@ -284,6 +286,12 @@ class _PCGAMG(_PCMG):
         n = o("get_int", "pc_mg_levels", None)
         if n:
             self.max_levels = n
+        t = o("get_string", "pc_gamg_mat_coarsen_type", None)
+        if t:
+            self.coarsen_type = t
+        n = o("get_int", "pc_gamg_mat_coarsen_max_it", None)
+        if n:
+            self.hem_rounds = n
 
     def _threshold(self, level):
         if level < len(self.threshold):
@@ -318,12 +326,21 @@ class _PCGAMG(_PCMG):
         while (cur.shape[0] > self.coarse_eq_limit
                and level < self.max_levels - 1):
             G = strength_graph(cur, bs=cur_bs, threshold=self._threshold(level))
-            aggressive = (level < self.aggressive_levels
-                          and self.square_aggressive)
-            Gagg = square_graph(G) if aggressive else G
-            agg, nagg, roots = mis_aggregate(Gagg)
-            if aggressive:
-                agg = fix_aggregates_with_square(G, agg, roots)
+            if self.coarsen_type == "hem":
+                from .. import native
+                out = native.hem_aggregate(
+                    G.indptr.astype(np.int64), G.indices.astype(np.int64),
+                    G.data, self.hem_rounds)
+                if out is None:
+                    raise Error("hem coarsening needs the native library")
+                agg, nagg = out
+            else:
+                aggressive = (level < self.aggressive_levels
+                              and self.square_aggressive)
+                Gagg = square_graph(G) if aggressive else G
+                agg, nagg, roots = mis_aggregate(Gagg)
+                if aggressive:
+                    agg = fix_aggregates_with_square(G, agg, roots)
             if nagg == 0 or nagg * Bn.shape[1] >= cur.shape[0]:
                 break  # coarsening stalled
             P0, Bc = tentative_prolongator(agg, nagg, Bn, bs=cur_bs)

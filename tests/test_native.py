@@ -126,3 +126,29 @@ def test_iluk_exact_limit():
     x = A.createVecRight()
     ksp.solve(b, x)
     assert ksp.getIterationNumber() <= 2
+
+
+def test_hem_coarsening_gamg():
+    """-pc_gamg_mat_coarsen_type hem (heavy-edge matching, hem impl role)."""
+    import petsc_tpu as pt
+    from petsc_tpu import native
+    A_sp = poisson2d(32)
+    agg, nagg = native.hem_aggregate(
+        A_sp.indptr.astype(np.int64), A_sp.indices.astype(np.int64),
+        A_sp.data, 3)
+    # 3 rounds of pairing: aggregates of ~2^3=8 -> strong coarsening
+    assert nagg < A_sp.shape[0] // 4
+    assert (agg >= 0).all() and agg.max() == nagg - 1
+    pt.init(args=["-pc_gamg_mat_coarsen_type", "hem"])
+    A = pt.MatAIJ.from_scipy(A_sp)
+    ksp = pt.KSP().create()
+    ksp.setOperators(A)
+    ksp.setType("cg")
+    ksp.getPC().setType("gamg")
+    ksp.setFromOptions()
+    ksp.setTolerances(rtol=1e-8, max_it=100)
+    b = A.createVecLeft(); b.set(1.0)
+    x = A.createVecRight()
+    ksp.solve(b, x)
+    assert ksp.getConvergedReason().converged
+    assert ksp.getIterationNumber() <= 25
