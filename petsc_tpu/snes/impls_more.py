@@ -296,7 +296,67 @@ def solve_composite(snes: SNES, x_np, x):
     _finish(snes, x, x_np, it, fnorm, reason)
 
 
+def solve_ngs(snes: SNES, x_np, x):
+    """Nonlinear Gauss-Seidel by colored secant sweeps
+    (SNESComputeNGSDefaultSecant, impls/ngs): per color c, one residual
+    probe estimates the pointwise Jacobian diagonal; color-c unknowns take
+    a Newton update simultaneously (distance-1-independent, so this IS
+    multicolor GS)."""
+    colors = _ngs_colors(snes, len(x_np))
+    ncolor = int(colors.max()) + 1
+    h = 1e-8
+    sweeps = getattr(snes, "ngs_sweeps", 1)
+    F = snes._func_np(x_np)
+    fnorm = float(np.linalg.norm(F))
+    snes._fnorm0 = fnorm
+    snes._ttol = snes.rtol * fnorm
+    snes._monitor(0, fnorm)
+    reason = snes._converged(0, 0.0, 0.0, fnorm)
+    it = 0
+    while reason == SR.ITERATING and it < snes.max_it:
+        x_old = x_np.copy()
+        for _ in range(sweeps):
+            for c in range(ncolor):
+                sel = colors == c
+                F = snes._func_np(x_np)
+                xp = x_np.copy()
+                xp[sel] += h
+                Fp = snes._func_np(xp)
+                d = (Fp - F)[sel] / h
+                d = np.where(np.abs(d) < 1e-30, 1.0, d)
+                x_np[sel] -= F[sel] / d
+        F = snes._func_np(x_np)
+        fnorm = float(np.linalg.norm(F))
+        snorm = float(np.linalg.norm(x_np - x_old))
+        it += 1
+        snes._monitor(it, fnorm)
+        reason = snes._converged(it, float(np.linalg.norm(x_np)), snorm,
+                                 fnorm)
+    if reason == SR.ITERATING:
+        reason = SR.DIVERGED_MAX_IT
+    _finish(snes, x, x_np, it, fnorm, reason)
+
+
+def _ngs_colors(snes, n):
+    dm = snes.dm
+    if dm is not None and getattr(dm, "sizes", None) is not None:
+        shape = tuple(dm.sizes[::-1])
+        grids = np.indices(shape)
+        color = np.zeros(shape, dtype=np.int64)
+        for ax in range(len(shape)):
+            color |= (grids[ax] % 2) << ax
+        return color.reshape(-1)
+    if snes._jac_pmat is not None and snes._jac_pmat.nnz() > 0:
+        from .snes import _greedy_color
+        import scipy.sparse as sp
+        S = snes._jac_pmat.to_scipy()
+        return _greedy_color(sp.csr_matrix(
+            (np.ones_like(S.data), S.indices, S.indptr), shape=S.shape))
+    return np.zeros(n, dtype=np.int64)   # dense fallback: damped Jacobi
+
+
 SNES._impls.update({
+    "ngs": solve_ngs,
     "fas": solve_fas,
     "vinewtonrsls": solve_vinewtonrsls,
     "vinewtonssls": solve_vinewtonrsls,

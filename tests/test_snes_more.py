@@ -87,3 +87,19 @@ def test_composite():
     snes.solve(None, x)
     assert snes.getConvergedReason().converged
     assert np.allclose(np.asarray(x.getArray()), [1.0, 2.0], atol=1e-5)
+
+
+def test_ngs_bratu():
+    """Colored secant nonlinear Gauss-Seidel converges on Bratu (slowly —
+    it is a smoother; coarse tolerance)."""
+    from examples import ex5
+    da = pt.DMDA.create(2, (17, 17))
+    snes = pt.SNES().create()
+    snes.setType("ngs")
+    snes.setDM(da)
+    snes.setFunction(ex5.make_residual(da, 5.0))
+    snes.setTolerances(rtol=1e-4, max_it=400)
+    snes.ngs_sweeps = 2
+    x = da.createGlobalVector()
+    snes.solve(None, x)
+    assert snes.getConvergedReason().converged
