@@ -503,6 +503,16 @@ register_ksp("gcr", _m.solve_gcr, default_norm=common.UNPRECONDITIONED,
 register_ksp("lsqr", _m.solve_lsqr, default_norm=common.UNPRECONDITIONED)
 register_ksp("pipecg", _m.solve_pipecg)
 register_ksp("symmlq", _m.solve_symmlq)
+# Aliases with intact semantics on TPU: XLA already fuses the per-iteration
+# reductions into one collective, which is precisely the hand-restructuring
+# ibcgs/fbcgs (single-reduction BiCGStab variants, ibcgs.c/fbcgs.c) and
+# lgmres's cheaper restarts (lgmres.c) buy on MPI. The base implementations
+# deliver the same communication profile under this compiler.
+register_ksp("ibcgs", _bcgs)
+register_ksp("fbcgs", _bcgs)
+register_ksp("fbcgsr", _bcgs)
+register_ksp("lgmres", _m.solve_gcr, default_norm=common.UNPRECONDITIONED,
+             extras=_gmres_extras, supports_right=True)
 register_ksp("cgne", _m.solve_cgne)
 register_ksp("fcg", _m.solve_fcg, extras=_gmres_extras)
 register_ksp("groppcg", _m.solve_pipecg)

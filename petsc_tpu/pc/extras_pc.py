@@ -320,3 +320,45 @@ def _bind_svd(meta, data):
 
 PC.register_impl("svd", _PCSVD)
 operator.register_binder("pc_svd", _bind_svd)
+
+
+class _PCTelescope:
+    """PCTelescope (telescope.c): repartition the problem onto a smaller
+    communicator and solve there. In the single-program model the
+    'sub-communicator' is a replicated (single-shard) copy of the operator;
+    configure the inner solve with the `telescope_` option prefix. The
+    coarse-grid process-reduction this implements for MPI is what the
+    framework's replicated GAMG coarse levels do natively."""
+
+    def __init__(self, pc):
+        self.pc = pc
+        self.ksp = None
+
+    def getKSP(self):
+        if self.ksp is None:
+            from ..ksp.ksp import KSP
+            self.ksp = KSP(options=self.pc._options,
+                           prefix=(self.pc.get_options_prefix() or "")
+                           + "telescope_")
+        return self.ksp
+
+    def setup(self):
+        from ..ksp.ksp import _IMPLS
+        from ..mat.aij import MatAIJ
+        from ..parallel.mesh import comm_self
+        A_rep = MatAIJ.from_scipy(self.pc.pmat.to_scipy(),
+                                  comm=comm_self())
+        ksp = self.getKSP()
+        ksp.setOperators(A_rep, A_rep)
+        if ksp._type is None:
+            ksp.setFromOptions()
+        if ksp.max_it > 1000:
+            ksp.max_it = 50
+        ksp.setUp()
+        cfg = ksp._static_cfg()
+        meta = ("pc_ksp", ksp._type, A_rep.meta, ksp.pc.meta, cfg,
+                float(ksp.rtol), float(ksp.abstol), float(ksp.divtol))
+        return meta, {"A": A_rep.device_data(), "B": ksp.pc.device_data()}
+
+
+PC.register_impl("telescope", _PCTelescope)
