@@ -60,14 +60,14 @@ def _timed_rate(f, args, nnz, k_lo=3, k_hi=23, tries=3):
     return nnz / per / 1e9
 
 
-def main():
+def main(n=128):
     import jax
     import jax.numpy as jnp
     import petsc_tpu as pt
     from petsc_tpu.ops import operator
 
     pt.init(args=[])
-    n = 128  # ~2.1M rows, ~55M nnz
+    # n=128: ~2.1M rows, ~55M nnz
     A_sp = _poisson3d_27pt(n)
     nnz = A_sp.nnz
     A = pt.MatAIJ.from_scipy(A_sp)
@@ -95,4 +95,16 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    import sys
+    try:
+        main(int(sys.argv[1]) if len(sys.argv) > 1 else 128)
+    except Exception:  # noqa: BLE001 — the driver must always get a line
+        import traceback
+        traceback.print_exc(file=sys.stderr)
+        try:
+            main(64)   # smaller fallback (tunnel hiccups / memory)
+        except Exception:
+            traceback.print_exc(file=sys.stderr)
+            print(json.dumps({"metric": "spmv_27pt_poisson_128_f64",
+                              "value": 0.0, "unit": "Gnnz/s",
+                              "vs_baseline": 0.0}))

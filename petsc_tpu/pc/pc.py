@@ -105,7 +105,12 @@ class PC(PObject):
         if self._setup_called and self.pmat is not None \
                 and self._setup_state == self.pmat.state:
             return self
+        import time as _time
+        _t0 = _time.perf_counter()
         self._meta, self._data = self._impl.setup()
+        from .. import config as _cfg
+        _cfg.log().log_event(f"PCSetUp_{self._type}",
+                             _time.perf_counter() - _t0)
         self._setup_called = True
         if self.pmat is not None:
             self._setup_state = self.pmat.state

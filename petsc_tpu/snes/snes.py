@@ -366,7 +366,10 @@ class SNES(PObject):
         x_np = np.asarray(x.getArray(), dtype=np.float64).copy()
         if b is not None:
             raise Error("SNES: nonzero b not yet supported")
+        import time as _time
+        _t0 = _time.perf_counter()
         impl(self, x_np, x)
+        config.log().log_event("SNESSolve", _time.perf_counter() - _t0)
         if self.opt("get_bool", "snes_converged_reason", False):
             verb = "converged" if self._reason.converged else "did not converge"
             lab = ("CONVERGED_" + self._reason.name.split("CONVERGED_")[-1]

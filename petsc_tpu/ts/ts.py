@@ -328,6 +328,8 @@ class TS(PObject):
     def solve(self, u: Vec):
         self.setFromOptions()
         impl = self._impls[self._type]
+        import time as _time
+        _solve_t0 = _time.perf_counter()
         u_np = np.asarray(u.getArray(), dtype=np.float64).copy()
         self._steps = 0
         self._reason = TR.CONVERGED_ITERATING
@@ -376,6 +378,10 @@ class TS(PObject):
                 self._reason = TR.CONVERGED_EVENT
                 break
         u.setArray(u_np)
+        from .. import config as _cfg
+        import time as _time
+        _cfg.log().log_event("TSSolve", _time.perf_counter() - _solve_t0,
+                             count=max(self._steps, 1))
         if self.opt("get_bool", "ts_converged_reason", False):
             print(f"TS solve converged due to {self._reason.name} "
                   f"steps {self._steps}")
