@@ -84,6 +84,11 @@ class _PCBJacobi:
                                         default=None)
         if st:
             self.sub_type = st
+        kt = self.pc.options.get_string("sub_ksp_type",
+                                        prefix=self.pc.get_options_prefix(),
+                                        default=None)
+        if kt and kt != "preonly":
+            self.sub_ksp_type = kt
 
     def setup(self):
         A = self.pc.pmat
@@ -114,6 +119,32 @@ class _PCBJacobi:
             data["scatter_r"] = jnp.asarray(pr)
             data["gather_c"] = jnp.asarray(pc_)
             return ("pc_trisolve_perm",) + tail + (A.row_layout.Npad,), data
+        if getattr(self, "sub_ksp_type", None):
+            # iterative inner solves per block (PCBJacobiGetSubKSP path):
+            # inner KSP over the block-diagonal operator, jitted into the
+            # outer program like PCKSP
+            import scipy.sparse as sp
+            from ..ksp.ksp import KSP
+            from ..mat.aij import MatAIJ
+            from ..parallel.mesh import comm_self
+            Abd = MatAIJ.from_scipy(
+                sp.csr_matrix((bv, bj, bi), shape=(m, m)), comm=comm_self())
+            inner = KSP(options=self.pc._options,
+                        prefix=(self.pc.get_options_prefix() or "") + "sub_")
+            inner.create(self.pc.comm)
+            inner.setOperators(Abd, Abd)
+            inner.setType(self.sub_ksp_type)
+            inner.getPC().setType(self.sub_type)
+            inner.setFromOptions()
+            if inner.max_it > 1000:
+                inner.max_it = 50
+            inner.setUp()
+            cfg = inner._static_cfg()
+            meta = ("pc_ksp", inner._type, Abd.meta, inner.pc.meta, cfg,
+                    float(inner.rtol), float(inner.abstol),
+                    float(inner.divtol))
+            return meta, {"A": Abd.device_data(),
+                          "B": inner.pc.device_data()}
         if self.sub_type == "jacobi":
             d = np.zeros(m)
             hit = bj == rows[keep]

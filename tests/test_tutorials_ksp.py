@@ -132,3 +132,22 @@ def test_ex2_2_nsize2_reference_parity():
                       "-ksp_gmres_cgs_refinement_type refine_always",
                       comm=make_comm(2))
     assert_output(out, EX2_2, rtol=1e-6)
+
+
+# reference: output/ex2_bjacobi.out (nsize=4, one bjacobi block, inner
+# gmres+jacobi sub-solves)
+EX2_BJACOBI = """\
+  0 KSP Residual norm 7.48331
+  1 KSP Residual norm 2.10143e-06
+Norm of error 2.10144e-06 iterations 1
+"""
+
+
+def test_ex2_bjacobi_subksp_reference_parity():
+    """bjacobi with ITERATIVE inner solves (sub_ksp_type gmres): char-exact
+    vs reference ex2_bjacobi.out at nsize=4."""
+    from petsc_tpu.parallel.mesh import make_comm
+    out = run_example(ex2.main, "-pc_type bjacobi -pc_bjacobi_blocks 1 "
+                      "-ksp_monitor_short -sub_pc_type jacobi "
+                      "-sub_ksp_type gmres", comm=make_comm(4))
+    assert_output(out, EX2_BJACOBI, rtol=1e-6)
