@@ -219,12 +219,20 @@ class KSP(PObject):
         s = o("get_real", "ksp_richardson_scale", None)
         if s:
             self._params["scale"] = s
+        side = o("get_string", "ksp_pc_side", None)
+        if side:
+            self.getPC().side = side
         self.getPC().setFromOptions()
         return self
 
     def setUp(self):
         if self._type is None:
             self.setFromOptions()
+        # -ksp_pc_side right with gmres: route to the flexible (right-
+        # preconditioned) implementation — identical to right-PC GMRES for
+        # a constant preconditioner (KSPSetPCSide semantics)
+        if (self.getPC().side == "right" and self._type == "gmres"):
+            self._type = "fgmres"
         if self.normtype is None:
             self.normtype = _IMPLS[self._type]["norm"]
         self.getPC().setUp()
