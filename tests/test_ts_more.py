@@ -59,3 +59,21 @@ def test_alpha_decay_order2():
         errs.append(abs(float(u.getArray()[0]) - np.exp(-1.0)))
     rate = np.log2(errs[0] / errs[1])
     assert rate > 1.5, (errs, rate)
+
+
+def test_heat_equation_dmda():
+    """2-D heat equation: CN decay matches analytic within FD error."""
+    from examples import heat
+    ts, ratio, exact = heat.main(["-ts_type", "cn", "-ts_dt", "0.002",
+                                  "-ts_max_time", "0.02"])
+    assert ts.getConvergedReason().converged
+    assert abs(ratio - exact) / exact < 5e-3
+
+
+def test_heat_equation_explicit_vs_implicit():
+    from examples import heat
+    _, r1, e = heat.main(["-ts_type", "rk", "-ts_dt", "0.0002",
+                          "-ts_max_time", "0.01"])
+    _, r2, _ = heat.main(["-ts_type", "beuler", "-ts_dt", "0.0005",
+                          "-ts_max_time", "0.01"])
+    assert abs(r1 - r2) < 2e-2
