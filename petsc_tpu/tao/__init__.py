@@ -1,1 +1,2 @@
 from .tao import Tao
+from . import impls_more  # noqa: F401 — bncg/owlqn/tron

@@ -85,3 +85,45 @@ def test_almm_inequality():
     x = pt.Vec.from_array(np.zeros(3))
     tao.solve(x)
     assert np.allclose(np.asarray(x.getArray()), 1.0, atol=1e-3)
+
+
+def test_bncg_bounds():
+    tao = pt.Tao().create()
+    tao.setType("bncg")
+    tao.setObjective(lambda x: jnp.sum((x - 2.0) ** 2))
+    tao.setVariableBounds(np.zeros(6), np.ones(6))
+    x = pt.Vec.from_array(np.full(6, 0.3))
+    tao.solve(x)
+    assert tao.getConvergedReason().converged
+    assert np.allclose(np.asarray(x.getArray()), 1.0, atol=1e-6)
+
+
+def test_owlqn_l1_sparsity():
+    rng = np.random.default_rng(0)
+    A = rng.random((40, 10))
+    xs = np.zeros(10); xs[1] = 2.0; xs[7] = -1.0
+    b = A @ xs
+    tao = pt.Tao().create()
+    tao.setType("owlqn")
+    tao.setObjective(lambda x: 0.5 * jnp.sum((jnp.asarray(A) @ x - b) ** 2))
+    tao.setRegularizerWeight(0.5)
+    tao.setTolerances(gatol=1e-6)
+    x = pt.Vec.from_array(np.zeros(10))
+    tao.solve(x)
+    sol = np.asarray(x.getArray())
+    assert np.sum(np.abs(sol) > 0.05) <= 4        # sparse
+    assert abs(sol[1]) > 0.5 and abs(sol[7]) > 0.2  # support recovered
+
+
+def test_tron_bounds():
+    tao = pt.Tao().create()
+    tao.setType("tron")
+    tao.setObjective(rosenbrock)
+    tao.setVariableBounds(np.full(10, -0.5), np.full(10, 0.8))
+    x = pt.Vec.from_array(np.zeros(10))
+    tao.solve(x)
+    assert tao.getConvergedReason().converged
+    sol = np.asarray(x.getArray())
+    assert (sol >= -0.5 - 1e-10).all() and (sol <= 0.8 + 1e-10).all()
+    # bound active at the clipped optimum
+    assert np.isclose(sol[0::2].max(), 0.8, atol=1e-4)
