@@ -240,10 +240,13 @@ class MatAIJ(Mat):
         rl = np.diff(self._indptr)
         if len(rl) == 0 or rl.max() == 0:
             return "ell"
-        # bs-blocked (BAIJ role, src/mat/impls/baij): dense bs x bs blocks,
-        # block-ELL storage — the elasticity path (bs=2,3,6)
+        # bs-blocked (BAIJ role, src/mat/impls/baij): dense bs x bs blocks
         if (self.row_layout.bs or 1) > 1 and self.row_layout.bs == \
                 (self.col_layout.bs or 1):
+            # vector-field stencil on a declared grid: fused block-stencil
+            # layout beats block-ELL (no gather)
+            if self._grid_offsets_block() is not None:
+                return "dndb"
             return "bell"
         # grid-structured stencil (DMDA matrices): N-d coefficient arrays,
         # SpMV = fused shifted multiply-adds over the grid — XLA fuses all
@@ -265,6 +268,7 @@ class MatAIJ(Mat):
         this automatically."""
         self._grid_shape = tuple(int(s) for s in shape)
         self._grid_off_cache = None
+        self._grid_off_blk_cache = None
         if self._assembled and self._indptr is not None:
             self._build_device()
         return self
@@ -304,6 +308,39 @@ class MatAIJ(Mat):
         self._grid_off_cache = (self._indices, out)
         return out
 
+    def _grid_offsets_block(self):
+        """Node-space stencil offsets for bs>1 (vector-field stencils):
+        rows = node*bs + component. Returns (uniq_node_offsets, inv, rows,
+        bs) or None."""
+        cache = getattr(self, "_grid_off_blk_cache", None)
+        if cache is not None and cache[0] is self._indices:
+            return cache[1]
+        bs = self.row_layout.bs or 1
+        shape = getattr(self, "_grid_shape", None)
+        if shape is None and getattr(self, "_dm", None) is not None:
+            dm = self._dm
+            if getattr(dm, "dof", 1) > 1 and dm.sizes is not None:
+                shape = tuple(dm.sizes[::-1])
+                self._grid_shape = shape
+                bs = dm.dof
+        result = None
+        if (shape is not None and len(shape) >= 2 and bs > 1
+                and len(self._indices)):
+            m, n = self.getSize()
+            if m == n and int(np.prod(shape)) * bs == m:
+                rows = np.repeat(np.arange(m, dtype=np.int64),
+                                 np.diff(self._indptr))
+                nr, nc = rows // bs, self._indices // bs
+                ri = np.stack(np.unravel_index(nr, shape), axis=1)
+                ci = np.stack(np.unravel_index(nc, shape), axis=1)
+                d = ci - ri
+                if not np.any(np.abs(d).max(axis=0) >= np.asarray(shape)):
+                    uniq, inv = np.unique(d, axis=0, return_inverse=True)
+                    if len(uniq) <= 80:
+                        result = (uniq, inv, rows, bs)
+        self._grid_off_blk_cache = (self._indices, result)
+        return result
+
     def _dia_offsets(self):
         """Distinct diagonal offsets if the pattern is DIA-friendly, else None."""
         m, n = self.getSize()
@@ -325,7 +362,29 @@ class MatAIJ(Mat):
         kind = self._choose_kind()
         indptr, indices, vals = self._indptr, self._indices, self._vals
         rd = config.real_dtype()
-        if kind == "dnd":
+        if kind == "dndb":
+            # block grid stencil: coefficient blocks (K, grid..., bs, bs);
+            # SpMV = fused shifted block multiply-adds
+            shape = self._grid_shape
+            uniq, inv, rows, bs = self._grid_offsets_block()
+            K = len(uniq)
+            coef = np.zeros((K,) + shape + (bs, bs))
+            nr = rows // bs
+            multi = np.unravel_index(nr, shape)
+            coef[(inv,) + multi + (rows % bs, indices % bs)] = vals
+            dndb_scatter = np.ravel_multi_index(
+                (inv,) + multi + (rows % bs, indices % bs),
+                (K,) + shape + (bs, bs))
+            lpad = tuple(int(max(0, -uniq[:, ax].min()))
+                         for ax in range(len(shape)))
+            rpad = tuple(int(max(0, uniq[:, ax].max()))
+                         for ax in range(len(shape)))
+            self._dev = {"coef": jnp.asarray(coef, dtype=rd),
+                         "dndb_scatter": jnp.asarray(dndb_scatter)}
+            self._meta = ("aij_dndb", shape,
+                          tuple(tuple(int(v) for v in o) for o in uniq),
+                          lpad, rpad, bs)
+        elif kind == "dnd":
             # N-d stencil layout: one coefficient array per grid offset
             # (DMDA/fdda.c matrices); SpMV is a fused pass of shifted
             # multiply-adds — the TPU speed-of-light structured path
@@ -457,6 +516,13 @@ class MatAIJ(Mat):
             flat = jnp.zeros((K * sz,), dtype=csr_vals.dtype)
             self._dev["coef"] = flat.at[self._dev["dnd_scatter"]] \
                 .set(csr_vals).reshape((K,) + shape)
+        elif kind == "aij_dndb":
+            shape, offs, bs = self._meta[1], self._meta[2], self._meta[5]
+            K = len(offs)
+            sz = int(np.prod(shape)) * bs * bs
+            flat = jnp.zeros((K * sz,), dtype=csr_vals.dtype)
+            self._dev["coef"] = flat.at[self._dev["dndb_scatter"]] \
+                .set(csr_vals).reshape((K,) + shape + (bs, bs))
         elif kind == "aij_csr":
             self._dev["vals"] = csr_vals
         else:
@@ -744,6 +810,44 @@ def _bind_aij_dnd(meta, data):
     return operator.Op(mult=mult, mult_t=mult_t, diag=lambda: data["diag"])
 
 
+def _bind_aij_dndb(meta, data):
+    _, shape, offs, lpad, rpad, bs = meta
+    coef = data["coef"]
+    nd = len(shape)
+    nnode = int(np.prod(shape))
+
+    def mult(x):
+        v = x[: nnode * bs].reshape(shape + (bs,))
+        vp = jnp.pad(v, tuple(zip(lpad, rpad)) + ((0, 0),))
+        acc = jnp.zeros(shape + (bs,), dtype=x.dtype)
+        for k, off in enumerate(offs):
+            start = tuple(lpad[ax] + off[ax] for ax in range(nd)) + (0,)
+            sl = jax.lax.dynamic_slice(vp, start, shape + (bs,))
+            acc = acc + jnp.einsum("...ij,...j->...i", coef[k], sl)
+        y = acc.reshape(-1)
+        if x.shape[0] > y.shape[0]:
+            y = jnp.pad(y, (0, x.shape[0] - y.shape[0]))
+        return y
+
+    def mult_t(x):
+        v = x[: nnode * bs].reshape(shape + (bs,))
+        P = tuple(shape[ax] + lpad[ax] + rpad[ax] for ax in range(nd))
+        acc = jnp.zeros(P + (bs,), dtype=x.dtype)
+        for k, off in enumerate(offs):
+            start = tuple(lpad[ax] + off[ax] for ax in range(nd)) + (0,)
+            contrib = jnp.einsum("...ij,...i->...j", coef[k], v)
+            seg = jax.lax.dynamic_slice(acc, start, shape + (bs,))
+            acc = jax.lax.dynamic_update_slice(acc, seg + contrib, start)
+        sl = tuple(slice(lpad[ax], lpad[ax] + shape[ax])
+                   for ax in range(nd)) + (slice(None),)
+        y = acc[sl].reshape(-1)
+        if x.shape[0] > y.shape[0]:
+            y = jnp.pad(y, (0, x.shape[0] - y.shape[0]))
+        return y
+
+    return operator.Op(mult=mult, mult_t=mult_t, diag=lambda: data["diag"])
+
+
 def _bind_aij_bell(meta, data):
     _, mb, nb, bs, Kb = meta
     bd, bi = data["bdata"], data["bidx"]
@@ -867,6 +971,7 @@ def _bind_mpiaij(meta, data):
 operator.register_binder("aij_ell", _bind_aij_ell)
 operator.register_binder("aij_dia", _bind_aij_dia)
 operator.register_binder("aij_bell", _bind_aij_bell)
+operator.register_binder("aij_dndb", _bind_aij_dndb)
 operator.register_binder("aij_dnd", _bind_aij_dnd)
 operator.register_binder("aij_csr", _bind_aij_csr)
 operator.register_binder("mpiaij", _bind_mpiaij)

@@ -74,3 +74,38 @@ def test_bell_coo_numeric_update():
     A.setValuesCOO(2.0 * coo.data)
     A.mult(pt.Vec.from_array(x), y)
     assert np.allclose(np.asarray(y.getArray()), 2.0 * (A_sp @ x))
+
+
+def test_dndb_block_stencil_kind():
+    """bs>1 on a declared grid takes the fused block-stencil layout."""
+    import scipy.sparse as sp
+    n, bs = 10, 3
+    base = poisson2d(n)
+    rows, cols = base.nonzero()
+    rng = np.random.default_rng(0)
+    data = rng.standard_normal((len(rows), bs, bs))
+    A_sp = sp.bsr_matrix((data, cols, base.indptr),
+                         shape=(n * n * bs, n * n * bs)).tocsr()
+    A = pt.MatAIJ.from_scipy(A_sp)
+    A.setBlockSize(bs)
+    A.setStencilGrid((n, n))
+    assert A.meta[0] == "aij_dndb"
+    x = rng.random(n * n * bs)
+    y = A.createVecLeft(); A.mult(pt.Vec.from_array(x), y)
+    assert np.allclose(np.asarray(y.getArray()), A_sp @ x)
+    yt = A.createVecRight(); A.multTranspose(pt.Vec.from_array(x), yt)
+    assert np.allclose(np.asarray(yt.getArray()), A_sp.T @ x)
+    # solve path
+    A_sym = pt.MatAIJ.from_scipy(((A_sp + A_sp.T) * 0.5
+                                  + 20 * sp.eye(n * n * bs)).tocsr())
+    A_sym.setBlockSize(bs)
+    A_sym.setStencilGrid((n, n))
+    ksp = pt.KSP().create()
+    ksp.setOperators(A_sym)
+    ksp.setType("cg")
+    ksp.getPC().setType("pbjacobi")
+    ksp.setTolerances(rtol=1e-10)
+    b = A_sym.createVecLeft(); b.set(1.0)
+    xs = A_sym.createVecRight()
+    ksp.solve(b, xs)
+    assert ksp.getConvergedReason().converged
