@@ -355,7 +355,117 @@ def _ngs_colors(snes, n):
     return np.zeros(n, dtype=np.int64)   # dense fallback: damped Jacobi
 
 
+def _nasm_subdomains(snes, n):
+    nb = getattr(snes, "nasm_blocks", 2)
+    ov = getattr(snes, "nasm_overlap", 1)
+    sizes = np.full(nb, n // nb)
+    sizes[: n % nb] += 1
+    starts = np.concatenate([[0], np.cumsum(sizes)])
+    doms = []
+    for b in range(nb):
+        lo = max(0, starts[b] - ov)
+        hi = min(n, starts[b + 1] + ov)
+        own = np.arange(starts[b], starts[b + 1])
+        doms.append((own, np.arange(lo, hi)))
+    return doms
+
+
+def _nasm_correction(snes, x_np, doms):
+    """Additive Schwarz corrections: solve each restricted nonlinear
+    subproblem (impls/nasm) with a small inner Newton; RASM combination
+    (owned parts only)."""
+    from .snes import SNES as _SNES
+    from ..vec.vec import Vec
+    d_total = np.zeros_like(x_np)
+    for own, dom in doms:
+        base = x_np.copy()
+
+        def local_res(z, dom=dom, base=base):
+            xz = jnp.asarray(base).at[jnp.asarray(dom)].set(z)
+            F = snes._func_pure(xz) if snes._func_pure is not None else \
+                jnp.asarray(snes._func_np(np.asarray(xz)))
+            return F[jnp.asarray(dom)]
+
+        sub = _SNES(options=snes._options)
+        sub.create(snes.comm)
+        sub.setType("newtonls")
+
+        def _wrapped(z, _lr=local_res):
+            return _lr(z)
+        _one_arg = (lambda z: _wrapped(z))
+        sub.setFunction(_one_arg)
+        sub.max_it = getattr(snes, "nasm_sub_its", 6)
+        sub.rtol = 1e-3
+        zv = Vec.from_array(x_np[dom], comm=snes.comm)
+        sub.solve(None, zv)
+        z = np.asarray(zv.getArray())
+        corr = z - x_np[dom]
+        sel = np.isin(dom, own)
+        d_total[dom[sel]] += corr[sel]
+    return d_total
+
+
+def solve_nasm(snes: SNES, x_np, x):
+    """Nonlinear additive Schwarz (impls/nasm; restricted combination)."""
+    doms = _nasm_subdomains(snes, len(x_np))
+    damping = getattr(snes, "nasm_damping", 1.0)
+    F = snes._func_np(x_np)
+    fnorm = float(np.linalg.norm(F))
+    snes._fnorm0 = fnorm
+    snes._ttol = snes.rtol * fnorm
+    snes._monitor(0, fnorm)
+    reason = snes._converged(0, 0.0, 0.0, fnorm)
+    it = 0
+    while reason == SR.ITERATING and it < snes.max_it:
+        d = _nasm_correction(snes, x_np, doms)
+        x_np = x_np + damping * d
+        F = snes._func_np(x_np)
+        fnorm = float(np.linalg.norm(F))
+        it += 1
+        snes._monitor(it, fnorm)
+        reason = snes._converged(it, float(np.linalg.norm(x_np)),
+                                 damping * float(np.linalg.norm(d)), fnorm)
+    if reason == SR.ITERATING:
+        reason = SR.DIVERGED_MAX_IT
+    _finish(snes, x, x_np, it, fnorm, reason)
+
+
+def solve_aspin(snes: SNES, x_np, x):
+    """ASPIN (impls/nasm with SNESSetNPCSide / aspin.c role): line-searched
+    outer iteration on the additive-Schwarz-preconditioned direction."""
+    doms = _nasm_subdomains(snes, len(x_np))
+    ls = snes.linesearch
+    old = ls.kind
+    if ls.kind == "bt":
+        ls.kind = "l2"
+    F = snes._func_np(x_np)
+    fnorm = float(np.linalg.norm(F))
+    snes._fnorm0 = fnorm
+    snes._ttol = snes.rtol * fnorm
+    snes._monitor(0, fnorm)
+    reason = snes._converged(0, 0.0, 0.0, fnorm)
+    it = 0
+    while reason == SR.ITERATING and it < snes.max_it:
+        d = _nasm_correction(snes, x_np, doms)
+        xn, Fn, gnorm, lam, ok = ls.apply(x_np, -d, F, fnorm)
+        if not ok and gnorm >= fnorm:
+            reason = SR.DIVERGED_LINE_SEARCH
+            break
+        snorm = float(np.linalg.norm(xn - x_np))
+        x_np, F, fnorm = xn, Fn, gnorm
+        it += 1
+        snes._monitor(it, fnorm)
+        reason = snes._converged(it, float(np.linalg.norm(x_np)), snorm,
+                                 fnorm)
+    ls.kind = old
+    if reason == SR.ITERATING:
+        reason = SR.DIVERGED_MAX_IT
+    _finish(snes, x, x_np, it, fnorm, reason)
+
+
 SNES._impls.update({
+    "nasm": solve_nasm,
+    "aspin": solve_aspin,
     "ngs": solve_ngs,
     "fas": solve_fas,
     "vinewtonrsls": solve_vinewtonrsls,

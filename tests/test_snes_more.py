@@ -103,3 +103,28 @@ def test_ngs_bratu():
     x = da.createGlobalVector()
     snes.solve(None, x)
     assert snes.getConvergedReason().converged
+
+
+@pytest.mark.parametrize("stype", ["nasm", "aspin"])
+def test_nasm_aspin(stype):
+    """Nonlinear additive Schwarz on a 1-D reaction-diffusion problem."""
+    import scipy.sparse as sp
+    n = 40
+    T = sp.diags([2 * np.ones(n), -np.ones(n - 1), -np.ones(n - 1)],
+                 [0, 1, -1], format="csr").toarray()
+    Tj = jnp.asarray(T)
+
+    def F(x):
+        return Tj @ x + 0.3 * jnp.exp(x) - 1.0
+
+    snes = pt.SNES().create()
+    snes.setType(stype)
+    snes.nasm_blocks = 4
+    snes.nasm_overlap = 3
+    snes.setTolerances(rtol=1e-8, max_it=60)
+    snes.setFunction(F)
+    x = pt.Vec.from_array(np.zeros(n))
+    snes.solve(None, x)
+    assert snes.getConvergedReason().converged, snes.getConvergedReason()
+    xs = np.asarray(x.getArray())
+    assert np.linalg.norm(np.asarray(F(jnp.asarray(xs)))) < 1e-6
