@@ -60,14 +60,15 @@ def _timed_rate(f, args, nnz, k_lo=3, k_hi=23, tries=3):
     return nnz / per / 1e9
 
 
-def main(n=128):
+def main(n=96):
     import jax
     import jax.numpy as jnp
     import petsc_tpu as pt
     from petsc_tpu.ops import operator
 
     pt.init(args=[])
-    # n=128: ~2.1M rows, ~55M nnz
+    # n=96: ~0.9M rows, ~24M nnz (fits the measurement window through
+    # the dev tunnel; bandwidth-bound at this size and above)
     A_sp = _poisson3d_27pt(n)
     nnz = A_sp.nnz
     A = pt.MatAIJ.from_scipy(A_sp)
@@ -87,7 +88,7 @@ def main(n=128):
     # reference per-core anchor: 1.277e9 flops/s / 2 flops-per-nnz
     ref_gnnz = 1.277 / 2.0
     print(json.dumps({
-        "metric": "spmv_27pt_poisson_128_f64",
+        "metric": "spmv_27pt_poisson_f64",
         "value": round(gnnz, 3),
         "unit": "Gnnz/s",
         "vs_baseline": round(gnnz / ref_gnnz, 2),
@@ -97,7 +98,7 @@ def main(n=128):
 if __name__ == "__main__":
     import sys
     try:
-        main(int(sys.argv[1]) if len(sys.argv) > 1 else 128)
+        main(int(sys.argv[1]) if len(sys.argv) > 1 else 96)
     except Exception:  # noqa: BLE001 — the driver must always get a line
         import traceback
         traceback.print_exc(file=sys.stderr)
@@ -105,6 +106,6 @@ if __name__ == "__main__":
             main(64)   # smaller fallback (tunnel hiccups / memory)
         except Exception:
             traceback.print_exc(file=sys.stderr)
-            print(json.dumps({"metric": "spmv_27pt_poisson_128_f64",
+            print(json.dumps({"metric": "spmv_27pt_poisson_f64",
                               "value": 0.0, "unit": "Gnnz/s",
                               "vs_baseline": 0.0}))
