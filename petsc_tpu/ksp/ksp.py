@@ -476,6 +476,11 @@ def _cheby_extras(ksp):
         s = ksp.opt("get_string", "ksp_chebyshev_eigenvalues", None)
         if s:
             ev = tuple(float(t) for t in s.split(","))
+    tform = (0.0, 0.1, 0.0, 1.1)   # default MG transform (cheby.c:203)
+    s = ksp.opt("get_string", "ksp_chebyshev_esteig", None)
+    if s:
+        vals = [float(t) for t in s.split(",")]
+        tform = tuple(vals + [0.0] * (4 - len(vals)))[:4]
     if ev is None:
         from .cheby import estimate_emax
         A = ksp.mat
@@ -483,7 +488,9 @@ def _cheby_extras(ksp):
         d = op.diag()
         dinv = jnp.where(d != 0, 1.0 / jnp.where(d == 0, 1.0, d), 1.0)
         emax = estimate_emax(op.mult, dinv, A.row_layout.Npad)
-        ev = (0.1 * emax, 1.1 * emax)
+        emin = emax / 30.0            # rough lower Ritz proxy
+        ev = (tform[0] * emin + tform[1] * emax,
+              tform[2] * emin + tform[3] * emax)
     return (float(ev[0]), float(ev[1]))
 
 

@@ -142,7 +142,44 @@ def step_alpha(ts: TS, t, u, dt):
     return un, None, 2, np.all(np.isfinite(un))
 
 
+# Gauss-Legendre collocation (impls/irk): s=2, order 4, A-stable
+_IRK_C = [0.5 - np.sqrt(3) / 6, 0.5 + np.sqrt(3) / 6]
+_IRK_A = [[0.25, 0.25 - np.sqrt(3) / 6],
+          [0.25 + np.sqrt(3) / 6, 0.25]]
+_IRK_B = [0.5, 0.5]
+
+
+def step_irk(ts: TS, t, u, dt):
+    """Fully implicit Gauss(2) RK: both stage derivatives solved as ONE
+    stacked nonlinear system (impls/irk)."""
+    uj = jnp.asarray(u)
+    n = len(u)
+
+    def build():
+        f = ts.rhs
+
+        def residual(kflat, tt, dtt, uprev):
+            k = kflat.reshape(2, -1)
+            r = []
+            for i in range(2):
+                ui = uprev + dtt * (_IRK_A[i][0] * k[0]
+                                    + _IRK_A[i][1] * k[1])
+                r.append(k[i] - f(tt + _IRK_C[i] * dtt, ui))
+            return jnp.concatenate(r)
+        return residual
+
+    residual = _stage_residual(ts, ("irk",), build)
+    k0 = np.concatenate([np.asarray(ts.rhs(t, uj))] * 2)
+    kflat, ok = _snes_stage_solve(ts, residual, (t, dt, u), k0)
+    if not ok:
+        return u, None, 4, False
+    k = kflat.reshape(2, -1)
+    un = u + dt * (_IRK_B[0] * k[0] + _IRK_B[1] * k[1])
+    return un, None, 4, np.all(np.isfinite(un))
+
+
 TS._impls.update({
+    "irk": step_irk,
     "basicsymplectic": step_symplectic,
     "symplectic": step_symplectic,
     "pseudo": step_pseudo,

@@ -77,3 +77,36 @@ def test_heat_equation_explicit_vs_implicit():
     _, r2, _ = heat.main(["-ts_type", "beuler", "-ts_dt", "0.0005",
                           "-ts_max_time", "0.01"])
     assert abs(r1 - r2) < 2e-2
+
+
+def test_irk_gauss_order4():
+    errs = []
+    for dt in (0.1, 0.05):
+        ts = pt.TS().create()
+        ts.setType("irk")
+        ts.setRHSFunction(lambda t, u: -u)
+        ts.setTimeStep(dt)
+        ts.setMaxTime(1.0)
+        ts.adapt.kind = "none"
+        u = pt.Vec.from_array(np.array([1.0]))
+        ts.solve(u)
+        errs.append(abs(float(u.getArray()[0]) - np.exp(-1.0)))
+    rate = np.log2(errs[0] / errs[1])
+    assert rate > 3.5, (errs, rate)
+
+
+def test_irk_stiff_stable():
+    """Gauss(2) is A-stable (not L-stable): the step amplification must
+    match its stability function R(z) exactly — no blowup at z = -50."""
+    lam, dt = -500.0, 0.1
+    ts = pt.TS().create()
+    ts.setType("irk")
+    ts.setRHSFunction(lambda t, u: lam * u)
+    ts.setTimeStep(dt)
+    ts.setMaxTime(1.0)
+    ts.adapt.kind = "none"
+    u = pt.Vec.from_array(np.array([1.0]))
+    ts.solve(u)
+    z = lam * dt
+    R = (1 + z / 2 + z * z / 12) / (1 - z / 2 + z * z / 12)
+    assert abs(float(u.getArray()[0]) - R ** 10) < 1e-6
