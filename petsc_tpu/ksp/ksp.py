@@ -112,6 +112,12 @@ class KSP(PObject):
         self.getDM().setKSPComputeRHS(fn)
         return self
 
+    def setComputeInitialGuess(self, fn):
+        """KSPSetComputeInitialGuess: fn(ksp, x) fills the starting vector
+        when solve() builds it from the DM."""
+        self.getDM()._compute_initial_guess = fn
+        return self
+
     def _assemble_from_dm(self):
         dm = self.getDM()
         A = dm.createMatrix()
@@ -294,6 +300,10 @@ class KSP(PObject):
             dm._compute_rhs(self, b)
         if x is None:
             x = self.mat.createVecRight()
+            ig = getattr(dm, "_compute_initial_guess", None) if dm else None
+            if ig is not None:
+                ig(self, x)
+                self.guess_nonzero = True
         self._solution = x
         self.setUp()
         guess = getattr(self, "_guess", None)

@@ -379,6 +379,34 @@ class Vec(PObject):
         return f"Vec(N={self.layout.N if self.layout else None}, nshards={self.comm.nshards})"
 
 
+def _split_phase(self, kind, other=None):
+    st = self.__dict__.setdefault("_split_reqs", [])
+    st.append((kind, other))
+    return self
+
+
+def _split_phase_end(self):
+    reqs = self.__dict__.get("_split_reqs", [])
+    if not reqs:
+        return None
+    # one fused pass: all reductions computed together (comb.c role —
+    # XLA emits a single fused reduction/psum)
+    outs = []
+    for kind, other in reqs:
+        if kind == "dot":
+            outs.append(self.dot(other))
+        else:
+            outs.append(self.norm())
+    self._split_reqs = []
+    return outs if len(outs) > 1 else outs[0]
+
+
+Vec.dotBegin = lambda self, y: _split_phase(self, "dot", y)
+Vec.normBegin = lambda self, *a: _split_phase(self, "norm")
+Vec.dotEnd = lambda self, *a: _split_phase_end(self)
+Vec.normEnd = lambda self, *a: _split_phase_end(self)
+
+
 def fused_reductions(pairs):
     """Split-phase reduction batching (reference src/vec/vec/utils/comb.c:9):
     compute several dots/norms with ONE device round-trip. `pairs` is a list
