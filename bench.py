@@ -60,15 +60,16 @@ def _timed_rate(f, args, nnz, k_lo=3, k_hi=23, tries=3):
     return nnz / per / 1e9
 
 
-def main(n=96):
+def main(n=64):
     import jax
     import jax.numpy as jnp
     import petsc_tpu as pt
     from petsc_tpu.ops import operator
 
     pt.init(args=[])
-    # n=96: ~0.9M rows, ~24M nnz (fits the measurement window through
-    # the dev tunnel; bandwidth-bound at this size and above)
+    # n=64 default: ~262k rows, ~7M nnz — bandwidth-representative and
+    # small enough that the dev tunnel's worst-case upload rate still fits
+    # the measurement window; pass a larger n explicitly on real hardware
     A_sp = _poisson3d_27pt(n)
     nnz = A_sp.nnz
     A = pt.MatAIJ.from_scipy(A_sp)
@@ -98,12 +99,12 @@ def main(n=96):
 if __name__ == "__main__":
     import sys
     try:
-        main(int(sys.argv[1]) if len(sys.argv) > 1 else 96)
+        main(int(sys.argv[1]) if len(sys.argv) > 1 else 64)
     except Exception:  # noqa: BLE001 — the driver must always get a line
         import traceback
         traceback.print_exc(file=sys.stderr)
         try:
-            main(64)   # smaller fallback (tunnel hiccups / memory)
+            main(48)   # smaller fallback (tunnel hiccups / memory)
         except Exception:
             traceback.print_exc(file=sys.stderr)
             print(json.dumps({"metric": "spmv_27pt_poisson_f64",

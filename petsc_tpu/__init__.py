@@ -60,4 +60,31 @@ def __getattr__(name):
     if name == "IS":
         from .parallel.index import IS
         return IS
+    if name == "DMStag":
+        from .dm.stag import DMStag
+        return DMStag
+    if name == "DMPlex":
+        from .dm.plex import DMPlex
+        return DMPlex
+    if name == "DMComposite":
+        from .dm.composite import DMComposite
+        return DMComposite
+    if name == "Regressor":
+        from .ml.regressor import Regressor
+        return Regressor
+    if name == "AO":
+        from .parallel.ao import AO
+        return AO
+    if name == "Random":
+        from .sys.random import Random
+        return Random
+    if name == "VecGhost":
+        from .vec.ghost import VecGhost
+        return VecGhost
+    if name == "VecNest":
+        from .vec.nest import VecNest
+        return VecNest
+    if name == "viewer":
+        from .sys import viewer
+        return viewer
     raise AttributeError(name)
