@@ -98,6 +98,9 @@ class _PCMG:
         c = o("get_string", "pc_mg_cycle_type", None)
         if c:
             self.cycle = c
+        t = o("get_string", "pc_mg_type", None)
+        if t in ("full", "kaskade", "kascade"):
+            self.cycle = "full" if t == "full" else "kaskade"
         n = o("get_int", "mg_levels_ksp_max_it", None)
         if n:
             self.smooth_pre = self.smooth_post = n
@@ -242,25 +245,41 @@ def _smooth(kind, Aop, dinv, eig, b, x, its):
 
 
 def _bind_pc_mg(meta, data):
+    """Cycle types (PCMGSetType/PCMGSetCycleType, mg.c): multiplicative
+    V (default) and W cycles, KASKADE (coarse solve + prolongate +
+    post-smooth only), and FULL (F-cycle: nested full solves from the
+    coarsest level up, a V-cycle at each stage)."""
     _, cycle, nlev, lev_metas = meta
     levels = data["levels"]
     ncycles = 2 if cycle == "w" else 1
 
-    def level_apply(l, b):
-        if l == nlev - 1:
-            cm, cd = lev_metas[l], levels[l]
-            sol = jax.scipy.linalg.lu_solve((cd["lu"], cd["piv"]), b[: cm[1]])
-            if b.shape[0] > cm[1]:
-                sol = jnp.pad(sol, (0, b.shape[0] - cm[1]))
-            return sol
+    def coarse_solve(b):
+        cm, cd = lev_metas[-1], levels[-1]
+        sol = jax.scipy.linalg.lu_solve((cd["lu"], cd["piv"]), b[: cm[1]])
+        if b.shape[0] > cm[1]:
+            sol = jnp.pad(sol, (0, b.shape[0] - cm[1]))
+        return sol
+
+    def bind_level(l):
         A_meta, P_meta, R_meta, kind, pre, post = lev_metas[l]
         ld = levels[l]
         Aop = operator.bind(A_meta, ld["A"])
         Pop = operator.bind(P_meta, ld["P"])
         restrict = Pop.mult_t if R_meta is None \
             else operator.bind(R_meta, ld["R"]).mult
+        return Aop, Pop, restrict, ld, kind, pre, post
+
+    def level_apply(l, b, x0=None):
+        if l == nlev - 1:
+            return coarse_solve(b)
+        Aop, Pop, restrict, ld, kind, pre, post = bind_level(l)
+        if cycle == "kaskade":
+            xc = level_apply(l + 1, restrict(b))
+            x = Pop.mult(xc)
+            return _smooth(kind, Aop, ld["dinv"], ld["eig"], b, x, post)
         x = _smooth(kind, Aop, ld["dinv"], ld["eig"], b,
-                    jnp.zeros_like(b), pre)
+                    jnp.zeros_like(b) if x0 is None else x0,
+                    pre)
         for c in range(ncycles):
             r = b - Aop.mult(x)
             xc = level_apply(l + 1, restrict(r))
@@ -269,6 +288,22 @@ def _bind_pc_mg(meta, data):
                 x = _smooth(kind, Aop, ld["dinv"], ld["eig"], b, x, post)
         return x
 
+    def full_apply(b):
+        # F-cycle: restrict b all the way down, then work upward with a
+        # V-cycle per level seeded by the prolongated coarser solution
+        bs = [b]
+        for l in range(nlev - 1):
+            _, _, restrict, _, _, _, _ = bind_level(l)
+            bs.append(restrict(bs[-1]))
+        x = coarse_solve(bs[-1])
+        for l in range(nlev - 2, -1, -1):
+            _, Pop, _, _, _, _, _ = bind_level(l)
+            x = Pop.mult(x)
+            x = level_apply(l, bs[l], x0=x)
+        return x
+
+    if cycle == "full":
+        return operator.Op(mult=full_apply)
     return operator.Op(mult=lambda b: level_apply(0, b))
 
 

@@ -151,3 +151,22 @@ def test_ex56_elasticity_gamg():
     assert ksp.getIterationNumber() <= 15   # reference: 14-15
     # bs=3 + nvec=6 rigid-body modes flowed through aggregation/QR
     assert ksp.mat.getBlockSize() == 3
+
+
+@pytest.mark.parametrize("mgtype,ktype,limit", [
+    ("w", "cg", 15), ("full", "cg", 25), ("kaskade", "gmres", 80),
+])
+def test_mg_cycle_types(mgtype, ktype, limit):
+    """W / FULL (F-cycle) / KASKADE cycle types (PCMGSetType, mg.c).
+    Kaskade is an unsymmetric cycle, so it pairs with gmres."""
+    from examples import ex45
+    args = ["-da_grid_x", "17", "-da_grid_y", "17", "-da_grid_z", "17",
+            "-ksp_type", ktype, "-ksp_rtol", "1e-8", "-pc_type", "mg",
+            "-ksp_max_it", "200"]
+    if mgtype == "w":
+        args += ["-pc_mg_cycle_type", "w"]
+    else:
+        args += ["-pc_mg_type", mgtype]
+    ksp = ex45.main(args)
+    assert ksp.getConvergedReason().converged
+    assert ksp.getIterationNumber() <= limit
