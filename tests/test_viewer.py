@@ -71,3 +71,22 @@ def test_log_view(capsys):
     pt.log().view()
     out = capsys.readouterr().out
     assert "KSPSolve" in out and "log_view" in out
+
+
+def test_matrix_market_roundtrip(tmp_path):
+    from petsc_tpu.mat.mmio import load_matrix_market, save_matrix_market
+    p = str(tmp_path / "m.mtx")
+    A = pt.MatAIJ.from_scipy(poisson2d(7))
+    save_matrix_market(p, A)
+    B = load_matrix_market(p)
+    assert (abs(A.to_scipy() - B.to_scipy())).nnz == 0
+
+
+def test_bench_spmv_driver(tmp_path, capsys):
+    from petsc_tpu.mat.mmio import save_matrix_market
+    from examples import bench_spmv
+    p = str(tmp_path / "t.mtx")
+    save_matrix_market(p, pt.MatAIJ.from_scipy(poisson2d(12)))
+    bench_spmv.main(["-fmtx", p])
+    out = capsys.readouterr().out
+    assert "Gnnz/s" in out
