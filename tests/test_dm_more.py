@@ -78,3 +78,15 @@ def test_stag_1d():
     v = st.createGlobalVector()
     st.setVecArray(v, "vertex", np.arange(9.0))
     assert np.allclose(st.getVecArray(v, "vertex"), np.arange(9.0))
+
+
+def test_stokes_mac_fieldsplit():
+    """DMStag MAC Stokes + FGMRES/fieldsplit-Schur: manufactured-solution
+    convergence and discrete incompressibility."""
+    from examples import stokes_stag
+    k1, e1, d1 = stokes_stag.main(["-n", "8"])
+    k2, e2, d2 = stokes_stag.main(["-n", "16"])
+    assert k1.getConvergedReason().converged
+    assert k2.getConvergedReason().converged
+    assert d2 < 1e-8                      # div-free
+    assert e2 < e1 / 2                    # mesh convergence
