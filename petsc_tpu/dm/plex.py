@@ -115,6 +115,52 @@ class DMPlex(DM):
             return cls.createFromCellList(3, cells, coords, comm)
         raise Error(f"createBoxMesh: dim {dim}")
 
+    @classmethod
+    def createFromGmsh(cls, path, comm=None):
+        """Read a Gmsh ASCII v2.2 .msh file (DMPlexCreateGmsh role,
+        plexgmsh.c): highest-dimensional elements become cells; physical
+        tags are kept as labels (DMLabel-lite dict name -> cell ids)."""
+        nodes = {}
+        elems = []           # (etype, tag, [verts])
+        with open(path) as f:
+            lines = iter(f.read().splitlines())
+            for line in lines:
+                if line.startswith("$Nodes"):
+                    nn = int(next(lines))
+                    for _ in range(nn):
+                        parts = next(lines).split()
+                        nodes[int(parts[0])] = [float(v)
+                                                for v in parts[1:4]]
+                elif line.startswith("$Elements"):
+                    ne = int(next(lines))
+                    for _ in range(ne):
+                        parts = [int(v) for v in next(lines).split()]
+                        etype = parts[1]
+                        ntags = parts[2]
+                        tag = parts[3] if ntags else 0
+                        verts = parts[3 + ntags:]
+                        elems.append((etype, tag, verts))
+        # element types: 2 tri, 3 quad, 4 tet, 5 hex (gmsh numbering)
+        dim_of = {2: 2, 3: 2, 4: 3, 5: 3}
+        present = [e for e in elems if e[0] in dim_of]
+        if not present:
+            raise Error("gmsh file has no 2-D/3-D elements")
+        dim = max(dim_of[e[0]] for e in present)
+        cell_types = {t for t, d in dim_of.items() if d == dim}
+        cells_raw = [e for e in present if e[0] in cell_types]
+        # renumber vertices contiguously
+        used = sorted({v for _, _, vs in cells_raw for v in vs})
+        remap = {g: i for i, g in enumerate(used)}
+        coords = np.asarray([nodes[g][:dim] for g in used])
+        cells = np.asarray([[remap[v] for v in vs]
+                            for _, _, vs in cells_raw], dtype=np.int64)
+        p = cls.createFromCellList(dim, cells, coords, comm)
+        p.labels = {}
+        for ci, (_, tag, _) in enumerate(cells_raw):
+            p.labels.setdefault(f"physical_{tag}", []).append(ci)
+        p.labels = {k: np.asarray(v) for k, v in p.labels.items()}
+        return p
+
     # ---- DAG queries (plex.c) ----
 
     @property

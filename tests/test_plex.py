@@ -64,3 +64,32 @@ def test_p1_poisson_3d():
     assert ksp.getConvergedReason().converged
     u = np.asarray(x.getArray())
     assert u.max() > 0.02 and u.min() >= -1e-12
+
+
+def test_gmsh_reader(tmp_path):
+    """Gmsh ASCII v2.2 round trip: write a 2-triangle square, read, solve."""
+    msh = """$MeshFormat
+2.2 0 8
+$EndMeshFormat
+$Nodes
+4
+1 0 0 0
+2 1 0 0
+3 1 1 0
+4 0 1 0
+$EndNodes
+$Elements
+3
+1 1 2 7 1 1 2
+2 2 2 5 1 1 2 3
+3 2 2 5 1 1 3 4
+$EndElements
+"""
+    p = str(tmp_path / "sq.msh")
+    open(p, "w").write(msh)
+    plex = DMPlex.createFromGmsh(p)
+    assert plex.dim == 2
+    assert plex.ncells == 2 and plex.nvertices == 4
+    assert "physical_5" in plex.labels and len(plex.labels["physical_5"]) == 2
+    g, vol = plex.p1_gradients()
+    assert abs(vol.sum() - 1.0) < 1e-12
