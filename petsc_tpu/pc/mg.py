@@ -74,6 +74,30 @@ def _host_emax(A_sp, dinv, iters=10, seed=7):
     return max(float(np.max(np.abs(ritz))), 1e-12)
 
 
+def _host_eig_bounds(A_sp_mult, dinv, n, iters=10, seed=7):
+    """(emin, emax) Ritz estimates of D^-1 A from an Arnoldi sweep; the
+    KSPComputeExtremeSingularValues role for esteig transforms."""
+    rng = np.random.default_rng(seed)
+    m = min(iters, n)
+    V = np.zeros((n, m + 1))
+    H = np.zeros((m + 1, m))
+    v = rng.random(n) - 0.5
+    V[:, 0] = v / np.linalg.norm(v)
+    for j in range(m):
+        w = dinv * A_sp_mult(V[:, j])
+        for i in range(j + 1):
+            H[i, j] = np.dot(V[:, i], w)
+            w -= H[i, j] * V[:, i]
+        H[j + 1, j] = np.linalg.norm(w)
+        if H[j + 1, j] < 1e-14:
+            m = j + 1
+            break
+        V[:, j + 1] = w / H[j + 1, j]
+    ritz = np.linalg.eigvals(H[:m, :m]).real
+    ritz = ritz[ritz > 0] if (ritz > 0).any() else np.abs(ritz)
+    return max(float(ritz.min()), 1e-12), max(float(ritz.max()), 1e-12)
+
+
 def _dense_lu_factor(A_sp):
     import scipy.linalg as sla
     lu, piv = sla.lu_factor(A_sp.toarray())

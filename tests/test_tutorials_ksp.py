@@ -151,3 +151,15 @@ def test_ex2_bjacobi_subksp_reference_parity():
                       "-ksp_monitor_short -sub_pc_type jacobi "
                       "-sub_ksp_type gmres", comm=make_comm(4))
     assert_output(out, EX2_BJACOBI, rtol=1e-6)
+
+
+def test_ex2_chebyest_class_parity():
+    """ex2 chebyest_1 configuration (right-PC inner-Chebyshev as PC with
+    esteig transform): same convergence class as reference (15 its)."""
+    out = run_example(ex2.main, "-m 80 -n 80 -ksp_pc_side right "
+                      "-pc_type ksp -ksp_ksp_type chebyshev "
+                      "-ksp_ksp_max_it 5 "
+                      "-ksp_ksp_chebyshev_esteig 0.9,0,0,1.1")
+    line = [l for l in out.splitlines() if l.startswith("Norm")][0]
+    its = int(line.split()[-1])
+    assert its <= 18  # reference: 15 (esteig Ritz methodology differs)
