@@ -463,7 +463,48 @@ def solve_aspin(snes: SNES, x_np, x):
     _finish(snes, x, x_np, it, fnorm, reason)
 
 
+def solve_ms(snes: SNES, x_np, x):
+    """Multi-stage (RK-type) smoothing iteration on F(x)=0 (impls/ms,
+    default 'ms' 3-stage scheme with Jacobi scaling): explicit pseudo-time
+    stages x <- x0 - a_i tau D^-1 F(x); useful as an FAS smoother and as a
+    standalone relaxation."""
+    stages = getattr(snes, "ms_stages", (0.1481, 0.4, 1.0))
+    tau = getattr(snes, "ms_damping", 0.6)
+    colors_diag = None
+    F = snes._func_np(x_np)
+    fnorm = float(np.linalg.norm(F))
+    snes._fnorm0 = fnorm
+    snes._ttol = snes.rtol * fnorm
+    snes._monitor(0, fnorm)
+    reason = snes._converged(0, 0.0, 0.0, fnorm)
+    it = 0
+    dm = snes.dm
+    while reason == SR.ITERATING and it < snes.max_it:
+        if dm is not None and getattr(dm, "sizes", None) is not None \
+                and snes._func_pure is not None:
+            d = _fas_node_diag(snes._func_pure, x_np,
+                               tuple(dm.sizes[::-1]))
+            d = np.where(np.abs(d) < 1e-12, 1.0, d)
+        else:
+            d = np.ones_like(x_np)
+        x0 = x_np.copy()
+        for a in stages:
+            Fs = snes._func_np(x_np)
+            x_np = x0 - a * tau * Fs / d
+        F = snes._func_np(x_np)
+        fnorm = float(np.linalg.norm(F))
+        snorm = float(np.linalg.norm(x_np - x0))
+        it += 1
+        snes._monitor(it, fnorm)
+        reason = snes._converged(it, float(np.linalg.norm(x_np)), snorm,
+                                 fnorm)
+    if reason == SR.ITERATING:
+        reason = SR.DIVERGED_MAX_IT
+    _finish(snes, x, x_np, it, fnorm, reason)
+
+
 SNES._impls.update({
+    "ms": solve_ms,
     "nasm": solve_nasm,
     "aspin": solve_aspin,
     "ngs": solve_ngs,

@@ -128,3 +128,16 @@ def test_nasm_aspin(stype):
     assert snes.getConvergedReason().converged, snes.getConvergedReason()
     xs = np.asarray(x.getArray())
     assert np.linalg.norm(np.asarray(F(jnp.asarray(xs)))) < 1e-6
+
+
+def test_ms_smoother():
+    from examples import ex5
+    da = pt.DMDA.create(2, (17, 17))
+    snes = pt.SNES().create()
+    snes.setType("ms")
+    snes.setDM(da)
+    snes.setFunction(ex5.make_residual(da, 2.0))
+    snes.setTolerances(rtol=1e-3, max_it=2000)
+    x = da.createGlobalVector()
+    snes.solve(None, x)
+    assert snes.getConvergedReason().converged
