@@ -96,10 +96,27 @@ def main(n=64):
     }))
 
 
+def _pick_size():
+    """Probe the device-transfer rate and pick the largest grid whose
+    matrix upload fits the measurement window (the dev tunnel's rate
+    varies by orders of magnitude between sessions)."""
+    import jax
+    import jax.numpy as jnp
+    probe_mb = 16.0
+    x = jnp.ones((int(probe_mb * 1024 * 1024 // 8),), dtype=jnp.float64)
+    t0 = time.perf_counter()
+    float(jnp.sum(x))          # force transfer + round trip
+    rate = probe_mb / max(time.perf_counter() - t0, 1e-3)  # MB/s
+    for n, mb, host_s in ((128, 900, 90), (96, 380, 35), (64, 115, 15)):
+        if mb / rate + host_s + 90 < 400:
+            return n
+    return 48
+
+
 if __name__ == "__main__":
     import sys
     try:
-        main(int(sys.argv[1]) if len(sys.argv) > 1 else 64)
+        main(int(sys.argv[1]) if len(sys.argv) > 1 else _pick_size())
     except Exception:  # noqa: BLE001 — the driver must always get a line
         import traceback
         traceback.print_exc(file=sys.stderr)
