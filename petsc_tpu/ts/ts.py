@@ -232,6 +232,40 @@ class TS(PObject):
         raise Error(f"TS adjoint replay: type {self._type} is not a pure "
                     "explicit step (use euler/ssp/rk)")
 
+    def solveCompiled(self, u0, nsteps=None, dt=None, t0=0.0):
+        """Fully-jitted fixed-step integration: ONE lax.scan over the pure
+        step function (explicit types: euler/ssp/rk) — zero host round
+        trips, differentiable end-to-end. Returns (u_final, t_final).
+
+        This is the TPU-native fast path the host-driven TSSolve trades
+        away for adaptivity/events; use it for fixed-dt production inner
+        loops (e.g. inside optimization or ensemble sweeps)."""
+        import jax as _jax
+        dt = self.dt if dt is None else float(dt)
+        if nsteps is None:
+            nsteps = int(round((self.max_time - t0) / dt))
+        step = self._pure_step
+
+        def body(carry, i):
+            u, t = carry
+            return (step(t, u, dt), t + dt), None
+
+        @_jax.jit
+        def run(u):
+            (uf, tf), _ = _jax.lax.scan(body, (u, jnp.asarray(t0)),
+                                        jnp.arange(nsteps))
+            return uf, tf
+
+        uarr = u0.array if isinstance(u0, Vec) else jnp.asarray(u0)
+        uf, tf = run(uarr)
+        self.t = float(tf)
+        self._steps = nsteps
+        self._reason = TR.CONVERGED_TIME
+        if isinstance(u0, Vec):
+            u0.array = uf
+            return u0, float(tf)
+        return uf, float(tf)
+
     def replay(self, u0):
         """Pure forward integration over the recorded trajectory —
         differentiable; each step rematerialized (jax.checkpoint = the

@@ -116,3 +116,47 @@ def test_convergence_order_cn():
         errs.append(abs(u[0] - np.exp(-1.0)))
     rate = np.log2(errs[0] / errs[1])
     assert 1.7 < rate < 2.3, (errs, rate)
+
+
+def test_solve_compiled_matches_host_loop():
+    """lax.scan compiled loop == host-driven loop for fixed-step rk."""
+    def rhs(t, u):
+        return -u + 0.1 * jnp.sin(t)
+
+    ts1 = pt.TS().create()
+    ts1.setType("rk")
+    ts1.setRHSFunction(rhs)
+    ts1.setTimeStep(0.01)
+    ts1.setMaxTime(1.0)
+    ts1.adapt.kind = "none"
+    u1 = pt.Vec.from_array(np.array([1.0, 2.0]))
+    ts1.solve(u1)
+
+    ts2 = pt.TS().create()
+    ts2.setType("rk")
+    ts2.setRHSFunction(rhs)
+    ts2.setTimeStep(0.01)
+    ts2.setMaxTime(1.0)
+    u2 = pt.Vec.from_array(np.array([1.0, 2.0]))
+    ts2.solveCompiled(u2)
+    assert abs(ts2.getTime() - 1.0) < 1e-9
+    assert np.allclose(np.asarray(u1.getArray()),
+                       np.asarray(u2.getArray()), atol=1e-12)
+
+
+def test_solve_compiled_differentiable():
+    import jax
+
+    ts = pt.TS().create()
+    ts.setType("euler")
+    ts.setRHSFunction(lambda t, u: -u)
+    ts.setTimeStep(0.01)
+    ts.setMaxTime(1.0)
+
+    def final(u0):
+        uf, _ = ts.solveCompiled(u0, nsteps=100, dt=0.01)
+        return uf[0]
+
+    g = jax.grad(final)(jnp.array([2.0]))
+    # d u_T / d u_0 = (1 - dt)^100
+    assert abs(float(g[0]) - (1 - 0.01) ** 100) < 1e-10
