@@ -357,6 +357,28 @@ class SNES(PObject):
     def setMonitor(self, fn):
         self._monitors.append(fn)
 
+    def solveCompiled(self, x: Vec, args=None):
+        """Fully-jitted JFNK (snes/compiled.py): the whole Newton-Krylov
+        solve — matrix-free GMRES inner solves on exact JVPs, backtracking
+        — in ONE XLA program. Requires a pure residual; args are traced
+        parameters (kernel reuse across calls)."""
+        from .compiled import jfnk_solve
+        if self._func_pure is None:
+            raise Error("solveCompiled needs a pure residual (setFunction "
+                        "with fn(x, *args))")
+        a = tuple(jnp.asarray(v) for v in (
+            args if args is not None else getattr(self, "_func_args", ())))
+        xx, its, fnorm, done = jfnk_solve(
+            self._func_pure, x.array, a, jnp.float64(self.rtol),
+            jnp.float64(self.abstol), max_it=self.max_it,
+            nargs=len(a))
+        x.array = xx
+        self._its = int(its)
+        self._fnorm = float(fnorm)
+        self._reason = SR.CONVERGED_FNORM_RELATIVE if bool(done) \
+            else SR.DIVERGED_MAX_IT
+        return x
+
     def solve(self, b: Vec | None, x: Vec):
         self.setFromOptions()
         self._history = []

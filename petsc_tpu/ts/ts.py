@@ -548,11 +548,16 @@ def _stage_residual(ts: TS, key, builder):
 
 def _snes_stage_solve(ts: TS, residual, args, u0_np):
     """Solve residual(u, *args)=0 with the TS SNES (pure-jax residual =>
-    exact JVP Jacobians, dense/colored pmat per SNES config)."""
+    exact JVP Jacobians, dense/colored pmat per SNES config). With
+    ts.use_compiled_snes the stage solve is the fully-jitted JFNK — the
+    entire implicit step becomes one XLA program."""
     snes = ts.getSNES()
     snes.setFunction(residual, args=args)
     x = Vec.from_array(u0_np, comm=ts.comm)
-    snes.solve(None, x)
+    if getattr(ts, "use_compiled_snes", False):
+        snes.solveCompiled(x, args=args)
+    else:
+        snes.solve(None, x)
     ok = snes.getConvergedReason().converged
     return np.asarray(x.getArray()), ok
 

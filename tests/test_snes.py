@@ -157,3 +157,27 @@ def test_bratu_dm_fd_coloring():
     snes.solve(None, x)
     assert snes.getConvergedReason().converged
     assert snes.getIterationNumber() <= 8
+
+
+def test_solve_compiled_jfnk():
+    """One-XLA-program Newton-Krylov matches the host-driven solve."""
+    snes = pt.SNES().create()
+    snes.setFunction(small_system())
+    snes.setTolerances(rtol=1e-10)
+    x = pt.Vec.from_array(np.array([2.0, 3.0]))
+    snes.solveCompiled(x)
+    assert snes.getConvergedReason().converged
+    assert np.allclose(np.asarray(x.getArray()), [1.0, 2.0], atol=1e-8)
+
+
+def test_solve_compiled_bratu():
+    from examples import ex5
+    da = pt.DMDA.create(2, (17, 17))
+    snes = pt.SNES().create()
+    snes.setFunction(ex5.make_residual(da, 6.0))
+    snes.setTolerances(rtol=1e-8)
+    x = da.createGlobalVector()
+    snes.solveCompiled(x)
+    assert snes.getConvergedReason().converged
+    r = snes._func_np(np.asarray(x.getArray()))
+    assert np.linalg.norm(r) < 1e-6

@@ -160,3 +160,22 @@ def test_solve_compiled_differentiable():
     g = jax.grad(final)(jnp.array([2.0]))
     # d u_T / d u_0 = (1 - dt)^100
     assert abs(float(g[0]) - (1 - 0.01) ** 100) < 1e-10
+
+
+def test_compiled_stage_solves():
+    """Implicit stepping with fully-jitted JFNK stage solves matches the
+    host-driven SNES path."""
+    results = []
+    for compiled in (False, True):
+        ts = pt.TS().create()
+        ts.setType("beuler")
+        ts.setRHSFunction(lambda t, u: -u ** 3 - u + 1.0)
+        ts.setTimeStep(0.05)
+        ts.setMaxTime(0.5)
+        ts.adapt.kind = "none"
+        ts.use_compiled_snes = compiled
+        u = pt.Vec.from_array(np.array([0.0, 2.0]))
+        ts.solve(u)
+        assert ts.getConvergedReason().converged
+        results.append(np.asarray(u.getArray()))
+    assert np.allclose(results[0], results[1], atol=1e-8)
