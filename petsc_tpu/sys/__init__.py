@@ -1,0 +1,4 @@
+from .error import Error
+from . import viewer  # noqa: F401
+from .info import info, info_enabled
+from .random import Random
