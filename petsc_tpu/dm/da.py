@@ -313,13 +313,13 @@ class DMDA(DM):
         """Q1 tensor-product prolongation coarse -> self. Factor-2
         vertex-centered scalar grids get the gather-free slicing operator
         (dm/interp.py); everything else the assembled matrix."""
-        if (self.dof == 1
-                and all(b == "none" for b in self.boundary[: self.dim])
+        if (all(b == "none" for b in self.boundary[: self.dim])
                 and all(self.sizes[ax] == 2 * coarse.sizes[ax] - 1
                         for ax in range(self.dim))):
             from .interp import MatInterpQ1
             return MatInterpQ1(tuple(self.sizes[::-1]),
-                               tuple(coarse.sizes[::-1]), comm=self.comm)
+                               tuple(coarse.sizes[::-1]), comm=self.comm,
+                               dof=self.dof)
         import scipy.sparse as sp
         P = None
         # kron order: slowest axis first => z, y, x

@@ -55,19 +55,21 @@ def _restrict_axis(f, axis, nc):
 
 
 class MatInterpQ1(Mat):
-    """Q1 prolongation coarse->fine on (…, ny, nx) grids as slicing ops."""
+    """Q1 prolongation coarse->fine on (…, ny, nx) grids as slicing ops;
+    dof>1 fields interpolate per component (trailing dof axis)."""
 
-    def __init__(self, fine_shape, coarse_shape, comm=None, **kw):
+    def __init__(self, fine_shape, coarse_shape, comm=None, dof=1, **kw):
         super().__init__(comm, **kw)
         self.fine_shape = tuple(fine_shape)
         self.coarse_shape = tuple(coarse_shape)
-        self.setSizes((int(np.prod(fine_shape)),
-                       int(np.prod(coarse_shape))))
+        self.dof = int(dof)
+        self.setSizes((int(np.prod(fine_shape)) * self.dof,
+                       int(np.prod(coarse_shape)) * self.dof))
         self._assembled = True
 
     @property
     def meta(self):
-        return ("interp_q1", self.fine_shape, self.coarse_shape)
+        return ("interp_q1", self.fine_shape, self.coarse_shape, self.dof)
 
     def device_data(self):
         return {}
@@ -91,21 +93,25 @@ class MatInterpQ1(Mat):
                     vals += [0.5, 0.5]
             p1 = sp.csr_matrix((vals, (rows, cols)), shape=(nf, nc))
             P = p1 if P is None else sp.kron(P, p1, format="csr")
+        if self.dof > 1:
+            P = sp.kron(P, sp.eye(self.dof), format="csr")
         return P
 
 
 def _bind_interp_q1(meta, data):
-    _, fshape, cshape = meta
+    _, fshape, cshape, dof = (meta + (1,))[:4]
     nd = len(fshape)
 
     def mult(x):
-        v = x[: int(np.prod(cshape))].reshape(cshape)
+        shape = cshape + ((dof,) if dof > 1 else ())
+        v = x[: int(np.prod(cshape)) * dof].reshape(shape)
         for ax in range(nd):
             v = _interp_axis(v, ax, fshape[ax])
         return v.reshape(-1)
 
     def mult_t(x):
-        v = x[: int(np.prod(fshape))].reshape(fshape)
+        shape = fshape + ((dof,) if dof > 1 else ())
+        v = x[: int(np.prod(fshape)) * dof].reshape(shape)
         for ax in range(nd - 1, -1, -1):
             v = _restrict_axis(v, ax, cshape[ax])
         return v.reshape(-1)

@@ -733,6 +733,42 @@ class MatAIJ(Mat):
         self._dedupe_sum(i, j, v)
         return self.assemble()
 
+    def createSubMatrix(self, isrow, iscol=None):
+        """MatCreateSubMatrix: extract the (isrow x iscol) block as a new
+        MatAIJ (matrix.c submatrix path)."""
+        rows = np.asarray(isrow, dtype=np.int64)
+        cols = rows if iscol is None else np.asarray(iscol, dtype=np.int64)
+        S = self.to_scipy()[rows][:, cols].tocsr()
+        return MatAIJ.from_scipy(S, comm=self.comm)
+
+    def zeroRowsColumns(self, rows, diag=1.0, x=None, b=None):
+        """MatZeroRowsColumns: symmetric Dirichlet elimination — zero the
+        rows AND columns, unit-scaled diagonal; with x,b given, moves the
+        known-column contributions to the rhs (matrix.c semantics)."""
+        rows = np.asarray(rows, dtype=np.int64)
+        A = self.to_scipy().tocsr()
+        if x is not None and b is not None:
+            xv = np.asarray(x.getArray())[: A.shape[1]]
+            mask = np.zeros(A.shape[1], dtype=bool)
+            mask[rows] = True
+            contrib = A @ (xv * mask)
+            bv = np.asarray(b.getArray())[: A.shape[0]].copy()
+            bv -= contrib
+            bv[rows] = diag * xv[rows]
+            b.setArray(bv)
+        A = A.tolil()
+        for r in rows:
+            A.rows[r] = [int(r)]
+            A.data[r] = [diag]
+        A = A.tocsr()
+        coo = A.tocoo()
+        keep = ~np.isin(coo.col, rows) | (coo.row == coo.col)
+        import scipy.sparse as sp
+        A = sp.csr_matrix((coo.data[keep], (coo.row[keep], coo.col[keep])),
+                          shape=A.shape)
+        self.setValuesCSR(A.indptr, A.indices, A.data)
+        return self.assemble()
+
     def norm(self, norm_type=NormType.NORM_FROBENIUS):
         self._sync_host_vals()
         if norm_type == NormType.NORM_FROBENIUS:

@@ -378,6 +378,8 @@ class TS(PObject):
             dt = self.dt
             if self.exact_final == "matchstep" and self.t + dt > self.max_time:
                 dt = self.max_time - self.t
+            overshoot = (self.exact_final == "interpolate"
+                         and self.t + dt > self.max_time)
             unew, err_est, order, ok = impl(self, self.t, u_np, dt)
             if not ok:
                 self._snes_failures += 1
@@ -404,6 +406,16 @@ class TS(PObject):
                 fired = stop = False
             if getattr(self, "_save_traj", False):
                 self._traj.append((self.t, dt))
+            if overshoot:
+                # TS_EXACTFINALTIME_INTERPOLATE: step past, linear
+                # interpolation back to max_time
+                w = (self.max_time - self.t) / dt
+                u_np = (1 - w) * u_np + w * unew
+                self.t = self.max_time
+                self._steps += 1
+                self._monitor(self._steps, self.t, u_np)
+                self._reason = TR.CONVERGED_TIME
+                break
             self.t += dt
             u_np = unew
             self._steps += 1

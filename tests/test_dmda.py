@@ -2,6 +2,7 @@
 src/ksp/ksp/tutorials/ex45.c geometric-MG solves)."""
 
 import numpy as np
+import jax.numpy as jnp
 import pytest
 
 import petsc_tpu as pt
@@ -60,3 +61,22 @@ def test_ex45_gamg():
                      "-ksp_rtol", "1e-8"])
     assert ksp.getConvergedReason().converged
     assert ksp.getIterationNumber() <= 20
+
+
+def test_interp_dof2():
+    """Q1 interpolation with dof=2 interpolates each component (the
+    dainterp.c dof-block path)."""
+    dac = pt.DMDA.create(dim=2, sizes=(5, 5), dof=2)
+    daf = pt.DMDA.create(dim=2, sizes=(9, 9), dof=2)
+    P = daf.createInterpolation(dac)
+    from petsc_tpu.ops import operator
+    op = operator.bind(P.meta, P.device_data())
+    xc = np.random.default_rng(1).random(5 * 5 * 2)
+    yf = np.asarray(op.mult(jnp.asarray(xc)))
+    Pm = P.to_scipy()
+    assert Pm.shape == (9 * 9 * 2, 5 * 5 * 2)
+    assert np.allclose(yf, Pm @ xc, atol=1e-12)
+    # adjoint consistency
+    r = np.random.default_rng(2).random(9 * 9 * 2)
+    assert np.allclose(np.asarray(op.mult_t(jnp.asarray(r))), Pm.T @ r,
+                       atol=1e-12)

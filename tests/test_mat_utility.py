@@ -103,3 +103,32 @@ def test_wrapper_in_ksp():
     x = N.createVecRight()
     ksp.solve(b, x)
     assert np.allclose(np.asarray(x.getArray()), xstar, atol=1e-6)
+
+
+def test_create_submatrix():
+    import scipy.sparse as sp
+    rng = np.random.default_rng(3)
+    A0 = sp.random(8, 8, density=0.5, random_state=3, format="csr")
+    A = pt.MatAIJ.from_scipy(A0)
+    rows = np.array([1, 3, 5])
+    cols = np.array([0, 2, 4, 6])
+    S = A.createSubMatrix(rows, cols)
+    assert np.allclose(S.to_scipy().toarray(), A0.toarray()[rows][:, cols])
+
+
+def test_zero_rows_columns():
+    """Symmetric Dirichlet elimination keeps the solution of the reduced
+    system and preserves symmetry (MatZeroRowsColumns semantics)."""
+    import scipy.sparse as sp
+    n = 10
+    A0 = sp.diags([-1.0, 2.0, -1.0], [-1, 0, 1], shape=(n, n)).tocsr()
+    A = pt.MatAIJ.from_scipy(A0)
+    xex = np.linspace(0.0, 1.0, n)
+    b = pt.Vec.from_array(A0 @ xex)
+    x = pt.Vec.from_array(xex)       # boundary values live here
+    A.zeroRowsColumns([0, n - 1], diag=1.0, x=x, b=b)
+    Anew = A.to_scipy().toarray()
+    assert np.allclose(Anew, Anew.T)          # symmetry preserved
+    assert Anew[0, 1] == 0 and Anew[1, 0] == 0
+    sol = np.linalg.solve(Anew, np.asarray(b.getArray())[:n])
+    assert np.allclose(sol, xex, atol=1e-12)

@@ -179,3 +179,20 @@ def test_compiled_stage_solves():
         assert ts.getConvergedReason().converged
         results.append(np.asarray(u.getArray()))
     assert np.allclose(results[0], results[1], atol=1e-8)
+
+
+def test_exact_final_interpolate():
+    """TS_EXACTFINALTIME_INTERPOLATE: fixed dt that doesn't divide T —
+    step past and linearly interpolate back (ts.c exact-final modes)."""
+    ts = pt.TS().create()
+    ts.setType("rk")
+    ts.setRHSFunction(decay_rhs)
+    ts.setTimeStep(0.03)          # 0.99 then overshoot to 1.02
+    ts.setMaxTime(1.0)
+    ts.adapt.kind = "none"
+    ts.setExactFinalTime("interpolate")
+    u = pt.Vec.from_array(np.array([1.0]))
+    ts.solve(u)
+    assert abs(ts.getTime() - 1.0) < 1e-12
+    # linear interpolation error ~ O(dt^2) on top of RK accuracy
+    assert abs(float(u.getArray()[0]) - np.exp(-1.0)) < 1e-4
