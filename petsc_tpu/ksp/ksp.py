@@ -183,6 +183,10 @@ class KSP(PObject):
     def setGMRESRestart(self, r):
         return self.setParam("restart", int(r))
 
+    def setRadius(self, delta):
+        """KSPCGSetRadius (stcg/nash/gltr trust-region bound)."""
+        return self.setParam("radius", float(delta))
+
     def setMixedPrecision(self, flag=True, inner_rtol=1e-6, max_outer=30):
         """f32 inner Krylov + f64 outer iterative refinement (ksp/ir.py):
         f64-accurate answers at f32 TPU rates."""
@@ -537,6 +541,24 @@ register_ksp("symmlq", _m.solve_symmlq)
 # ibcgs/fbcgs (single-reduction BiCGStab variants, ibcgs.c/fbcgs.c) and
 # lgmres's cheaper restarts (lgmres.c) buy on MPI. The base implementations
 # deliver the same communication profile under this compiler.
+from . import impls_tr as _tr  # noqa: E402
+
+
+def _stcg_extras(ksp):
+    return (("radius", float(ksp._params.get("radius", 0.0))),)
+
+
+def _bcgsl_extras(ksp):
+    ell = ksp.opt("get_int", "ksp_bcgsl_ell", None) \
+        or int(ksp._params.get("ell", 2))
+    return (("ell", int(ell)),)
+
+
+register_ksp("stcg", _tr.solve_stcg, extras=_stcg_extras)
+register_ksp("nash", _tr.solve_stcg, extras=_stcg_extras)   # nash.c variant
+register_ksp("gltr", _tr.solve_stcg, extras=_stcg_extras)   # gltr.c variant
+register_ksp("qcg", _tr.solve_stcg, extras=_stcg_extras)    # qcg.c variant
+register_ksp("bcgsl", _tr.solve_bcgsl, extras=_bcgsl_extras)
 register_ksp("ibcgs", _bcgs)
 register_ksp("fbcgs", _bcgs)
 register_ksp("fbcgsr", _bcgs)

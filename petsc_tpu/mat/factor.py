@@ -125,6 +125,25 @@ def splu_factors(A_scipy):
             1.0 / d, lu.perm_r, lu.perm_c)
 
 
+def spilu_factors(A_scipy, drop_tol=1e-4, fill_factor=10.0):
+    """Incomplete LU with drop tolerance (the ILUdt variant PETSc exposes
+    through external packages / -pc_factor_drop_tolerance). SuperLU ILU
+    keeps entries above drop_tol up to fill_factor growth; device apply is
+    the same permuted trisolve as full LU."""
+    import scipy.sparse as sp
+    import scipy.sparse.linalg as spla
+    lu = spla.spilu(A_scipy.tocsc(), drop_tol=float(drop_tol),
+                    fill_factor=float(fill_factor))
+    L = lu.L.tocsr()
+    U = lu.U.tocsr()
+    d = U.diagonal()
+    Ls = sp.tril(L, k=-1).tocsr()
+    Us = sp.triu(U, k=1).tocsr()
+    return ((Ls.indptr, Ls.indices, Ls.data),
+            (Us.indptr, Us.indices, Us.data),
+            1.0 / d, lu.perm_r, lu.perm_c)
+
+
 def icc0(indptr, indices, vals):
     """ICC(0) via ILU(0) on the symmetric pattern: returns factors usable as
     L D L^T. For SPD inputs this equals PETSc's ICC(0) up to roundoff."""

@@ -43,14 +43,30 @@ class _PCILU(_PCFactorBase):
     def __init__(self, pc):
         super().__init__(pc)
         self.levels = 0
+        self.drop_tol = None       # -> ILUdt via SuperLU incomplete LU
+        self.fill_factor = 10.0
 
     def set_from_options(self):
         n = self.pc.opt("get_int", "pc_factor_levels", None)
         if n is not None:
             self.levels = n
+        dt = self.pc.opt("get_real", "pc_factor_drop_tolerance", None)
+        if dt is not None:
+            self.drop_tol = dt
+        ff = self.pc.opt("get_real", "pc_factor_fill", None)
+        if ff is not None:
+            self.fill_factor = ff
 
     def setup(self):
         (indptr, indices, vals), layout = self._csr()
+        if self.drop_tol is not None:
+            A = self.pc.pmat.to_scipy()
+            L, U, dinv, perm_r, perm_c = factor.spilu_factors(
+                A, self.drop_tol, self.fill_factor)
+            tail, data = trisolve.make_trisolve_plan(L, U, dinv)
+            data["scatter_r"] = jnp.asarray(perm_r)
+            data["gather_c"] = jnp.asarray(perm_c)
+            return ("pc_trisolve_perm",) + tail + (layout.Npad,), data
         L, U, dinv = factor.iluk(indptr, indices, vals, self.levels)
         tail, data = trisolve.make_trisolve_plan(L, U, dinv)
         return ("pc_trisolve",) + tail + (layout.Npad,), data

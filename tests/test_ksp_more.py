@@ -111,3 +111,79 @@ def test_fcg_variable_pc():
     assert ksp.getConvergedReason().converged
     x.axpy(-1.0, u)
     assert float(x.norm()) < 1e-5
+
+def test_bcgsl():
+    """BiCGstab(2) on a nonsymmetric system (bcgsl.c model)."""
+    ksp, err = run("bcgsl", nonsym())
+    assert ksp.getConvergedReason().converged
+    assert err < 1e-5
+
+
+def test_bcgsl_ell4():
+    A_sp = nonsym()
+    n = A_sp.shape[0]
+    A = pt.MatAIJ.from_scipy(A_sp)
+    ksp = pt.KSP().create()
+    ksp.setOperators(A)
+    ksp.setType("bcgsl")
+    ksp.setParam("ell", 4)
+    ksp.getPC().setType("jacobi")
+    ksp.setTolerances(rtol=1e-10)
+    b = pt.Vec.from_array(np.random.default_rng(1).random(n))
+    x = A.createVecRight()
+    ksp.solve(b, x)
+    assert ksp.getConvergedReason().converged
+    r = A_sp @ np.asarray(x.getArray())[:n] - np.asarray(b.getArray())[:n]
+    assert np.linalg.norm(r) < 1e-8 * np.linalg.norm(np.asarray(b.getArray()))
+
+
+def test_stcg_unconstrained_matches_cg():
+    """Radius 0 (default): stcg == plain CG on an SPD system."""
+    ksp, err = run("stcg", poisson2d(20))
+    assert ksp.getConvergedReason().converged
+    assert err < 1e-6
+
+
+def test_stcg_trust_region_boundary():
+    """A small radius lands the iterate ON the boundary with reason
+    CONVERGED_STEP_LENGTH (stcg.c); pc=none so the M-norm is Euclidean."""
+    A_sp = poisson2d(20)
+    xex = np.linalg.solve(A_sp.toarray(),
+                          np.ones(A_sp.shape[0]))
+    full = np.linalg.norm(xex)
+    A = pt.MatAIJ.from_scipy(A_sp)
+    ksp = pt.KSP().create()
+    ksp.setOperators(A)
+    ksp.setType("stcg")
+    ksp.getPC().setType("none")
+    ksp.setRadius(0.25 * full)
+    b = pt.Vec.from_array(np.ones(A_sp.shape[0]))
+    x = A.createVecRight()
+    ksp.solve(b, x)
+    from petsc_tpu.sys.error import KSPConvergedReason as KR
+    assert ksp.getConvergedReason() == KR.CONVERGED_STEP_LENGTH
+    nx = np.linalg.norm(np.asarray(x.getArray())[: A_sp.shape[0]])
+    assert abs(nx - 0.25 * full) < 1e-6 * full
+
+
+def test_iludt():
+    """-pc_factor_drop_tolerance routes ILU to the drop-tolerance variant;
+    stronger than ILU(0) on a 2-D Poisson."""
+    A_sp = poisson2d(24)
+    A = pt.MatAIJ.from_scipy(A_sp)
+    its = {}
+    for name, opts in (("ilu0", []),
+                       ("iludt", ["-pc_factor_drop_tolerance", "1e-4"])):
+        pt.init(args=opts)
+        ksp = pt.KSP().create()
+        ksp.setOperators(A)
+        ksp.setType("gmres")
+        ksp.getPC().setType("ilu")
+        ksp.setTolerances(rtol=1e-8)
+        ksp.setFromOptions()
+        b = pt.Vec.from_array(np.ones(A_sp.shape[0]))
+        x = A.createVecRight()
+        ksp.solve(b, x)
+        assert ksp.getConvergedReason().converged
+        its[name] = ksp.getIterationNumber()
+    assert its["iludt"] < its["ilu0"]
