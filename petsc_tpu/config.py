@@ -154,5 +154,19 @@ def finalize(print_unused=False):
             print("WARNING! There are options you set that were not used!")
             for k, v in left:
                 print(f"Option left: name:-{k}" + (f" value: {v}" if v is not None else " (no value)"))
-    if st.options.get_bool("log_view", default=False):
-        st.log.view()
+    lv = st.options.get_string("log_view", default=None)
+    if lv is not None:
+        # PETSc viewer spec ":file[:format]" (ascii_flamegraph/ascii_xml)
+        if lv.startswith(":"):
+            parts = lv[1:].split(":")
+            path = parts[0]
+            fmt = parts[1] if len(parts) > 1 else "ascii"
+            with open(path, "w") as f:
+                if fmt == "ascii_flamegraph":
+                    st.log.view_flamegraph(file=f)
+                elif fmt == "ascii_xml":
+                    st.log.view_nested_xml(file=f)
+                else:
+                    st.log.view(file=f)
+        elif lv in ("", "1", "true", "yes"):
+            st.log.view()

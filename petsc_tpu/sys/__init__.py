@@ -1,4 +1,5 @@
 from .error import Error
 from . import viewer  # noqa: F401
+from .hdf5 import ViewerHDF5
 from .info import info, info_enabled
 from .random import Random

@@ -43,6 +43,8 @@ class Profiler:
         self.enabled = True
         self._stages: dict[str, _Stage] = {}
         self._stage_stack: list[_Stage] = []
+        self._event_stack: list[str] = []       # nested-handler call path
+        self._nested: dict[str, _EventPerf] = {}  # "a;b;c" -> perf
         self._t0 = time.perf_counter()
         self.stage_push("Main Stage")
 
@@ -96,6 +98,7 @@ class Profiler:
             ev.bytes += bytes
             ev.messages += messages
             ev.reductions += reductions
+            self._record_nested(name, dt)
 
     def log_flops(self, name: str, flops: float):
         ev = self._cur().events.setdefault(name, _EventPerf())
@@ -110,6 +113,77 @@ class Profiler:
         ev.flops += flops
         ev.bytes += bytes
         ev.reductions += reductions
+        self._record_nested(name, time_s, count)
+
+    # ---------------- nested handler (xmllogevent.c analog) ----------------
+
+    def _record_nested(self, name, dt, count=1):
+        path = ";".join(self._event_stack + [name])
+        ev = self._nested.setdefault(path, _EventPerf())
+        ev.count += count
+        ev.time += dt
+
+    def event_push(self, name: str):
+        """Enter a nested timing scope: events logged until the matching
+        event_pop are attributed to the call path (PetscLogHandlerNested)."""
+        self._event_stack.append(name)
+        self._record_nested_open = time.perf_counter()
+
+    def event_pop(self):
+        self._event_stack.pop()
+
+    @contextmanager
+    def nested(self, name: str):
+        t0 = time.perf_counter()
+        self.event_push(name)
+        try:
+            yield
+        finally:
+            self.event_pop()
+            self._record_nested(name, time.perf_counter() - t0)
+
+    def view_flamegraph(self, file=None):
+        """Collapsed-stack output consumable by speedscope/flamegraph.pl —
+        PETSc's -log_view :f.txt:ascii_flamegraph (plog.c flamegraph
+        handler). SELF time per path in microseconds."""
+        import builtins
+        p = (lambda *a: print(*a, file=file)) if file else builtins.print
+        for path, ev in sorted(self._nested.items()):
+            child_t = sum(e.time for pth, e in self._nested.items()
+                          if pth.startswith(path + ";")
+                          and ";" not in pth[len(path) + 1:])
+            self_us = max(ev.time - child_t, 0.0) * 1e6
+            p(f"{path} {int(round(self_us))}")
+
+    def view_nested_xml(self, file=None):
+        """Nested timing tree as XML, the shape PETSc's ascii_xml nested
+        log handler emits (src/sys/logging/handler/impls/nested)."""
+        import builtins
+        p = (lambda *a: print(*a, file=file)) if file else builtins.print
+        total = max(self.total_time(), 1e-300)
+        p('<?xml version="1.0" encoding="UTF-8"?>')
+        p('<root>')
+        p(f'  <totaltime>{total:.6f}</totaltime>')
+        p('  <timertree>')
+
+        def emit(prefix, depth):
+            pad = "    " * (depth + 1)
+            kids = {pth: e for pth, e in self._nested.items()
+                    if pth.startswith(prefix) and
+                    ";" not in pth[len(prefix):]}
+            for pth, e in sorted(kids.items(), key=lambda kv: -kv[1].time):
+                name = pth.rsplit(";", 1)[-1]
+                p(f"{pad}<event>")
+                p(f"{pad}  <name>{name}</name>")
+                p(f"{pad}  <time>{e.time:.6f}</time>")
+                p(f"{pad}  <ncalls>{e.count}</ncalls>")
+                p(f"{pad}  <fraction>{e.time / total:.4f}</fraction>")
+                emit(pth + ";", depth + 1)
+                p(f"{pad}</event>")
+
+        emit("", 1)
+        p('  </timertree>')
+        p('</root>')
 
     # ---------------- reporting ----------------
 
