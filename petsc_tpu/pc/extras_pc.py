@@ -362,3 +362,79 @@ class _PCTelescope:
 
 
 PC.register_impl("telescope", _PCTelescope)
+
+
+class _PCLSC:
+    """Least-squares commutator for Schur complements (lsc.c, Elman-
+    Howle-Shadid-Shuttleworth-Tuminaro). For S = A11 - A10 A00^{-1} A01
+    (B = A10, F = A00), approximates
+
+        S^{-1} ~= (B B^T)^{-1} (B F B^T) (B B^T)^{-1}
+
+    i.e. two "pressure Laplacian" solves around one momentum-block sweep.
+    TPU realization: L = B B^T is factored ONCE on the host (SuperLU) and
+    applied as level-scheduled device trisolves; the middle B F B^T is
+    three fused SpMVs — the whole apply is one XLA program with no inner
+    Krylov iteration (PETSc's inner lsc_ksp default preonly+factorization
+    behaves the same). Use inside PCFieldSplit schur:
+    -fieldsplit_1_pc_type lsc."""
+
+    def __init__(self, pc):
+        self.pc = pc
+
+    def set_from_options(self):
+        pass
+
+    def setup(self):
+        from ..mat import factor
+        from ..mat.aij import MatAIJ
+        from ..ops import trisolve
+        ctx = getattr(self.pc, "_schur_ctx", None)
+        if ctx is None:
+            raise Error("PCLSC: operator is not a Schur complement "
+                        "(use inside PCFieldSplit type schur)")
+        A00, A01, A10, A11 = ctx          # scipy CSR blocks
+        L = (A10 @ A01).tocsr()
+        d = L.diagonal()
+        if np.any(d == 0):                # singular pressure Laplacian
+            import scipy.sparse as sp
+            L = (L + 1e-10 * sp.eye(L.shape[0])).tocsr()
+        Lf, Uf, dinv, pr, pcm = factor.splu_factors(L)
+        tail, data = trisolve.make_trisolve_plan(Lf, Uf, dinv)
+        data["scatter_r"] = jnp.asarray(pr)
+        data["gather_c"] = jnp.asarray(pcm)
+        B = MatAIJ.from_scipy(A10.tocsr(), comm=self.pc.pmat.comm)
+        F = MatAIJ.from_scipy(A00.tocsr(), comm=self.pc.pmat.comm)
+        Bt = MatAIJ.from_scipy(A01.tocsr(), comm=self.pc.pmat.comm)
+        data["B"] = B.device_data()
+        data["F"] = F.device_data()
+        data["Bt"] = Bt.device_data()
+        meta = ("pc_lsc",) + tail + (B.meta, F.meta, Bt.meta,
+                                     self.pc.pmat.row_layout.Npad)
+        return meta, data
+
+
+def _bind_lsc(meta, data):
+    from ..ops import trisolve
+    _, m, nlevL, nlevU, Bmeta, Fmeta, Btmeta, npad = meta
+    Bop = operator.bind(Bmeta, data["B"])
+    Fop = operator.bind(Fmeta, data["F"])
+    Btop = operator.bind(Btmeta, data["Bt"])
+    pr, pcm = data["scatter_r"], data["gather_c"]
+
+    def linv(x):
+        bp = jnp.zeros(m, x.dtype).at[pr].set(x[:m])
+        y = trisolve.trisolve_apply(data, bp, m, nlevL, nlevU)
+        return y[pcm]
+
+    def mult(x):
+        y = linv(x[:m])
+        y = Bop.mult(Fop.mult(Btop.mult(y)))
+        y = linv(y[:m])
+        return jnp.zeros(npad, x.dtype).at[:m].set(-y[:m])
+
+    return operator.Op(mult=mult)
+
+
+operator.register_binder("pc_lsc", _bind_lsc)
+PC.register_impl("lsc", _PCLSC)

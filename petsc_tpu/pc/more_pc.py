@@ -399,6 +399,8 @@ class _PCFieldSplit:
                    + f"fieldsplit_{self.fields[i][0]}_")
             Mi = MatAIJ.from_scipy(blocks[i][i], comm=A.comm)
             if self.ftype == "schur" and i == 1:
+                p._schur_ctx = (blocks[0][0], blocks[0][1],
+                                blocks[1][0], blocks[1][1])
                 if self.schur_pre == "selfp":
                     d0 = blocks[0][0].diagonal()
                     d0 = np.where(d0 == 0, 1.0, d0)
@@ -407,6 +409,8 @@ class _PCFieldSplit:
                           @ sp.diags(1.0 / d0) @ blocks[0][1]).tocsr()
                     Mi = MatAIJ.from_scipy(Sp, comm=A.comm)
             p.setOperators(Mi, Mi)
+            if self.fields[i][0] in self.sub_types:
+                p.setType(self.sub_types[self.fields[i][0]])
             p.setFromOptions()
             sub_pcs.append(p)
         self.sub_pcs = sub_pcs

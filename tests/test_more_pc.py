@@ -111,3 +111,32 @@ def test_pc_fieldsplit(ftype, fact):
     assert ksp.getConvergedReason().converged, (ftype, fact,
                                                 ksp.getConvergedReason())
     assert err < 1e-5
+
+
+def test_pc_lsc_schur():
+    """PCLSC on the Schur block of a Stokes-like saddle system (lsc.c):
+    -fieldsplit_1_pc_type lsc analog via sub_types."""
+    n = 10
+    A0 = poisson2d(n)
+    N = n * n
+    # B = 1-D difference operator rows (full row rank, m < N)
+    rows, cols, vals = [], [], []
+    m = N // 2
+    for r in range(m):
+        rows += [r, r]
+        cols += [2 * r, 2 * r + 1]
+        vals += [1.0, -1.0]
+    B = sp.csr_matrix((vals, (rows, cols)), shape=(m, N))
+    S = sp.bmat([[A0 + 4 * sp.eye(N), B.T], [B, None]], format="csr")
+
+    def setup(pc):
+        impl = pc._impl
+        impl.ftype = "schur"
+        impl.schur_fact = "full"
+        impl.setIS("0", np.arange(N))
+        impl.setIS("1", np.arange(N, S.shape[0]))
+        impl.sub_types = {"0": "ilu", "1": "lsc"}
+    ksp, err = run("fieldsplit", A_sp=S, setup=setup, ksp_type="fgmres",
+                   max_it=500)
+    assert ksp.getConvergedReason().converged, ksp.getConvergedReason()
+    assert err < 1e-5
