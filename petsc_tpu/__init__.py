@@ -30,6 +30,7 @@ from .parallel.mesh import Comm, comm_self, comm_world, make_comm
 from .vec.vec import Vec, NormType, InsertMode, fused_reductions
 from .mat.mat import Mat, MatShell, MatDense, MatNullSpace, MatStructure
 from .mat.aij import MatAIJ
+from .mat.sbaij import MatSBAIJ
 
 __version__ = "0.1.0"
 

@@ -438,3 +438,53 @@ def _bind_lsc(meta, data):
 
 operator.register_binder("pc_lsc", _bind_lsc)
 PC.register_impl("lsc", _PCLSC)
+
+
+class _PCGASM(__import__("petsc_tpu.pc.more_pc", fromlist=["_PCASM"])._PCASM):
+    """Generalized ASM (gasm.c): additive Schwarz with USER-defined inner
+    (non-overlapping ownership) and outer (overlapped) subdomains —
+    PCGASMSetSubdomains. The reference's gasm/asm split is about subdomains
+    spanning multiple MPI ranks; in the SPMD single-program model that
+    distinction is an execution detail, so gasm here is ASM with arbitrary
+    index-set subdomains (which seq asm cannot do in the reference)."""
+
+    def __init__(self, pc):
+        super().__init__(pc)
+        self.user_doms = None
+
+    def set_from_options(self):
+        o = self.pc.opt
+        n = o("get_int", "pc_gasm_total_subdomains", None)
+        if n:
+            self.nblocks = n
+        v = o("get_int", "pc_gasm_overlap", None)
+        if v is not None:
+            self.overlap = v
+        t = o("get_string", "pc_gasm_type", None)
+        if t:
+            self.asm_type = t
+
+    def setSubdomains(self, inner, outer=None):
+        """inner: list of index arrays (disjoint ownership); outer: matching
+        overlapped sets (defaults to inner, then extended by `overlap`)."""
+        inner = [np.asarray(ix, dtype=np.int64) for ix in inner]
+        outer = ([np.asarray(ix, dtype=np.int64) for ix in outer]
+                 if outer is not None else [ix.copy() for ix in inner])
+        self.user_doms = list(zip(inner, outer))
+        return self
+
+    def _default_domains(self, S, m):
+        if self.user_doms is None:
+            return super()._default_domains(S, m)
+        doms = []
+        for own, dom in self.user_doms:
+            for _ in range(self.overlap if dom is not own else 0):
+                nbr = np.unique(S.indices[np.concatenate(
+                    [np.arange(S.indptr[i], S.indptr[i + 1]) for i in dom])]) \
+                    if len(dom) else dom
+                dom = np.union1d(dom, nbr)
+            doms.append((own, np.asarray(dom, dtype=np.int64)))
+        return doms
+
+
+PC.register_impl("gasm", _PCGASM)

@@ -149,29 +149,29 @@ class _PCASM:
         if t:
             self.asm_type = t
 
-    def setup(self):
-        import scipy.sparse as sp
-        A = self.pc.pmat
-        m = A.row_layout.N
-        S = A.to_scipy()
-        nb = self.nblocks or max(getattr(A.comm, "nshards", 1), 2)
+    def _default_domains(self, S, m):
+        nb = self.nblocks or max(getattr(self.pc.pmat.comm, "nshards", 1), 2)
         sizes = np.full(nb, m // nb)
         sizes[: m % nb] += 1
         starts = np.concatenate([[0], np.cumsum(sizes)])
-        Sb = S.copy()
-        Sb.data = np.ones_like(Sb.data)
         doms = []
         for b in range(nb):
             own = np.arange(starts[b], starts[b + 1])
             dom = own
             for _ in range(self.overlap):
-                mask = np.zeros(m, dtype=bool)
-                mask[dom] = True
                 nbr = np.unique(S.indices[np.concatenate(
                     [np.arange(S.indptr[i], S.indptr[i + 1]) for i in dom])]) \
                     if len(dom) else dom
                 dom = np.union1d(dom, nbr)
             doms.append((own, np.asarray(dom, dtype=np.int64)))
+        return doms
+
+    def setup(self):
+        import scipy.sparse as sp
+        A = self.pc.pmat
+        m = A.row_layout.N
+        S = A.to_scipy()
+        doms = self._default_domains(S, m)
         # big block-diagonal system over concatenated (overlapped) domains
         gat, scat_dst, blocks = [], [], []
         off = 0

@@ -140,3 +140,25 @@ def test_pc_lsc_schur():
                    max_it=500)
     assert ksp.getConvergedReason().converged, ksp.getConvergedReason()
     assert err < 1e-5
+
+
+def test_pc_gasm_user_subdomains():
+    """PCGASM with user-defined non-uniform subdomains (gasm.c
+    PCGASMSetSubdomains)."""
+    A_sp = poisson2d(12)
+    n = A_sp.shape[0]
+    A = pt.MatAIJ.from_scipy(A_sp)
+    ksp = pt.KSP().create()
+    ksp.setOperators(A)
+    ksp.setType("gmres")
+    pc = ksp.getPC()
+    pc.setType("gasm")
+    pc._impl.setSubdomains([np.arange(0, n // 3), np.arange(n // 3, n)])
+    pc._impl.overlap = 2
+    ksp.setTolerances(rtol=1e-8)
+    b = pt.Vec.from_array(np.ones(n))
+    x = A.createVecRight()
+    ksp.solve(b, x)
+    assert ksp.getConvergedReason().converged
+    r = A_sp @ np.asarray(x.getArray())[:n] - 1.0
+    assert np.linalg.norm(r) < 1e-6
