@@ -488,3 +488,87 @@ class _PCGASM(__import__("petsc_tpu.pc.more_pc", fromlist=["_PCASM"])._PCASM):
 
 
 PC.register_impl("gasm", _PCGASM)
+
+
+class _PCLMVM:
+    """PCLMVM (lmvmpc.c): apply a limited-memory quasi-Newton inverse-
+    Hessian approximation (MatLMVM two-loop recursion) as the
+    preconditioner. Pairs (s, y) are fed by the outer nonlinear solver via
+    update(); with no pairs the apply is gamma*I. The two-loop unrolls over
+    the STATIC pair count inside one XLA program — 2k fused dot+axpy
+    pairs, no host round trips."""
+
+    def __init__(self, pc):
+        self.pc = pc
+        self.max_pairs = 5
+        self._S: list = []
+        self._Y: list = []
+
+    def set_from_options(self):
+        n = self.pc.opt("get_int", "pc_lmvm_num_vecs", None)
+        if n:
+            self.max_pairs = n
+
+    def update(self, s, y):
+        """MatLMVMUpdate: append a correction pair (curvature-guarded)."""
+        s = np.asarray(s, dtype=np.float64).reshape(-1)
+        y = np.asarray(y, dtype=np.float64).reshape(-1)
+        if float(np.dot(s, y)) > 1e-30 * float(np.linalg.norm(s)
+                                               * np.linalg.norm(y) + 1e-300):
+            self._S.append(s)
+            self._Y.append(y)
+            if len(self._S) > self.max_pairs:
+                self._S.pop(0)
+                self._Y.pop(0)
+        self.pc._setup_called = False   # re-bind with new pairs
+        return self
+
+    def reset(self):
+        self._S.clear()
+        self._Y.clear()
+        self.pc._setup_called = False
+
+    def setup(self):
+        npad = self.pc.pmat.row_layout.Npad if self.pc.pmat is not None \
+            else len(self._S[0])
+        k = len(self._S)
+        rd = config.real_dtype()
+        if k == 0:
+            return ("pc_lmvm", 0, npad), {
+                "S": jnp.zeros((0, npad), rd), "Y": jnp.zeros((0, npad), rd),
+                "rho": jnp.zeros((0,), rd), "gamma": jnp.ones((), rd)}
+        n = len(self._S[0])
+        S = np.zeros((k, npad))
+        Y = np.zeros((k, npad))
+        S[:, :n] = np.stack(self._S)
+        Y[:, :n] = np.stack(self._Y)
+        rho = 1.0 / np.einsum("ij,ij->i", S, Y)
+        gamma = float(np.dot(self._S[-1], self._Y[-1])
+                      / np.dot(self._Y[-1], self._Y[-1]))
+        return ("pc_lmvm", k, npad), {
+            "S": jnp.asarray(S, rd), "Y": jnp.asarray(Y, rd),
+            "rho": jnp.asarray(rho, rd), "gamma": jnp.asarray(gamma, rd)}
+
+
+def _bind_lmvm(meta, data):
+    _, k, npad = meta
+    S, Y, rho, gamma = data["S"], data["Y"], data["rho"], data["gamma"]
+
+    def mult(g):
+        q = g
+        alphas = []
+        for i in range(k - 1, -1, -1):
+            a = rho[i] * jnp.vdot(S[i], q)
+            alphas.append((i, a))
+            q = q - a * Y[i]
+        q = gamma * q
+        for i, a in reversed(alphas):
+            b = rho[i] * jnp.vdot(Y[i], q)
+            q = q + (a - b) * S[i]
+        return q
+
+    return operator.Op(mult=mult)
+
+
+operator.register_binder("pc_lmvm", _bind_lmvm)
+PC.register_impl("lmvm", _PCLMVM)

@@ -423,6 +423,51 @@ def solve_ntr(tao: Tao, x, xvec):
     xvec.setArray(x)
 
 
+def solve_ntl(tao: Tao, x, xvec):
+    """Newton trust region with line-search fallback (impls/ntl/ntl.c):
+    the TR step is tried first; on rejection a Wolfe line search along the
+    same direction salvages the Newton work instead of only shrinking the
+    radius."""
+    f, g = tao._fg(x)
+    gnorm = float(np.linalg.norm(g))
+    g0norm = gnorm
+    tao._monitor(0, f, gnorm)
+    delta = max(1.0, 0.1 * float(np.linalg.norm(x)))
+    it = 0
+    reason = tao._check(0, f, gnorm, g0norm)
+    while reason == TaoR.CONTINUE_ITERATING:
+        hmv = tao._hessmult(x)
+        d = _steihaug(hmv, -g, delta, tol=min(0.5, np.sqrt(gnorm)) * gnorm)
+        xn = x + d
+        fx, gx = tao._fg(xn)
+        pred = -(float(np.dot(g, d)) + 0.5 * float(np.dot(d, hmv(d))))
+        ared = f - fx
+        rho = ared / pred if pred > 0 else -1.0
+        accepted = rho > 1e-4 and np.isfinite(fx)
+        if not accepted and float(np.dot(g, d)) < 0:
+            # ntl.c: salvage with a line search along d
+            xw, fw, gw, t, ok = _wolfe_ls(tao, x, f, g, d)
+            if ok and fw < f:
+                xn, fx, gx = xw, fw, gw
+                accepted = True
+        if rho < 0.25:
+            delta *= 0.25
+        elif rho > 0.75 and abs(np.linalg.norm(d) - delta) < 1e-10:
+            delta = min(2 * delta, 1e10)
+        if accepted:
+            x, f, g = xn, fx, gx
+            gnorm = float(np.linalg.norm(g))
+            it += 1
+            tao._monitor(it, f, gnorm)
+            reason = tao._check(it, f, gnorm, g0norm)
+        elif delta < 1e-30:
+            reason = TaoR.DIVERGED_TR_REDUCTION
+        else:
+            reason = tao._check(it, f, gnorm, g0norm)
+    tao._its, tao._fval, tao._gnorm, tao._reason = it, f, gnorm, reason
+    xvec.setArray(x)
+
+
 def _steihaug(hmv, b, delta, tol, max_it=200):
     x = np.zeros_like(b)
     r = b.copy()
@@ -625,6 +670,7 @@ Tao._impls.update({
     "blmvm": solve_blmvm,
     "nls": solve_nls,
     "ntr": solve_ntr,
+    "ntl": solve_ntl,
     "bnls": solve_nls,
     "cg": solve_cg,
     "brgn": solve_brgn,

@@ -127,3 +127,46 @@ def test_tron_bounds():
     assert (sol >= -0.5 - 1e-10).all() and (sol <= 0.8 + 1e-10).all()
     # bound active at the clipped optimum
     assert np.isclose(sol[0::2].max(), 0.8, atol=1e-4)
+
+
+def test_ntl_rosenbrock():
+    """NTL (trust region + line-search salvage, ntl.c) on Rosenbrock."""
+    tao = pt.Tao().create()
+    tao.setType("ntl")
+    tao.setObjective(rosenbrock)
+    tao.setMaximumIterations(100)
+    x = pt.Vec.from_array(np.zeros(10))
+    tao.solve(x)
+    assert tao.getConvergedReason().converged
+    assert np.allclose(np.asarray(x.getArray()), 1.0, atol=1e-4)
+
+
+def test_pc_lmvm_secant_and_host_match():
+    """PCLMVM two-loop apply satisfies the secant condition H y_k = s_k for
+    the latest pair, and matches the host _lbfgs_dir recursion exactly."""
+    from petsc_tpu.ops import operator
+    from petsc_tpu.tao.tao import _lbfgs_dir
+    from tests.test_mg_gamg import poisson2d
+    A_sp = poisson2d(6)
+    n = A_sp.shape[0]
+    A = pt.MatAIJ.from_scipy(A_sp)
+    pc = pt.PC(options=None) if False else pt.KSP().create().getPC()
+    pc.setOperators(A, A)
+    pc.setType("lmvm")
+    rng = np.random.default_rng(0)
+    S, Y = [], []
+    for _ in range(4):
+        sv = rng.standard_normal(n)
+        S.append(sv)
+        Y.append(A_sp @ sv)
+        pc._impl.update(sv, Y[-1])
+    pc.setUp()
+    op = operator.bind(pc.meta, pc.device_data())
+    # secant: H y_last = s_last (exact for the newest pair)
+    out = np.asarray(op.mult(jnp.asarray(np.pad(Y[-1], (0, pc.pmat.row_layout.pad)))))
+    assert np.allclose(out[:n], S[-1], atol=1e-10)
+    # matches the host two-loop used by Tao lmvm
+    g = rng.standard_normal(n)
+    ref = _lbfgs_dir(S, Y, g.copy())
+    out2 = np.asarray(op.mult(jnp.asarray(np.pad(g, (0, pc.pmat.row_layout.pad)))))
+    assert np.allclose(out2[:n], ref, atol=1e-10)
