@@ -185,3 +185,179 @@ TS._impls.update({
     "pseudo": step_pseudo,
     "alpha": step_alpha,
 })
+
+
+# =====================================================================
+# TSGLEE — General Linear with global Error Estimation (glee.c)
+# =====================================================================
+
+def _glee_tab(name):
+    """Explicit GLEE tableaus (glee.c TSGLEERegisterAll; r=2 'items'
+    carrying (y, y~) or (y, eps)). Coefficient values are the published
+    method constants."""
+    th = 1.0 / 3.0
+    tabs = {
+        "23": dict(p=2, A=[[0, 0, 0], [1, 0, 0], [0.25, 0.25, 0]],
+                   B=[[1 / 12, 1 / 12, 5 / 6], [1 / 12, 1 / 12, -1 / 6]],
+                   U=[[1, 0], [1, 10], [1, -1]],
+                   S=[1, 0], F=[1, 0], Ferror=[0, 1]),
+        "24": dict(p=2,
+                   A=[[0, 0, 0, 0], [0.75, 0, 0, 0],
+                      [0.25, 29 / 60, 0, 0],
+                      [-21 / 44, 145 / 44, -20 / 11, 0]],
+                   B=[[109 / 275, 58 / 75, -37 / 110, 1 / 6],
+                      [3 / 11, 0, 75 / 88, -1 / 8]],
+                   U=[[0, 1], [75 / 58, -17 / 58], [0, 1], [0, 1]],
+                   S=[1, 1], F=[1, 0], Ferror=[-1.0, 1.0]),
+        "exrk2a": dict(p=2,
+                       A=[[0, 0, 0, 0, 0, 0], [1, 0, 0, 0, 0, 0],
+                          [0, 0, 0, 0, 0, 0], [0, 0, 0.5, 0, 0, 0],
+                          [0, 0, 0.25, 0.25, 0, 0],
+                          [0, 0, 0.25, 0.25, 0.5, 0]],
+                       B=[[0.5, 0.5, 0, 0, 0, 0],
+                          [-2 / 3, -2 / 3, 1 / 3, 1 / 3, 1 / 3, 1 / 3]],
+                       U=[[1, 0], [1, 0], [1, 0.75], [1, 0.75], [1, 0.75],
+                          [1, 0.75]],
+                       S=[1, 0], F=[1, 0], Ferror=[0, 1]),
+        "rk32g1": dict(p=3,
+                       A=[[0, 0, 0, 0, 0, 0, 0, 0],
+                          [0.5, 0, 0, 0, 0, 0, 0, 0],
+                          [-1, 2, 0, 0, 0, 0, 0, 0],
+                          [1 / 6, 2 / 3, 1 / 6, 0, 0, 0, 0, 0],
+                          [0, 0, 0, 0, 0, 0, 0, 0],
+                          [-7 / 24, th, 1 / 12, -0.125, 0.5, 0, 0, 0],
+                          [7 / 6, -4 / 3, -th, 0.5, -1, 2, 0, 0],
+                          [0, 0, 0, 0, 1 / 6, 2 / 3, 1 / 6, 0]],
+                       B=[[1 / 6, 2 / 3, 1 / 6, 0, 0, 0, 0, 0],
+                          [-1 / 6, -2 / 3, -1 / 6, 0, 1 / 6, 2 / 3, 1 / 6,
+                           0]],
+                       U=[[1, 0], [1, 0], [1, 0], [1, 0], [1, 1], [1, 1],
+                          [1, 1], [1, 1]],
+                       S=[1, 0], F=[1, 0], Ferror=[0, 1]),
+    }
+    t = tabs[name]
+    t["A"] = np.asarray(t["A"], dtype=np.float64)
+    t["B"] = np.asarray(t["B"], dtype=np.float64)
+    t["U"] = np.asarray(t["U"], dtype=np.float64)
+    t["c"] = t["A"].sum(axis=1)
+    return t
+
+
+def step_glee(ts: TS, t, u, dt):
+    """TSStep_GLEE (glee.c:207): r=2 carried items Y, s explicit stages
+    YStage_i = sum_j U[ij] Y_j + dt sum_j A[ij] f(YStage_j); new items
+    Y'_i = Y_i + dt sum_j B[ij] f(YStage_j) (V=I for all shipped methods);
+    solution u = F·Y', global-error estimate Ferror·Y'. State commits only
+    after the adaptor accepts (proposal pattern — the host loop may
+    reject)."""
+    name = getattr(ts, "glee_type", "rk32g1")
+    tab = _glee_tab(name)
+    A, B, U, c = tab["A"], tab["B"], tab["U"], tab["c"]
+    S, F, Fer, p = tab["S"], tab["F"], tab["Ferror"], tab["p"]
+    s = A.shape[0]
+
+    prop = getattr(ts, "_glee_prop", None)
+    if prop is not None and prop[0].shape == u.shape \
+            and np.array_equal(prop[0], u):
+        ts._glee_Y = prop[1]          # previous proposal was accepted
+    ts._glee_prop = None
+    Y = getattr(ts, "_glee_Y", None)
+    if ts._steps == 0 or Y is None or Y[0].shape != u.shape:
+        Y = [Si * u for Si in S]      # S-init (zero initial global error)
+
+    Ydot = []
+    for i in range(s):
+        yi = U[i, 0] * Y[0] + U[i, 1] * Y[1]
+        for j in range(i):
+            if A[i, j] != 0:
+                yi = yi + dt * A[i, j] * Ydot[j]
+        Ydot.append(np.asarray(ts.rhs(t + c[i] * dt, jnp.asarray(yi))))
+    Ynew = []
+    for i in range(2):
+        yi = Y[i].astype(np.float64, copy=True)
+        for j in range(s):
+            if B[i][j] != 0:
+                yi = yi + dt * B[i][j] * Ydot[j]
+        Ynew.append(yi)
+    unew = F[0] * Ynew[0] + F[1] * Ynew[1]
+    err = Fer[0] * Ynew[0] + Fer[1] * Ynew[1]
+    ts._glee_prop = (unew, Ynew)
+    ok = np.all(np.isfinite(unew))
+    return unew, (err if ts.adapt.kind != "none" else None), p, ok
+
+
+# =====================================================================
+# TSEIMEX — extrapolated partitioned IMEX (eimex.c)
+# =====================================================================
+
+def step_eimex(ts: TS, t, u, dt):
+    """TSStep_EIMEX (eimex.c): build T[i][0] by i+1 sub-steps of the
+    1st-order partitioned IMEX Euler (implicit in fi, explicit in fe),
+    then Romberg-extrapolate T[i][j] = T[i][j-1] + (T[i][j-1]-T[i-1][j-1])
+    / ((n_i/n_{i-j}) - 1) up the table; row index set by -ts_eimex_max_rows
+    (default 3 => order 3). The implicit sub-solves reuse the cached
+    parametric SNES residual so every sub-step hits the same compiled
+    kernel."""
+    from .ts import _snes_stage_solve, _stage_residual
+    nrows = int(getattr(ts, "eimex_max_rows", 3))
+    fe = ts._rhs or (lambda tt, uu: jnp.zeros_like(uu))
+    fi = ts._ifunc
+
+    if fi is None:
+        def euler_substeps(nsub):
+            h = dt / nsub
+            v = u
+            tt = t
+            for _ in range(nsub):
+                v = v + h * np.asarray(fe(tt, jnp.asarray(v)))
+                tt += h
+            return v, True
+    else:
+        def build():
+            fi_ = ts._ifunc
+            fe_ = ts._rhs
+
+            def residual(x, tt, hh, uprev):
+                udot = (x - uprev) / hh
+                r = fi_(tt, x, udot)
+                if fe_ is not None:
+                    r = r - fe_(tt - hh, uprev)
+                return r
+            return residual
+        residual = _stage_residual(ts, ("eimex",), build)
+
+        def euler_substeps(nsub):
+            h = dt / nsub
+            v = u
+            tt = t
+            allok = True
+            for _ in range(nsub):
+                v, ok = _snes_stage_solve(
+                    ts, residual,
+                    (jnp.asarray(tt + h), jnp.asarray(h), jnp.asarray(v)), v)
+                allok = allok and ok
+                tt += h
+            return v, allok
+
+    ns = [i + 1 for i in range(nrows)]      # harmonic sequence 1,2,3,...
+    T = []
+    ok = True
+    for i in range(nrows):
+        ti0, okk = euler_substeps(ns[i])
+        ok = ok and okk
+        row = [ti0]
+        for j in range(1, i + 1):
+            q = ns[i] / ns[i - j]
+            row.append(row[j - 1]
+                       + (row[j - 1] - T[i - 1][j - 1]) / (q - 1.0))
+        T.append(row)
+    unew = T[nrows - 1][nrows - 1]
+    err = (unew - T[nrows - 1][nrows - 2]) if nrows > 1 else None
+    return (np.asarray(unew), err if ts.adapt.kind != "none" else None,
+            nrows, ok and np.all(np.isfinite(np.asarray(unew))))
+
+
+TS._impls.update({
+    "glee": step_glee,
+    "eimex": step_eimex,
+})

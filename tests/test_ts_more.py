@@ -110,3 +110,79 @@ def test_irk_stiff_stable():
     z = lam * dt
     R = (1 + z / 2 + z * z / 12) / (1 - z / 2 + z * z / 12)
     assert abs(float(u.getArray()[0]) - R ** 10) < 1e-6
+
+
+import jax.numpy as jnp
+
+
+@pytest.mark.parametrize("gt,tol", [
+    ("23", 1e-3), ("24", 1e-3), ("exrk2a", 1e-3), ("rk32g1", 1e-5),
+])
+def test_glee_decay(gt, tol):
+    """GLEE methods (glee.c) integrate decay at their design order; the
+    carried second item estimates the GLOBAL error."""
+    ts = pt.TS().create()
+    ts.setType("glee")
+    ts.glee_type = gt
+    ts.setRHSFunction(lambda t, u: -u)
+    ts.setTimeStep(0.05)
+    ts.setMaxTime(1.0)
+    ts.adapt.kind = "none"
+    u = pt.Vec.from_array(np.array([1.0, 2.0]))
+    ts.solve(u)
+    assert ts.getConvergedReason().converged
+    exact = np.array([1.0, 2.0]) * np.exp(-1.0)
+    assert np.allclose(np.asarray(u.getArray()), exact, atol=tol), gt
+
+
+def test_glee_global_error_tracks_true_error():
+    """The GLEE error item approximates the actual global error."""
+    ts = pt.TS().create()
+    ts.setType("glee")
+    ts.glee_type = "23"
+    ts.setRHSFunction(lambda t, u: -u)
+    ts.setTimeStep(0.05)
+    ts.setMaxTime(1.0)
+    ts.adapt.kind = "none"
+    u = pt.Vec.from_array(np.array([1.0]))
+    ts.solve(u)
+    Y = ts._glee_prop[1] if ts._glee_prop is not None else ts._glee_Y
+    est = abs(float(Y[1][0]))          # y-eps form: item 1 IS the error
+    true = abs(float(u.getArray()[0]) - np.exp(-1.0))
+    assert est > 0 and 0.1 * true < est < 10 * true
+
+
+def test_eimex_explicit_order():
+    """EIMEX with nrows rows is order ~nrows (pure explicit part)."""
+    errs = []
+    for dtv in (0.1, 0.05):
+        ts = pt.TS().create()
+        ts.setType("eimex")
+        ts.eimex_max_rows = 3
+        ts.setRHSFunction(lambda t, u: -u)
+        ts.setTimeStep(dtv)
+        ts.setMaxTime(1.0)
+        ts.adapt.kind = "none"
+        u = pt.Vec.from_array(np.array([1.0]))
+        ts.solve(u)
+        errs.append(abs(float(u.getArray()[0]) - np.exp(-1.0)))
+    rate = np.log2(errs[0] / errs[1])
+    assert rate > 2.5, (errs, rate)
+
+
+def test_eimex_imex_stiff():
+    """EIMEX partitioned: stiff implicit + nonstiff explicit vs exact."""
+    lam_stiff, lam_soft = -50.0, -1.0
+    ts = pt.TS().create()
+    ts.setType("eimex")
+    ts.eimex_max_rows = 2
+    ts.setRHSFunction(lambda t, u: lam_soft * u)
+    ts.setIFunction(lambda t, u, udot: udot - lam_stiff * u)
+    ts.setTimeStep(0.05)
+    ts.setMaxTime(0.5)
+    ts.adapt.kind = "none"
+    u = pt.Vec.from_array(np.array([1.0]))
+    ts.solve(u)
+    exact = np.exp((lam_stiff + lam_soft) * 0.5)
+    assert ts.getConvergedReason().converged
+    assert abs(float(u.getArray()[0]) - exact) < 5e-3
