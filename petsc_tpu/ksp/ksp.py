@@ -554,6 +554,16 @@ def _bcgsl_extras(ksp):
     return (("ell", int(ell)),)
 
 
+from .idr import solve_idr as _idr  # noqa: E402
+
+
+def _idr_extras(ksp):
+    sv = ksp.opt("get_int", "ksp_idr_s", None) \
+        or int(ksp._params.get("s", 4))
+    return (("s", int(sv)),)
+
+
+register_ksp("idr", _idr, extras=_idr_extras)
 register_ksp("stcg", _tr.solve_stcg, extras=_stcg_extras)
 register_ksp("nash", _tr.solve_stcg, extras=_stcg_extras)   # nash.c variant
 register_ksp("gltr", _tr.solve_stcg, extras=_stcg_extras)   # gltr.c variant

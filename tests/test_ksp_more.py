@@ -187,3 +187,48 @@ def test_iludt():
         assert ksp.getConvergedReason().converged
         its[name] = ksp.getIterationNumber()
     assert its["iludt"] < its["ilu0"]
+
+
+@pytest.mark.parametrize("sval", [1, 2, 4])
+def test_idr_s(sval):
+    """IDR(s) on a nonsymmetric system; works across shadow-space sizes."""
+    A_sp = nonsym()
+    n = A_sp.shape[0]
+    A = pt.MatAIJ.from_scipy(A_sp)
+    ksp = pt.KSP().create()
+    ksp.setOperators(A)
+    ksp.setType("idr")
+    ksp.setParam("s", sval)
+    ksp.getPC().setType("jacobi")
+    ksp.setTolerances(rtol=1e-9, max_it=400)
+    b = pt.Vec.from_array(np.ones(n))
+    x = A.createVecRight()
+    ksp.solve(b, x)
+    assert ksp.getConvergedReason().converged, (sval,
+                                                ksp.getConvergedReason())
+    r = A_sp @ np.asarray(x.getArray())[:n] - 1.0
+    assert np.linalg.norm(r) < 1e-6
+
+
+def test_idr_faster_than_bcgs_matvecs():
+    """IDR(4) should need no more outer iterations than BiCGStab on a
+    tougher nonsymmetric problem (the method's selling point)."""
+    A_sp = nonsym(24)
+    A = pt.MatAIJ.from_scipy(A_sp)
+
+    def its(kt, s=None):
+        ksp = pt.KSP().create()
+        ksp.setOperators(A)
+        ksp.setType(kt)
+        if s:
+            ksp.setParam("s", s)
+        ksp.getPC().setType("jacobi")
+        ksp.setTolerances(rtol=1e-8, max_it=500)
+        b = pt.Vec.from_array(np.ones(A_sp.shape[0]))
+        x = A.createVecRight()
+        ksp.solve(b, x)
+        assert ksp.getConvergedReason().converged
+        return ksp.getIterationNumber()
+
+    # each idr iteration does s+1 matvecs vs bcgs's 2
+    assert its("idr", s=4) * 5 <= its("bcgs") * 2 * 3
