@@ -245,3 +245,88 @@ operator.register_binder("mat_composite", _bind_composite)
 operator.register_binder("mat_lrc", _bind_lrc)
 operator.register_binder("mat_centering", _bind_centering)
 operator.register_binder("mat_nest", _bind_nest)
+
+
+class MatSchurComplement(_WrapperMat):
+    """S = A11 - A10 inv(A00) A01 applied implicitly (MatCreateSchur-
+    Complement, src/ksp/ksp/utils/schurm/schurm.c). The inner inv(A00) is a
+    full compiled KSP solve (the (meta, data) jit contract lets a Krylov
+    loop nest inside the outer operator), so S composes into any outer
+    solver — including another KSP — as one XLA program.
+
+    getKSP() exposes the inner solver (MatSchurComplementGetKSP) for
+    configuring type/tolerances before first use."""
+
+    @classmethod
+    def create(cls, A00, A01, A10, A11=None, comm=None, ksp=None):
+        M = cls(comm or A00.comm)
+        m = A10.getSize()[0]
+        n = A01.getSize()[1]
+        M.setSizes((m, n))
+        M._blocks = (A00, A01, A10, A11)
+        M._ksp = ksp
+        M._meta_v = None          # built lazily after KSP config
+        return M
+
+    def getKSP(self):
+        if self._ksp is None:
+            from ..ksp.ksp import KSP
+            self._ksp = KSP().create()
+            self._ksp.setOperators(self._blocks[0])
+        return self._ksp
+
+    def getSubMatrices(self):
+        return self._blocks
+
+    def _build(self):
+        if self._meta_v is not None:
+            return
+        A00, A01, A10, A11 = self._blocks
+        ksp = self.getKSP()
+        if ksp._type is None:
+            ksp.setFromOptions()
+        ksp.setUp()
+        cfg = ksp._static_cfg()
+        self._meta_v = ("mat_schur", ksp._type, A00.meta, ksp.pc.meta, cfg,
+                        float(ksp.rtol), float(ksp.abstol),
+                        float(ksp.divtol), A01.meta, A10.meta,
+                        None if A11 is None else A11.meta)
+        self._data_v = {
+            "A00": A00.device_data(), "B00": ksp.pc.device_data(),
+            "A01": A01.device_data(), "A10": A10.device_data(),
+            "A11": None if A11 is None else A11.device_data(),
+        }
+
+    @property
+    def meta(self):
+        self._build()
+        return self._meta_v
+
+    def device_data(self):
+        self._build()
+        return self._data_v
+
+
+def _bind_mat_schur(meta, data):
+    from ..ksp.ksp import _IMPLS
+    (_, ktype, m00, mpc, cfg, rtol, abstol, divtol,
+     m01, m10, m11) = meta
+    fn = _IMPLS[ktype]["fn"]
+    A00 = operator.bind(m00, data["A00"])
+    B00 = operator.bind(mpc, data["B00"])
+    A01 = operator.bind(m01, data["A01"])
+    A10 = operator.bind(m10, data["A10"])
+    A11 = None if m11 is None else operator.bind(m11, data["A11"])
+
+    def mult(x):
+        w = A01.mult(x)
+        res = fn(A00, B00, w, jnp.zeros_like(w), rtol, abstol, divtol, cfg)
+        y = -A10.mult(res.x)
+        if A11 is not None:
+            y = y + A11.mult(x)
+        return y
+
+    return operator.Op(mult=mult)
+
+
+operator.register_binder("mat_schur", _bind_mat_schur)

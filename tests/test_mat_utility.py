@@ -2,6 +2,7 @@
 CENTERING analogs)."""
 
 import numpy as np
+import jax.numpy as jnp
 import pytest
 
 import petsc_tpu as pt
@@ -132,3 +133,46 @@ def test_zero_rows_columns():
     assert Anew[0, 1] == 0 and Anew[1, 0] == 0
     sol = np.linalg.solve(Anew, np.asarray(b.getArray())[:n])
     assert np.allclose(sol, xex, atol=1e-12)
+
+
+def test_mat_schur_complement():
+    """MatSchurComplement: implicit S x == dense Schur complement
+    (schurm.c), inner CG solve nested inside the operator; and it works
+    as the operator of an OUTER KSP."""
+    import scipy.sparse as sp
+    from petsc_tpu.mat.utility import MatSchurComplement
+    from petsc_tpu.ops import operator
+    rng = np.random.default_rng(5)
+    n0, n1 = 14, 6
+    F = sp.diags([4.0] * n0) + sp.random(n0, n0, density=0.2,
+                                         random_state=1) * 0.1
+    F = ((F + F.T) * 0.5).tocsr()          # SPD-ish
+    Bt = sp.random(n0, n1, density=0.4, random_state=2, format="csr")
+    Bm = sp.csr_matrix(Bt.T)
+    C = sp.eye(n1, format="csr") * 0.3
+    A00 = pt.MatAIJ.from_scipy(F)
+    A01 = pt.MatAIJ.from_scipy(Bt)
+    A10 = pt.MatAIJ.from_scipy(Bm)
+    A11 = pt.MatAIJ.from_scipy(C)
+    S = MatSchurComplement.create(A00, A01, A10, A11)
+    S.getKSP().setType("cg")
+    S.getKSP().setTolerances(rtol=1e-12)
+    op = operator.bind(S.meta, S.device_data())
+    x = rng.random(n1)
+    xpad = np.zeros(A01.col_layout.Npad)
+    xpad[:n1] = x
+    y = np.asarray(op.mult(jnp.asarray(xpad)))[:n1]
+    Sd = C.toarray() - Bm.toarray() @ np.linalg.solve(F.toarray(),
+                                                     Bt.toarray())
+    assert np.allclose(y, Sd @ x, atol=1e-8)
+    # as operator of an outer gmres
+    ksp = pt.KSP().create()
+    ksp.setOperators(S)
+    ksp.setType("gmres")
+    ksp.getPC().setType("none")
+    ksp.setTolerances(rtol=1e-10)
+    b = pt.Vec.from_array(np.ones(n1))
+    xs = pt.Vec.from_array(np.zeros(n1))
+    ksp.solve(b, xs)
+    assert ksp.getConvergedReason().converged
+    assert np.allclose(Sd @ np.asarray(xs.getArray())[:n1], 1.0, atol=1e-7)
