@@ -31,6 +31,7 @@ from .vec.vec import Vec, NormType, InsertMode, fused_reductions
 from .mat.mat import Mat, MatShell, MatDense, MatNullSpace, MatStructure
 from .mat.aij import MatAIJ
 from .mat.sbaij import MatSBAIJ
+from .dm.swarm import DMSwarm
 
 __version__ = "0.1.0"
 
