@@ -101,7 +101,8 @@ class _PETScNS:
         Type = type("Type", (), {n.upper(): n for n in (
             "cg", "gmres", "fgmres", "bcgs", "cgs", "tfqmr", "cr", "gcr",
             "lsqr", "minres", "chebyshev", "richardson", "preonly",
-            "pipecg", "groppcg")})
+            "pipecg", "groppcg", "bcgsl", "idr", "stcg", "nash", "gltr",
+            "qcg", "symmlq", "cgne", "fcg", "lgmres", "ibcgs", "fbcgs")})
         ConvergedReason = KSPConvergedReason
 
         def __new__(cls):
@@ -131,6 +132,16 @@ class _PETScNS:
         def __new__(cls):
             from .tao.tao import Tao as _Tao
             return _Tao()
+
+    class DMSwarm:
+        def __new__(cls):
+            from .dm.swarm import DMSwarm as _DMSwarm
+            return _DMSwarm()
+
+    class ViewerHDF5:
+        def __new__(cls, path, mode="r"):
+            from .sys.hdf5 import ViewerHDF5 as _V
+            return _V(path, mode)
 
     class DMDA:
         def __new__(cls):

