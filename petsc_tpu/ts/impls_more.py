@@ -357,7 +357,75 @@ def step_eimex(ts: TS, t, u, dt):
             nrows, ok and np.all(np.isfinite(np.asarray(unew))))
 
 
+# =====================================================================
+# TSMPRK — multirate partitioned Runge-Kutta (multirate/mprk.c)
+# =====================================================================
+
+def _mprk_tableau2(ratio, Abase, bbase):
+    """TSMPRKGenerateTableau2 (mprk.c:69): repeat the base tableau per
+    subcycle; the SLOW partition keeps the base diagonal blocks with
+    b/ratio weights, the FAST partition scales diagonals by 1/ratio and
+    accumulates completed subcycles through b/ratio off-diagonal blocks."""
+    s = len(bbase)
+    ns = ratio * s
+    A1 = np.zeros((ns, ns))
+    A2 = np.zeros((ns, ns))
+    b1 = np.zeros(ns)
+    b2 = np.zeros(ns)
+    for k in range(ratio):
+        A1[k * s:(k + 1) * s, k * s:(k + 1) * s] = Abase
+        A2[k * s:(k + 1) * s, k * s:(k + 1) * s] = Abase / ratio
+        for l in range(k):
+            A2[k * s:(k + 1) * s, l * s:(l + 1) * s] = \
+                np.tile(bbase / ratio, (s, 1))
+        b1[k * s:(k + 1) * s] = bbase / ratio
+        b2[k * s:(k + 1) * s] = bbase / ratio
+    return A1, b1, A2, b2
+
+
+def step_mprk(ts: TS, t, u, dt):
+    """TSStep_MPRK: explicit partitioned RK over "slow"/"fast" RHS splits
+    (setRHSSplit) with subcycle ratio -ts_mprk_ratio (default 2), base
+    scheme RK2A — the fast part takes `ratio` sub-steps per slow step
+    inside ONE partitioned tableau."""
+    ratio = int(getattr(ts, "mprk_ratio", 2))
+    splits = getattr(ts, "_rhs_splits", {})
+    if "slow" not in splits or "fast" not in splits:
+        raise Error("mprk: setRHSSplit('slow', fs) and ('fast', ff) first")
+    fs, iss = splits["slow"]
+    ff, isf = splits["fast"]
+
+    def f_of(fn, iset, tt, y):
+        out = np.asarray(fn(tt, jnp.asarray(y)))
+        if iset is not None:
+            m = np.zeros_like(out)
+            m[iset] = out[iset]
+            out = m
+        return out
+
+    Abase = np.array([[0.0, 0.0], [1.0, 0.0]])
+    bbase = np.array([0.5, 0.5])
+    A1, b1, A2, b2 = _mprk_tableau2(ratio, Abase, bbase)
+    c = A2.sum(axis=1)
+    ns = len(b1)
+    Fs, Ff = [], []
+    for i in range(ns):
+        y = u.astype(np.float64, copy=True)
+        for j in range(i):
+            if A1[i, j] != 0:
+                y = y + dt * A1[i, j] * Fs[j]
+            if A2[i, j] != 0:
+                y = y + dt * A2[i, j] * Ff[j]
+        Fs.append(f_of(fs, iss, t + c[i] * dt, y))
+        Ff.append(f_of(ff, isf, t + c[i] * dt, y))
+    un = u.astype(np.float64, copy=True)
+    for j in range(ns):
+        un = un + dt * (b1[j] * Fs[j] + b2[j] * Ff[j])
+    return un, None, 2, np.all(np.isfinite(un))
+
+
 TS._impls.update({
+    "mprk": step_mprk,
     "glee": step_glee,
     "eimex": step_eimex,
 })

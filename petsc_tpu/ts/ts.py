@@ -134,6 +134,16 @@ class TS(PObject):
     def getType(self):
         return self._type
 
+    def setRHSSplit(self, name, fn, iset=None):
+        """TSRHSSplitSetRHSFunction (multirate splitting): register the
+        named additive RHS part fn(t, u) -> contribution; optional iset
+        masks the contribution to those components."""
+        if not hasattr(self, "_rhs_splits"):
+            self._rhs_splits = {}
+        self._rhs_splits[name] = (fn, None if iset is None
+                                  else np.asarray(iset, dtype=np.int64))
+        return self
+
     def setRHSFunction(self, fn):
         """Pure jax fn(t, u) -> du/dt (TSSetRHSFunction)."""
         self._rhs = fn

@@ -186,3 +186,44 @@ def test_eimex_imex_stiff():
     exact = np.exp((lam_stiff + lam_soft) * 0.5)
     assert ts.getConvergedReason().converged
     assert abs(float(u.getArray()[0]) - exact) < 5e-3
+
+
+def test_mprk_multirate_order2():
+    """MPRK (multirate partitioned RK, mprk.c): slow/fast additive split
+    converges at 2nd order and matches expm."""
+    errs = []
+    for dtv in (0.1, 0.05):
+        ts = pt.TS().create()
+        ts.setType("mprk")
+        ts.mprk_ratio = 2
+        ts.setRHSSplit("slow", lambda t, u: -0.1 * u)
+        ts.setRHSSplit("fast", lambda t, u: -3.0 * u)
+        ts.setTimeStep(dtv)
+        ts.setMaxTime(1.0)
+        ts.adapt.kind = "none"
+        u = pt.Vec.from_array(np.array([1.0]))
+        ts.solve(u)
+        errs.append(abs(float(u.getArray()[0]) - np.exp(-3.1)))
+    rate = np.log2(errs[0] / errs[1])
+    assert 1.7 < rate < 2.4, (errs, rate)
+
+
+def test_mprk_with_is_partition():
+    """Component-partitioned multirate: fast IS covers the stiff block."""
+    A = np.diag([-0.2, -8.0])
+
+    def full(t, u):
+        return jnp.asarray(A) @ u
+
+    ts = pt.TS().create()
+    ts.setType("mprk")
+    ts.mprk_ratio = 4
+    ts.setRHSSplit("slow", full, iset=[0])
+    ts.setRHSSplit("fast", full, iset=[1])
+    ts.setTimeStep(0.05)
+    ts.setMaxTime(1.0)
+    ts.adapt.kind = "none"
+    u = pt.Vec.from_array(np.array([1.0, 1.0]))
+    ts.solve(u)
+    exact = np.exp(np.diag(A))
+    assert np.allclose(np.asarray(u.getArray()), exact, atol=2e-3)
