@@ -1,0 +1,26 @@
+"""SNES tutorial-example parity tests (reference expected outputs under
+src/snes/tutorials/output/)."""
+
+import sys
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+def test_ex19_driven_cavity_parity(capsys):
+    """ex19 (driven cavity): initial SNES function norm is char-exact vs
+    the reference's ex19_1.out (0.0406612 at -da_refine 3) and Newton
+    converges in 2 iterations."""
+    import examples.ex19 as ex19
+    snes, x, (mx, my) = ex19.main(["-da_refine", "3",
+                                   "-snes_monitor_short"])
+    out = capsys.readouterr().out
+    assert "lid velocity = 0.0016, prandtl # = 1., grashof # = 1." in out
+    assert "0 SNES Function norm 0.0406612" in out
+    assert snes.getIterationNumber() == 2
+    assert snes.getConvergedReason().converged
+    # physical sanity: interior velocity magnitudes bounded by lid speed
+    X = np.asarray(x.getArray())[: my * mx * 4].reshape(my, mx, 4)
+    assert np.abs(X[..., 0]).max() <= 0.0016 + 1e-12
