@@ -23,5 +23,5 @@ def test_ex19_driven_cavity_parity(capsys):
     assert snes.getConvergedReason().converged
     # physical sanity: the lid BC holds exactly and the field is finite
     X = np.asarray(x.getArray())[: my * mx * 4].reshape(my, mx, 4)
-    assert np.allclose(X[-1, :, 0], 0.0016, atol=1e-10)   # top row = lid
+    assert np.allclose(X[-1, 1:-1, 0], 0.0016, atol=1e-10)  # lid (corners owned by side walls)
     assert np.all(np.isfinite(X))
