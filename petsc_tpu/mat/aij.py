@@ -733,6 +733,31 @@ class MatAIJ(Mat):
         self._dedupe_sum(i, j, v)
         return self.assemble()
 
+    def matMult(self, B, fill=None):
+        """C = A*B (MatMatMult matrix.c:9373). SpGEMM is a host symbolic+
+        numeric phase (scipy CSR product) — the TPU consumes the RESULT as
+        a fused device layout; sparse-times-sparse has no MXU mapping so
+        the product itself stays on host (SURVEY: GAMG RAP strategy)."""
+        C = (self.to_scipy() @ B.to_scipy()).tocsr()
+        return MatAIJ.from_scipy(C, comm=self.comm)
+
+    def transposeMatMult(self, B, fill=None):
+        """C = A^T * B (MatTransposeMatMult)."""
+        C = (self.to_scipy().T @ B.to_scipy()).tocsr()
+        return MatAIJ.from_scipy(C, comm=self.comm)
+
+    def ptap(self, P, fill=None):
+        """C = P^T A P (MatPtAP — the Galerkin triple product)."""
+        Ps = P.to_scipy()
+        C = (Ps.T @ (self.to_scipy() @ Ps)).tocsr()
+        return MatAIJ.from_scipy(C, comm=self.comm)
+
+    def rart(self, R, fill=None):
+        """C = R A R^T (MatRARt)."""
+        Rs = R.to_scipy()
+        C = (Rs @ (self.to_scipy() @ Rs.T)).tocsr()
+        return MatAIJ.from_scipy(C, comm=self.comm)
+
     def createSubMatrix(self, isrow, iscol=None):
         """MatCreateSubMatrix: extract the (isrow x iscol) block as a new
         MatAIJ (matrix.c submatrix path)."""

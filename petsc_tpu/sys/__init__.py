@@ -3,3 +3,5 @@ from . import viewer  # noqa: F401
 from .hdf5 import ViewerHDF5
 from .info import info, info_enabled
 from .random import Random
+from .bag import Bag
+from . import draw  # noqa: F401
