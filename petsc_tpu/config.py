@@ -94,6 +94,12 @@ def init(args=None, options_dict=None, file=None):
 
     if st.options.has_name("help"):
         st.options._help_requested = True
+    if st.options.get_bool("fp_trap", default=False):
+        # PetscSetFPTrap (-fp_trap, fp.c:380): trap NaN/Inf production —
+        # the XLA-world analog is jax debug_nans (errors at the op that
+        # produced the NaN instead of raising SIGFPE)
+        import jax
+        jax.config.update("jax_debug_nans", True)
     dt = st.options.get_string("real_dtype", default=None)
     if dt is not None:
         set_real_dtype(dt)

