@@ -486,8 +486,13 @@ class TS(PObject):
 
 
 class TSAdapt:
-    """Step controller (adapt/impls/basic): accept if wlte <= 1, new dt by
-    the standard (1/(order+1)) power rule with safety/clip factors."""
+    """Step controller (src/ts/adapt/impls). Kinds:
+      basic   — accept if wlte <= 1, dt by the (1/(order+1)) power rule
+      dsp     — digital-signal-processing PID controller (adapt/impls/dsp
+                Soderlind beta filters: H211PI default)
+      history — replay a recorded dt sequence (TSAdaptHistorySetHistory)
+      none    — fixed step
+    """
 
     def __init__(self, ts, kind="basic"):
         self.ts = ts
@@ -497,10 +502,48 @@ class TSAdapt:
         self.clip = (0.1, 10.0)
         self.dt_min, self.dt_max = 1e-20, 1e20
         self.max_rejects = 30
+        # dsp (Soderlind) filter: H211PI kbeta=(1/6,1/6,0), alpha=(0,0)
+        self.dsp_kbeta = (1.0 / 6.0, 1.0 / 6.0, 0.0)
+        self.dsp_alpha = (0.0, 0.0)
+        self._e_hist = [1.0, 1.0]      # previous inverse error estimates
+        self._rho_hist = [1.0]
+        self._history = None           # (t[], dt[]) for kind=history
+        self._hist_i = 0
+
+    def setHistory(self, dts):
+        """TSAdaptHistorySetHistory: prescribed step sequence."""
+        self._history = np.asarray(dts, dtype=np.float64)
+        self._hist_i = 0
+        self.kind = "history"
+        return self
+
+    def _wlte(self, err_vec, u):
+        w = self.atol + self.rtol * np.abs(u)
+        return float(np.sqrt(np.mean((np.asarray(err_vec) / w) ** 2)))
 
     def choose(self, dt, err_vec, order, u):
-        w = self.atol + self.rtol * np.abs(u)
-        wlte = float(np.sqrt(np.mean((np.asarray(err_vec) / w) ** 2)))
+        if self.kind == "history":
+            self._hist_i += 1
+            if self._hist_i < len(self._history):
+                return True, float(self._history[self._hist_i])
+            return True, dt
+        wlte = self._wlte(err_vec, u)
+        if self.kind == "dsp":
+            # Soderlind: rho = prod e_k^{kbeta_k/(order+1)} * rho_{k}^{-alpha}
+            k = 1.0 / (order + 1)
+            e0 = 1.0 / max(wlte, 1e-14)
+            e1, e2 = self._e_hist
+            b1, b2, b3 = self.dsp_kbeta
+            a1, a2 = self.dsp_alpha
+            rho = (e0 ** (b1 * k)) * (e1 ** (b2 * k)) * (e2 ** (b3 * k)) \
+                * (self._rho_hist[-1] ** (-a1))
+            fac = float(np.clip(self.safety * rho, *self.clip))
+            accept = wlte <= 1.0
+            if accept:
+                self._e_hist = [e0, e1]
+                self._rho_hist = [rho]
+            dt_new = float(np.clip(dt * fac, self.dt_min, self.dt_max))
+            return accept, dt_new
         if wlte > 0:
             fac = self.safety * wlte ** (-1.0 / (order + 1))
         else:

@@ -227,3 +227,34 @@ def test_mprk_with_is_partition():
     ts.solve(u)
     exact = np.exp(np.diag(A))
     assert np.allclose(np.asarray(u.getArray()), exact, atol=2e-3)
+
+
+def test_adapt_dsp_controller():
+    """DSP (Soderlind H211PI) adaptor integrates decay accurately with
+    smooth step-size evolution (adapt/impls/dsp)."""
+    ts = pt.TS().create()
+    ts.setType("rk")
+    ts.setRHSFunction(lambda t, u: -u)
+    ts.setTimeStep(0.2)
+    ts.setMaxTime(1.0)
+    ts.adapt.kind = "dsp"
+    ts.adapt.rtol = ts.adapt.atol = 1e-6
+    u = pt.Vec.from_array(np.array([1.0]))
+    ts.solve(u)
+    assert ts.getConvergedReason().converged
+    assert abs(float(u.getArray()[0]) - np.exp(-1.0)) < 1e-5
+
+
+def test_adapt_history_replay():
+    """History adaptor replays a prescribed dt sequence exactly."""
+    seq = [0.1, 0.2, 0.3, 0.4]
+    ts = pt.TS().create()
+    ts.setType("rk")
+    ts.setRHSFunction(lambda t, u: -u)
+    ts.setTimeStep(seq[0])
+    ts.setMaxTime(1.0)
+    ts.adapt.setHistory(seq)
+    u = pt.Vec.from_array(np.array([1.0]))
+    ts.solve(u)
+    assert abs(ts.getTime() - 1.0) < 1e-12
+    assert ts.getStepNumber() == 4
