@@ -572,3 +572,97 @@ def _bind_lmvm(meta, data):
 
 operator.register_binder("pc_lmvm", _bind_lmvm)
 PC.register_impl("lmvm", _PCLMVM)
+
+
+class _PCRedistribute:
+    """PCREDISTRIBUTE (redistribute.c): strip rows that are decoupled
+    (only a diagonal entry — typical eliminated Dirichlet rows), solve the
+    reduced system with an inner KSP, and re-insert the stripped values
+    x_i = b_i / a_ii. The reference also rebalances rows across ranks;
+    under SPMD the re-balance is the array resharding, so the TPU version
+    is the row-stripping transform. Off-diagonal couplings TO stripped
+    rows are moved to the rhs inside the apply."""
+
+    def __init__(self, pc):
+        self.pc = pc
+
+    def set_from_options(self):
+        pass
+
+    def setup(self):
+        import scipy.sparse as sp
+        from ..ksp.ksp import KSP
+        from ..mat.aij import MatAIJ
+        A = self.pc.pmat
+        S = A.to_scipy().tocsr()
+        n = S.shape[0]
+        nnz_per_row = np.diff(S.indptr)
+        diag = S.diagonal()
+        dec = (nnz_per_row == 1) & (diag != 0)
+        # a 1-nnz row must BE the diagonal to count as decoupled
+        only = np.where(dec)[0]
+        for r in only.copy():
+            if S.indices[S.indptr[r]] != r:
+                dec[r] = False
+        keep = ~dec
+        kidx = np.where(keep)[0]
+        didx = np.where(dec)[0]
+        Ak = S[kidx][:, kidx].tocsr()
+        Adk = S[kidx][:, didx].tocsr()       # coupling kept <- stripped
+        inner = KSP(options=self.pc._options,
+                    prefix=(self.pc.get_options_prefix() or "")
+                    + "redistribute_")
+        Am = MatAIJ.from_scipy(Ak, comm=A.comm)
+        inner.setOperators(Am, Am)
+        inner.setFromOptions()
+        if inner._type is None:
+            inner.setType("gmres")
+        inner.setUp()
+        cfg = inner._static_cfg()
+        rd = config.real_dtype()
+        data = {
+            "A": Am.device_data(), "B": inner.pc.device_data(),
+            "Adk": MatAIJ.from_scipy(Adk, comm=A.comm).device_data(),
+            "kidx": jnp.asarray(kidx), "didx": jnp.asarray(didx),
+            "dinv": jnp.asarray(1.0 / diag[didx] if len(didx) else
+                                np.zeros(0), rd),
+        }
+        meta = ("pc_redistribute", inner._type, Am.meta, inner.pc.meta,
+                cfg, float(inner.rtol), float(inner.abstol),
+                float(inner.divtol),
+                MatAIJ.from_scipy(Adk, comm=A.comm).meta,
+                A.row_layout.Npad, len(kidx), len(didx),
+                Am.row_layout.Npad)
+        return meta, data
+
+
+def _bind_redistribute(meta, data):
+    from ..ksp.ksp import _IMPLS
+    (_, ktype, ameta, bmeta, cfg, rtol, abstol, divtol, adkmeta,
+     npad, nk, nd, npad_k) = meta
+    fn = _IMPLS[ktype]["fn"]
+    Aop = operator.bind(ameta, data["A"])
+    Bop = operator.bind(bmeta, data["B"])
+    Adk = operator.bind(adkmeta, data["Adk"])
+
+    def mult(b):
+        xd = b[data["didx"]] * data["dinv"]          # stripped rows
+        bk = b[data["kidx"]]                         # (nk,)
+        if nd:
+            # move kept<-stripped couplings to the rhs
+            xd_pad = jnp.zeros(max(nd, 1), b.dtype).at[:nd].set(xd)
+            bk = bk - Adk.mult(xd_pad)[:nk]
+        rhs = jnp.zeros(npad_k, b.dtype).at[:nk].set(bk)
+        res = fn(Aop, Bop, rhs, jnp.zeros_like(rhs),
+                 rtol, abstol, divtol, cfg)
+        y = jnp.zeros(npad, b.dtype)
+        y = y.at[data["kidx"]].set(res.x[:nk])
+        if nd:
+            y = y.at[data["didx"]].set(xd)
+        return y
+
+    return operator.Op(mult=mult)
+
+
+operator.register_binder("pc_redistribute", _bind_redistribute)
+PC.register_impl("redistribute", _PCRedistribute)

@@ -162,3 +162,34 @@ def test_pc_gasm_user_subdomains():
     assert ksp.getConvergedReason().converged
     r = A_sp @ np.asarray(x.getArray())[:n] - 1.0
     assert np.linalg.norm(r) < 1e-6
+
+
+def test_pc_redistribute_strips_dirichlet_rows():
+    """PCREDISTRIBUTE (redistribute.c): Dirichlet-eliminated rows (only a
+    diagonal) are stripped, inner solve runs on the reduced system, and
+    the stripped values come back as b_i/a_ii."""
+    A_sp = poisson2d(10).tolil()
+    n = A_sp.shape[0]
+    # eliminate 12 rows as Dirichlet: identity row
+    bdry = np.arange(0, n, 9)
+    for r in bdry:
+        A_sp.rows[r] = [int(r)]
+        A_sp.data[r] = [1.0]
+    A_sp = A_sp.tocsr()
+    A = pt.MatAIJ.from_scipy(A_sp)
+    ksp = pt.KSP().create()
+    ksp.setOperators(A)
+    ksp.setType("preonly")
+    pc = ksp.getPC()
+    pc.setType("redistribute")
+    rng = np.random.default_rng(0)
+    b = pt.Vec.from_array(rng.random(n))
+    x = A.createVecRight()
+    pt.init(args=["-redistribute_ksp_type", "gmres",
+                  "-redistribute_ksp_rtol", "1e-12",
+                  "-redistribute_pc_type", "ilu"])
+    ksp.solve(b, x)
+    xr = np.asarray(x.getArray())[:n]
+    ref = np.linalg.solve(A_sp.toarray(), np.asarray(b.getArray())[:n])
+    assert np.allclose(xr, ref, atol=1e-8)
+    pt.init(args=[])
