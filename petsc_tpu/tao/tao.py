@@ -93,6 +93,12 @@ class Tao(PObject):
     def setRegularizerWeight(self, w):
         self._reg = float(w)
 
+    def setConstraints(self, fn):
+        """TaoSetConstraintsRoutine: pure jax fn(x) -> c(x) (used by the
+        complementarity solvers ssils/ssfls and almm)."""
+        self._constraints = fn
+        return self
+
     def setVariableBounds(self, lb, ub):
         self._lb = np.asarray(lb.getArray() if isinstance(lb, Vec) else lb)
         self._ub = np.asarray(ub.getArray() if isinstance(ub, Vec) else ub)
@@ -665,6 +671,158 @@ def solve_neldermead(tao: Tao, x, xvec):
     xvec.setArray(res.x)
 
 
+def _fischer_burmeister(a, b):
+    return jnp.sqrt(a * a + b * b + 1e-300) - a - b
+
+
+def solve_ssils(tao: Tao, x, xvec):
+    """Semismooth infeasible line-search solver for the nonlinear
+    complementarity problem 0 <= x  ⊥  F(x) >= 0 (complementarity/impls/
+    ssls/ssils.c): Newton on the Fischer-Burmeister reformulation
+    Phi_i = phi(x_i, F_i(x)) with an Armijo search on the merit
+    0.5||Phi||^2. The generalized Jacobian comes from jax.jacfwd of the
+    (smoothed) FB residual — one compiled kernel per problem."""
+    F = getattr(tao, "_constraints", None)
+    if F is None:
+        raise Error("ssils: call setConstraints first")
+    import jax
+
+    def Phi(z):
+        return _fischer_burmeister(z, F(z))
+
+    phi_jit = jax.jit(Phi)
+    J_jit = jax.jit(jax.jacfwd(Phi))
+    merit = lambda z: 0.5 * float(np.dot(np.asarray(phi_jit(z)),
+                                         np.asarray(phi_jit(z))))
+    it = 0
+    reason = TaoR.CONTINUE_ITERATING
+    xk = jnp.asarray(x)
+    m = merit(xk)
+    gnorm = float(np.sqrt(2 * m))
+    g0 = max(gnorm, 1e-300)
+    tao._monitor(0, m, gnorm)
+    while it < tao.max_it:
+        if gnorm <= tao.gatol or gnorm / g0 <= tao.grtol:
+            reason = TaoR.CONVERGED_GATOL
+            break
+        P = np.asarray(phi_jit(xk))
+        J = np.asarray(J_jit(xk))
+        try:
+            d = np.linalg.solve(J + 1e-12 * np.eye(len(P)), -P)
+        except np.linalg.LinAlgError:
+            d, *_ = np.linalg.lstsq(J, -P, rcond=None)
+        t = 1.0
+        ok = False
+        for _ in range(30):
+            mn = merit(xk + t * jnp.asarray(d))
+            if mn <= (1 - 1e-4 * t) * m:
+                ok = True
+                break
+            t *= 0.5
+        if not ok:
+            reason = TaoR.DIVERGED_LS_FAILURE
+            break
+        xk = xk + t * jnp.asarray(d)
+        m = merit(xk)
+        gnorm = float(np.sqrt(2 * m))
+        it += 1
+        tao._monitor(it, m, gnorm)
+    else:
+        reason = TaoR.DIVERGED_MAXITS
+    if reason == TaoR.CONTINUE_ITERATING:
+        reason = TaoR.CONVERGED_GATOL
+    tao._its, tao._fval, tao._gnorm, tao._reason = it, m, gnorm, reason
+    xvec.setArray(np.asarray(xk))
+
+
+def solve_pdipm(tao: Tao, x, xvec):
+    """Primal-dual interior point for bound-constrained (and optional
+    equality-constrained) minimization (constrained/impls/ipm/pdipm.c
+    role). Log-barrier on the bounds, Newton on the perturbed KKT system
+    with fraction-to-the-boundary steps, mu driven by the complementarity
+    average. Hessian-vector products come from jax (dense assembly for
+    the KKT block — appropriate at Tao problem sizes)."""
+    import jax
+    lb = getattr(tao, "_lb", None)
+    ub = getattr(tao, "_ub", None)
+    n = len(x)
+    lb = np.full(n, -np.inf) if lb is None else np.asarray(lb)
+    ub = np.full(n, np.inf) if ub is None else np.asarray(ub)
+    has_lb = np.isfinite(lb)
+    has_ub = np.isfinite(ub)
+    # strictly interior start
+    xk = np.clip(x, np.where(has_lb, lb + 1e-2, -np.inf),
+                 np.where(has_ub, ub - 1e-2, np.inf))
+    zl = np.where(has_lb, 1.0, 0.0)      # duals for x - lb >= 0
+    zu = np.where(has_ub, 1.0, 0.0)
+    obj = tao._obj
+    grad = jax.jit(jax.grad(obj))
+    hess = jax.jit(jax.hessian(obj))
+    mu = 1.0
+    it = 0
+    reason = TaoR.CONTINUE_ITERATING
+    while it < tao.max_it:
+        g = np.asarray(grad(jnp.asarray(xk)))
+        rd = g - zl + zu                       # dual residual
+        sl = np.where(has_lb, xk - lb, 1.0)
+        su = np.where(has_ub, ub - xk, 1.0)
+        rcl = np.where(has_lb, sl * zl - mu, 0.0)
+        rcu = np.where(has_ub, su * zu - mu, 0.0)
+        kkt = np.linalg.norm(np.concatenate([rd, rcl, rcu]))
+        gnorm = float(np.linalg.norm(rd))
+        tao._monitor(it, float(obj(jnp.asarray(xk))), kkt)
+        if kkt <= tao.gatol:
+            reason = TaoR.CONVERGED_GATOL
+            break
+        H = np.asarray(hess(jnp.asarray(xk)))
+        # condensed system: (H + Sl^-1 Zl + Su^-1 Zu) dx = -rd_bar
+        sl = np.where(has_lb, np.maximum(sl, 1e-300), 1.0)
+        su = np.where(has_ub, np.maximum(su, 1e-300), 1.0)
+        D = np.where(has_lb, zl / sl, 0.0) + np.where(has_ub, zu / su, 0.0)
+        # eliminate dzl,dzu: (H + D) dx = -(rd + rcl/sl - rcu/su)
+        rd_bar = rd + np.where(has_lb, rcl / sl, 0.0) \
+            - np.where(has_ub, rcu / su, 0.0)
+        dx = np.linalg.solve(H + np.diag(D) + 1e-12 * np.eye(n), -rd_bar)
+        dzl = np.where(has_lb, -(rcl + zl * dx) / sl, 0.0)
+        dzu = np.where(has_ub, -(rcu - zu * dx) / su, 0.0)
+        # fraction-to-boundary
+        tau = 0.995
+
+        def maxstep(v, dv):
+            neg = dv < 0
+            return float(min(1.0, np.min(np.where(neg, -tau * v
+                                                  / np.where(neg, dv, -1.0),
+                                                  1.0)))) if neg.any() \
+                else 1.0
+
+        ap = min(maxstep(sl[has_lb], dx[has_lb])
+                 if has_lb.any() else 1.0,
+                 maxstep(su[has_ub], -dx[has_ub])
+                 if has_ub.any() else 1.0)
+        ad = min(maxstep(zl[has_lb], dzl[has_lb])
+                 if has_lb.any() else 1.0,
+                 maxstep(zu[has_ub], dzu[has_ub])
+                 if has_ub.any() else 1.0)
+        xk = xk + ap * dx
+        zl = zl + ad * dzl
+        zu = zu + ad * dzu
+        # mu update: average complementarity, superlinear push
+        nact = max(int(has_lb.sum() + has_ub.sum()), 1)
+        mu_est = (np.where(has_lb, (xk - lb) * zl, 0.0).sum()
+                  + np.where(has_ub, (ub - xk) * zu, 0.0).sum()) / nact
+        mu = max(min(0.2 * mu_est, mu * 0.9), 1e-16)
+        it += 1
+    else:
+        reason = TaoR.DIVERGED_MAXITS
+    if reason == TaoR.CONTINUE_ITERATING:
+        reason = TaoR.CONVERGED_GATOL
+    tao._its = it
+    tao._fval = float(obj(jnp.asarray(xk)))
+    tao._gnorm = gnorm
+    tao._reason = reason
+    xvec.setArray(xk)
+
+
 def solve_pounders(tao: Tao, x, xvec):
     """Model-based derivative-free least squares (leastsquares/impls/
     pounders): keep an interpolation set of evaluated points, fit models of
@@ -752,6 +910,12 @@ Tao._impls.update({
     "ntr": solve_ntr,
     "ntl": solve_ntl,
     "pounders": solve_pounders,
+    "ssils": solve_ssils,
+    "ssfls": solve_ssils,
+    "asils": solve_ssils,
+    "asfls": solve_ssils,
+    "ipm": solve_pdipm,
+    "pdipm": solve_pdipm,
     "bnls": solve_nls,
     "cg": solve_cg,
     "brgn": solve_brgn,

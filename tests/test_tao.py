@@ -190,3 +190,57 @@ def test_pounders_least_squares():
     tao.solve(x)
     assert tao.getConvergedReason().converged, tao.getConvergedReason()
     assert np.allclose(np.asarray(x.getArray()), [2.0, 1.5], atol=1e-4)
+
+
+def test_ssils_complementarity():
+    """SSILS semismooth Newton on an NCP with known solution: F(x) = Mx+q
+    (LCP). Solution of 0<=x ⊥ Mx+q>=0 for M SPD."""
+    M = np.array([[2.0, 0.5], [0.5, 1.0]])
+    q = np.array([-1.0, 1.0])
+    # solution: x1 solves first row active (F1=0), x2=0 with F2>=0
+    # 2 x1 - 1 = 0 -> x1 = 0.5; F2 = 0.25 + 1 > 0 OK
+
+    def F(x):
+        return jnp.asarray(M) @ x + jnp.asarray(q)
+
+    tao = pt.Tao().create()
+    tao.setType("ssils")
+    tao.setConstraints(F)
+    tao.setTolerances(gatol=1e-10)
+    x = pt.Vec.from_array(np.array([1.0, 1.0]))
+    tao.solve(x)
+    assert tao.getConvergedReason().converged
+    sol = np.asarray(x.getArray())
+    assert np.allclose(sol, [0.5, 0.0], atol=1e-7), sol
+
+
+def test_pdipm_bound_constrained():
+    """PDIPM interior point: quadratic with active bound; optimum clipped
+    to the boundary with vanishing KKT residual."""
+    tao = pt.Tao().create()
+    tao.setType("pdipm")
+    tao.setObjective(lambda x: jnp.sum((x - 2.0) ** 2))
+    tao.setVariableBounds(np.zeros(4), np.ones(4))
+    tao.setTolerances(gatol=1e-8)
+    tao.setMaximumIterations(100)
+    x = pt.Vec.from_array(np.full(4, 0.5))
+    tao.solve(x)
+    assert tao.getConvergedReason().converged
+    assert np.allclose(np.asarray(x.getArray()), 1.0, atol=1e-6)
+
+
+def test_pdipm_interior_optimum():
+    """When the optimum is interior, pdipm matches the unconstrained one."""
+    tao = pt.Tao().create()
+    tao.setType("pdipm")
+    tao.setObjective(lambda x: jnp.sum((x - 0.3) ** 2) + 0.1 * x[0] * x[1])
+    tao.setVariableBounds(np.zeros(2), np.ones(2))
+    tao.setTolerances(gatol=1e-9)
+    tao.setMaximumIterations(200)
+    x = pt.Vec.from_array(np.full(2, 0.5))
+    tao.solve(x)
+    assert tao.getConvergedReason().converged
+    # unconstrained optimum of x'Qx form: solve 2(x-0.3)+0.1*swap = 0
+    Q = np.array([[2.0, 0.1], [0.1, 2.0]])
+    ref = np.linalg.solve(Q, np.array([0.6, 0.6]))
+    assert np.allclose(np.asarray(x.getArray()), ref, atol=1e-5)
