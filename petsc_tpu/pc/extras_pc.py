@@ -666,3 +666,66 @@ def _bind_redistribute(meta, data):
 
 operator.register_binder("pc_redistribute", _bind_redistribute)
 PC.register_impl("redistribute", _PCRedistribute)
+
+
+class _PCCP:
+    """PCCP (cp.c): one sweep of sequential column-projection minimization
+    — for each column j, x_j += (r, a_j)/||a_j||^2. Sequential column
+    updates are EXACTLY forward Gauss-Seidel on the normal equations
+    A^T A x = A^T b, so the device apply is the level-scheduled SOR sweep
+    on A^T A (the same machinery as sequential Kaczmarz, which is its
+    row-space dual)."""
+
+    def __init__(self, pc):
+        self.pc = pc
+
+    def set_from_options(self):
+        pass
+
+    def setup(self):
+        import scipy.sparse as sp
+        from ..mat import factor as _f
+        from ..ops import trisolve
+        A = self.pc.pmat
+        S = A.to_scipy().tocsr()
+        N = (S.T @ S).tocsr()                 # normal equations operator
+        d = N.diagonal()
+        d = np.where(d == 0, 1.0, d)
+        # forward GS sweep: (D + L) z = A^T b  with N = L + D + U
+        L = sp.tril(N, k=-1).tocsr()
+        Ls = (sp.diags(1.0 / d) @ L).tocsr()  # unit-lower solve form
+        tail, data = trisolve.make_trisolve_plan(
+            (Ls.indptr, Ls.indices, Ls.data),
+            (np.zeros(N.shape[0] + 1, np.int64), np.zeros(0, np.int64),
+             np.zeros(0)),
+            np.ones(N.shape[0]))
+        data["dinv"] = jnp.asarray(1.0 / d)
+        data["At"] = __import__("petsc_tpu.mat.aij",
+                                fromlist=["MatAIJ"]).MatAIJ.from_scipy(
+            sp.csr_matrix(S.T), comm=A.comm).device_data()
+        At_meta = __import__("petsc_tpu.mat.aij",
+                             fromlist=["MatAIJ"]).MatAIJ.from_scipy(
+            sp.csr_matrix(S.T), comm=A.comm).meta
+        return (("pc_cp",) + tail
+                + (At_meta, A.col_layout.Npad, N.shape[0])), data
+
+
+def _bind_cp(meta, data):
+    from ..ops import trisolve
+    _, m, nlevL, nlevU, at_meta, npad, n = meta
+    At = operator.bind(at_meta, data["At"])
+
+    def mult(b):
+        rhs = At.mult(b)                      # A^T b
+        # (D + L) z = rhs  =>  z = (I + D^-1 L)^-1 D^-1 rhs; the plan's
+        # unit-lower table holds D^-1 L
+        z = trisolve.trisolve_apply(
+            {**data, "dinv": jnp.ones(m, b.dtype)},
+            (data["dinv"] * rhs[:m]), m, nlevL, nlevU)
+        return jnp.zeros(npad, b.dtype).at[:n].set(z[:n])
+
+    return operator.Op(mult=mult)
+
+
+operator.register_binder("pc_cp", _bind_cp)
+PC.register_impl("cp", _PCCP)

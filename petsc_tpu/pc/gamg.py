@@ -381,3 +381,64 @@ class _PCGAMG(_PCMG):
 
 
 PC.register_impl("gamg", _PCGAMG)
+
+
+class _PCHMG(_PCGAMG):
+    """PCHMG (hmg/hmg.c): hybrid multigrid — reuse the coarsening of ONE
+    field component to precondition a multi-component (interlaced, block
+    size bs) system. The inner GAMG runs on the component-0 submatrix
+    (PCHMGExtractSubMatrix), each scalar prolongator is expanded blockwise
+    P ⊗ I_bs (PCHMGExpandInterpolation), and the outer hierarchy is the
+    Galerkin RAP of the FULL operator through the expanded interpolations
+    — one aggregation pass amortized over all components."""
+
+    def __init__(self, pc):
+        super().__init__(pc)
+        self.component = 0
+        self.use_subspace_coarsening = True
+
+    def set_from_options(self):
+        super().set_from_options()
+        c = self.pc.opt("get_int", "pc_hmg_component", None)
+        if c is not None:
+            self.component = c
+
+    def build_hierarchy(self):
+        import scipy.sparse as sp
+        from ..mat.aij import MatAIJ
+        from .pc import PC as _PC
+        A = self.pc.pmat
+        bs = A.row_layout.bs or 1
+        if bs <= 1:
+            return super().build_hierarchy()   # scalar: plain GAMG
+        S = A.to_scipy().tocsr()
+        comp = np.arange(self.component, S.shape[0], bs)
+        A0 = S[comp][:, comp].tocsr()
+        inner_pc = _PC(options=self.pc._options,
+                       prefix=(self.pc.get_options_prefix() or "")
+                       + "hmg_inner_")
+        A0m = MatAIJ.from_scipy(A0, comm=A.comm)
+        inner_pc.setOperators(A0m, A0m)
+        inner_pc.setType("gamg")
+        inner_pc.setFromOptions()
+        inner_pc._impl.build_hierarchy()
+        sub_levels = inner_pc._impl.levels
+        levels = [MGLevelSpec(A)]
+        cur = S
+        for l, sl in enumerate(sub_levels[:-1]):
+            Psub = sl.P.to_scipy()
+            P = sp.kron(Psub, sp.eye(bs), format="csr")  # expand blockwise
+            d = cur.diagonal()
+            dinv = np.where(d != 0, 1.0 / np.where(d == 0, 1.0, d), 1.0)
+            emax = _host_emax(cur, dinv)
+            levels[-1].emax = 1.1 * emax
+            levels[-1].emin = 0.1 * emax
+            Ac = (P.T @ cur @ P).tocsr()
+            Ac.eliminate_zeros()
+            levels[-1].P = MatAIJ.from_scipy(P, comm=A.comm)
+            levels.append(MGLevelSpec(MatAIJ.from_scipy(Ac, comm=A.comm)))
+            cur = Ac
+        self.levels = levels
+
+
+PC.register_impl("hmg", _PCHMG)

@@ -170,3 +170,25 @@ def test_mg_cycle_types(mgtype, ktype, limit):
     ksp = ex45.main(args)
     assert ksp.getConvergedReason().converged
     assert ksp.getIterationNumber() <= limit
+
+
+def test_pc_hmg_block_system():
+    """PCHMG: 2-component interlaced Poisson preconditioned through the
+    component-0 coarsening expanded blockwise (hmg.c)."""
+    import scipy.sparse as sp
+    A0 = poisson2d(16)
+    S = sp.kron(A0, sp.eye(2), format="csr")      # interlaced bs=2
+    A = pt.MatAIJ.from_scipy(S)
+    A.setBlockSize(2)
+    ksp = pt.KSP().create()
+    ksp.setOperators(A)
+    ksp.setType("cg")
+    ksp.getPC().setType("hmg")
+    ksp.setTolerances(rtol=1e-8)
+    b = pt.Vec.from_array(np.ones(S.shape[0]))
+    x = A.createVecRight()
+    ksp.solve(b, x)
+    assert ksp.getConvergedReason().converged
+    assert ksp.getIterationNumber() < 30
+    r = S @ np.asarray(x.getArray())[: S.shape[0]] - 1.0
+    assert np.linalg.norm(r) < 1e-6 * np.sqrt(S.shape[0])

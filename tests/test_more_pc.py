@@ -193,3 +193,30 @@ def test_pc_redistribute_strips_dirichlet_rows():
     ref = np.linalg.solve(A_sp.toarray(), np.asarray(b.getArray())[:n])
     assert np.allclose(xr, ref, atol=1e-8)
     pt.init(args=[])
+
+
+def test_pc_cp_column_projection():
+    """PCCP (cp.c): column-projection sweep == forward GS on the normal
+    equations; verify one apply against the host computation and that it
+    preconditions GMRES."""
+    import scipy.sparse as sp
+    A_sp = poisson2d(8)
+    n = A_sp.shape[0]
+    A = pt.MatAIJ.from_scipy(A_sp)
+    pc = pt.KSP().create().getPC()
+    pc.setOperators(A, A)
+    pc.setType("cp")
+    pc.setUp()
+    from petsc_tpu.ops import operator
+    op = operator.bind(pc.meta, pc.device_data())
+    b = np.random.default_rng(0).random(n)
+    import jax.numpy as jnp
+    y = np.asarray(op.mult(jnp.asarray(np.pad(b, (0, A.row_layout.pad)))))
+    N = (A_sp.T @ A_sp).tocsr()
+    rhs = A_sp.T @ b
+    DL = sp.tril(N, k=0).tocsr()
+    ref = sp.linalg.spsolve_triangular(DL.tocsr(), rhs, lower=True)
+    assert np.allclose(y[:n], ref, atol=1e-10)
+    ksp, err = run("cp", A_sp=A_sp, ksp_type="gmres", max_it=800)
+    assert ksp.getConvergedReason().converged
+    assert err < 1e-5
