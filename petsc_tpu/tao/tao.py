@@ -823,6 +823,68 @@ def solve_pdipm(tao: Tao, x, xvec):
     xvec.setArray(xk)
 
 
+def solve_bmrm(tao: Tao, x, xvec):
+    """Bundle method for regularized risk minimization (unconstrained/
+    impls/bmrm): J(w) = lambda/2 ||w||^2 + R(w) with R the user objective.
+    Cutting planes (R_k, g_k) accumulate; each master problem is the tiny
+    dual QP over the simplex min_a 1/(2 lambda)||G a||^2 - a.b, solved
+    with projected gradient (the Dai-Fletcher role). Converges when the
+    duality gap J(w) - master_min <= gatol."""
+    lam = float(getattr(tao, "bmrm_lambda", 1.0))
+    import jax
+    Rg = jax.jit(jax.value_and_grad(tao._obj))
+    G = []          # subgradients
+    bvec = []       # intercepts b_i = R_i - g_i . w_i
+    wk = np.zeros_like(x)       # bmrm starts from w=0 (reference)
+    it = 0
+    reason = TaoR.CONTINUE_ITERATING
+    Jbest = np.inf
+    while it < tao.max_it:
+        R, g = Rg(jnp.asarray(wk))
+        R, g = float(R), np.asarray(g)
+        J = 0.5 * lam * float(np.dot(wk, wk)) + R
+        Jbest = min(Jbest, J)
+        G.append(g)
+        bvec.append(R - float(np.dot(g, wk)))
+        Gm = np.stack(G)                       # (k, n)
+        bm = np.asarray(bvec)
+        Q = (Gm @ Gm.T) / lam                  # dual Hessian
+        k = len(bvec)
+        # projected gradient on the simplex
+        a = np.full(k, 1.0 / k)
+        for _ in range(300):
+            grad = Q @ a - bm
+            step = 1.0 / (np.linalg.norm(Q, 2) + 1e-12)
+            a_new = _project_simplex(a - step * grad)
+            if np.linalg.norm(a_new - a) < 1e-12:
+                a = a_new
+                break
+            a = a_new
+        wk = -(Gm.T @ a) / lam                 # primal from dual
+        master = -(0.5 * float(a @ Q @ a) - float(a @ bm))
+        gap = Jbest - master
+        tao._monitor(it, J, max(gap, 0.0))
+        if gap <= max(tao.gatol, tao.grtol * abs(Jbest)):
+            reason = TaoR.CONVERGED_GATOL
+            break
+        it += 1
+    else:
+        reason = TaoR.DIVERGED_MAXITS
+    if reason == TaoR.CONTINUE_ITERATING:
+        reason = TaoR.CONVERGED_GATOL
+    tao._its, tao._fval, tao._gnorm, tao._reason = it, Jbest, 0.0, reason
+    xvec.setArray(wk)
+
+
+def _project_simplex(v):
+    """Euclidean projection onto {a >= 0, sum a = 1} (sorting method)."""
+    u = np.sort(v)[::-1]
+    css = np.cumsum(u) - 1.0
+    rho = np.nonzero(u * np.arange(1, len(v) + 1) > css)[0][-1]
+    theta = css[rho] / (rho + 1.0)
+    return np.maximum(v - theta, 0.0)
+
+
 def solve_pounders(tao: Tao, x, xvec):
     """Model-based derivative-free least squares (leastsquares/impls/
     pounders): keep an interpolation set of evaluated points, fit models of
@@ -915,6 +977,7 @@ Tao._impls.update({
     "asils": solve_ssils,
     "asfls": solve_ssils,
     "ipm": solve_pdipm,
+    "bmrm": solve_bmrm,
     "pdipm": solve_pdipm,
     "bnls": solve_nls,
     "cg": solve_cg,

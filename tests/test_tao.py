@@ -244,3 +244,28 @@ def test_pdipm_interior_optimum():
     Q = np.array([[2.0, 0.1], [0.1, 2.0]])
     ref = np.linalg.solve(Q, np.array([0.6, 0.6]))
     assert np.allclose(np.asarray(x.getArray()), ref, atol=1e-5)
+
+
+def test_bmrm_regularized_risk():
+    """BMRM bundle method: lambda/2||w||^2 + hinge-like smooth risk; the
+    optimum satisfies lambda*w + dR(w) = 0."""
+    A = np.array([[1.0, 0.2], [0.1, 1.5], [0.7, 0.3]])
+    y = np.array([1.0, -1.0, 0.5])
+
+    def risk(w):
+        return jnp.sum(jnp.logaddexp(0.0, -(jnp.asarray(A) @ w) *
+                                     jnp.asarray(y)))
+
+    tao = pt.Tao().create()
+    tao.setType("bmrm")
+    tao.bmrm_lambda = 0.5
+    tao.setObjective(risk)
+    tao.setTolerances(gatol=1e-5)   # bundle tail is sublinear by design
+    tao.setMaximumIterations(200)
+    x = pt.Vec.from_array(np.zeros(2))
+    tao.solve(x)
+    assert tao.getConvergedReason().converged
+    w = np.asarray(x.getArray())
+    import jax
+    g = np.asarray(jax.grad(risk)(jnp.asarray(w)))
+    assert np.linalg.norm(0.5 * w + g) < 1e-3    # stationarity of J
