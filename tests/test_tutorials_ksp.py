@@ -163,3 +163,31 @@ def test_ex2_chebyest_class_parity():
     line = [l for l in out.splitlines() if l.startswith("Norm")][0]
     its = int(line.split()[-1])
     assert its <= 18  # reference: 15 (esteig Ritz methodology differs)
+
+
+# reference: output/ex1_1.out (tridiagonal; both solves — the second after
+# MatShift exercises operator-state propagation into the compiled solver)
+EX1_1 = """\
+  0 KSP Residual norm 0.707107
+  1 KSP Residual norm 0.316228
+  2 KSP Residual norm 0.188982
+  3 KSP Residual norm 0.129099
+  4 KSP Residual norm 0.0953463
+  5 KSP Residual norm < 1.e-11
+Norm of error 2.99143e-15, Iterations 5
+  0 KSP Residual norm 0.353553
+  1 KSP Residual norm 0.0857493
+  2 KSP Residual norm 0.0227273
+  3 KSP Residual norm 0.0060831
+  4 KSP Residual norm 0.0016298
+  5 KSP Residual norm < 1.e-11
+"""
+
+
+def test_ex1_tridiagonal_reference_parity():
+    import ex1
+    out = run_example(ex1.main,
+                      "-ksp_monitor_short "
+                      "-ksp_gmres_cgs_refinement_type refine_always")
+    # error norm is O(eps); compare with absolute slack there
+    assert_output(out, EX1_1, rtol=1e-3, atol=1e-13)
