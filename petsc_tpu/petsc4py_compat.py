@@ -186,6 +186,92 @@ class _PETScNS:
         def setValue(self, name, value):
             config.options().set_value(name, value)
 
+    class AO:
+        """petsc4py: AO().createBasic(app, petsc) — factory form."""
+
+        @staticmethod
+        def createBasic(app, petsc=None, comm=None):
+            from .parallel.ao import AO as _AO
+            return _AO(app, petsc, comm=comm)
+
+        def __new__(cls):
+            return cls
+
+    class Random:
+        def __new__(cls):
+            from .sys.random import Random as _R
+            return _R()
+
+    class Bag:
+        def __new__(cls, *a, **kw):
+            from .sys.bag import Bag as _B
+            return _B(*a, **kw)
+
+    class DMStag:
+        def __new__(cls):
+            from .dm.stag import DMStag as _D
+            return _D()
+
+    class DMPlex:
+        def __new__(cls):
+            from .dm.plex import DMPlex as _D
+            return _D()
+
+    class DMNetwork:
+        def __new__(cls):
+            from .dm.network import DMNetwork as _D
+            return _D()
+
+    class DMComposite:
+        def __new__(cls):
+            from .dm.composite import DMComposite as _D
+            return _D()
+
+    class Section:
+        def __new__(cls, *a, **kw):
+            from .dm.plex import Section as _S
+            return _S(*a, **kw)
+
+    class Log:
+        """petsc4py PETSc.Log surface over the profiler."""
+
+        @staticmethod
+        def Stage(name):
+            log = config.log()
+
+            class _St:
+                def push(self):
+                    log.stage_push(name)
+
+                def pop(self):
+                    log.stage_pop()
+
+                def __enter__(self):
+                    self.push()
+                    return self
+
+                def __exit__(self, *e):
+                    self.pop()
+            return _St()
+
+        @staticmethod
+        def Event(name):
+            log = config.log()
+
+            class _Ev:
+                def begin(self):
+                    import time
+                    self._t0 = time.perf_counter()
+
+                def end(self):
+                    import time
+                    log.log_event(name, time.perf_counter() - self._t0)
+            return _Ev()
+
+        @staticmethod
+        def view(*a, **kw):
+            config.log().view(*a, **kw)
+
     COMM_WORLD = None
     COMM_SELF = None
 

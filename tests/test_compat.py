@@ -53,3 +53,19 @@ def test_random():
     r2.setInterval((2.0, 4.0))
     r2.seed(); r.seed()
     assert r.getValue() == r2.getValue()
+
+
+def test_compat_extended_namespace():
+    from petsc_tpu.petsc4py_compat import PETSc
+    import petsc_tpu as pt
+    pt.init(args=[])
+    ao = PETSc.AO.createBasic([3, 1, 0, 2])
+    assert PETSc.DMNetwork() is not None
+    assert PETSc.DMStag() is not None
+    assert PETSc.DMSwarm() is not None
+    with PETSc.Log.Stage("CompatStage"):
+        ev = PETSc.Log.Event("CompatEvent")
+        ev.begin()
+        ev.end()
+    from petsc_tpu import config as cfg
+    assert cfg.log().get_event("CompatEvent", "CompatStage") is not None
