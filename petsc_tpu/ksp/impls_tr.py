@@ -174,3 +174,75 @@ def solve_bcgsl(A, B, b, x0, rtol, abstol, divtol, cfg: KSPConfig):
         lax.while_loop(cond, body, s0)
     reason = finalize_reason(reason, its, cfg)
     return SolveResult(x, its, rnorm, reason, hist, dp0)
+
+
+def solve_lcd(A, B, b, x0, rtol, abstol, divtol, cfg: KSPConfig):
+    """Left conjugate directions (lcd.c, Yuan/Golub/Dai): restart cycles
+    of k steps; each new direction p = r is A-biorthogonalized against the
+    cycle's stored directions using ONLY the cached q_j = B A p_j images
+    (one matvec per iteration). TPU shape: the j<=it orthogonalization
+    loop becomes one masked (k+1, n) matvec pair — P @ q and the rank-1
+    downdates — so the inner step is fully vectorized; the cycle runs as a
+    lax.fori with predicated no-ops after convergence."""
+    k = 30
+    for key, v in cfg.extra:
+        if key == "restart":
+            k = int(v)
+
+    r0 = initial_residual(A, b, x0, cfg)
+    x = x0 if cfg.guess_nonzero else jnp.zeros_like(b)
+    n = b.shape[0]
+    dt = b.dtype
+    r = B.mult(r0)
+    dp0 = norm2(r)
+    hist = empty_history(cfg, dt).at[0].set(dp0)
+    ttol = jnp.maximum(rtol * dp0, abstol)
+    dtol_bound = divtol * dp0
+
+    def cycle(st):
+        x, r, p0, rnorm, its, reason = st
+        P = jnp.zeros((k + 1, n), dt).at[0].set(p0)
+        Q = jnp.zeros((k + 1, n), dt).at[0].set(B.mult(A.mult(p0)))
+        pq = jnp.ones((k + 1,), dt).at[0].set(jnp.vdot(P[0], Q[0]))
+
+        def inner(it, s):
+            x, r, P, Q, pq, rnorm, its, reason = s
+            live = reason == 0
+            num = jnp.vdot(P[it], r)
+            den = jnp.where(pq[it] == 0, 1.0, pq[it])
+            alfa = jnp.where(live, num / den, 0.0)
+            x = x + alfa * P[it]
+            r = r - alfa * Q[it]
+            dp = norm2(r)
+            its = jnp.where(live, its + 1, its)
+            conv = check_converged(dp, ttol, abstol, dtol_bound) \
+                if cfg.normtype != NONE else jnp.zeros((), jnp.int32)
+            reason = jnp.where(live, jnp.asarray(conv, jnp.int32), reason)
+            # new direction: A-biorthogonalize r against stored P's
+            pn = r
+            qn = B.mult(A.mult(pn))
+            mask = (jnp.arange(k + 1) <= it).astype(dt)
+            coeffs = mask * (P @ qn) / jnp.where(pq == 0, 1.0, pq)
+            pn = pn - coeffs @ P
+            qn = qn - coeffs @ Q
+            P = P.at[it + 1].set(jnp.where(live, pn, P[it + 1]))
+            Q = Q.at[it + 1].set(jnp.where(live, qn, Q[it + 1]))
+            pq = pq.at[it + 1].set(jnp.where(live, jnp.vdot(pn, qn),
+                                             pq[it + 1]))
+            rnorm = jnp.where(live, dp, rnorm)
+            return (x, r, P, Q, pq, rnorm, its, reason)
+
+        x, r, P, Q, pq, rnorm, its, reason = lax.fori_loop(
+            0, k, inner, (x, r, P, Q, pq, rnorm, its, reason))
+        # restart from the freshest direction (lcd.c: P[0] <- P[it])
+        return (x, r, r, rnorm, its, reason)
+
+    def cond(st):
+        return (st[-1] == 0) & (st[-2] < cfg.max_it)
+
+    st = (x, r, r, dp0, jnp.array(0), jnp.zeros((), jnp.int32))
+    x, r, p0, rnorm, its, reason = lax.while_loop(cond, cycle, st)
+    reason = finalize_reason(reason, its, cfg)
+    hist = hist.at[jnp.minimum(its, hist.shape[0] - 1)].set(rnorm) \
+        if hist.shape[0] else hist
+    return SolveResult(x, its, rnorm, reason, hist, dp0)

@@ -571,6 +571,13 @@ def _idr_extras(ksp):
 
 
 register_ksp("idr", _idr, extras=_idr_extras)
+
+
+def _lcd_extras(ksp):
+    return (("restart", int(ksp._params.get("restart", 30))),)
+
+
+register_ksp("lcd", _tr.solve_lcd, extras=_lcd_extras)
 register_ksp("stcg", _tr.solve_stcg, extras=_stcg_extras)
 register_ksp("nash", _tr.solve_stcg, extras=_stcg_extras)   # nash.c variant
 register_ksp("gltr", _tr.solve_stcg, extras=_stcg_extras)   # gltr.c variant

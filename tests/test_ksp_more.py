@@ -232,3 +232,10 @@ def test_idr_faster_than_bcgs_matvecs():
 
     # each idr iteration does s+1 matvecs vs bcgs's 2
     assert its("idr", s=4) * 5 <= its("bcgs") * 2 * 3
+
+
+def test_lcd():
+    """LCD (left conjugate directions, lcd.c) on a nonsymmetric system."""
+    ksp, err = run("lcd", nonsym())
+    assert ksp.getConvergedReason().converged
+    assert err < 1e-5
