@@ -90,3 +90,28 @@ def test_stokes_mac_fieldsplit():
     assert k2.getConvergedReason().converged
     assert d2 < 1e-8                      # div-free
     assert e2 < e1 / 2                    # mesh convergence
+
+
+def test_dmlabel():
+    from petsc_tpu.dm.label import DMLabel
+    lab = DMLabel("boundary")
+    lab.insertIS([3, 1, 2], 7)
+    lab.setValue(9, 7)
+    lab.setValue(4, 2)
+    lab.setValue(4, 3)            # relabel moves the point
+    assert lab.getValue(4) == 3 and lab.getValue(1) == 7
+    assert lab.getValue(100) == -1
+    assert lab.getStratumIS(7).tolist() == [1, 2, 3, 9]
+    assert lab.getStratumSize(2) == 0
+    assert lab.getValueIS().tolist() == [3, 7]
+    assert lab.stratumHasPoint(7, 2)
+
+
+def test_dmsliced_product():
+    from petsc_tpu.dm.label import DMProduct, DMSliced
+    s = DMSliced.create(bs=3, n=10)
+    v = s.createGlobalVector()
+    assert v.getSize() == 30
+    p = DMProduct()
+    p.setDM(1, s)
+    assert p.getDM(1) is s
