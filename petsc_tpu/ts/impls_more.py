@@ -424,7 +424,23 @@ def step_mprk(ts: TS, t, u, dt):
     return un, None, 2, np.all(np.isfinite(un))
 
 
+def step_mimex(ts: TS, t, u, dt):
+    """TSMIMEX (mimex.c "makeshift IMEX"): one backward-Euler solve on the
+    IFunction with the explicit RHS frozen at the step start — the
+    nrows=1 base step of the EIMEX extrapolation table."""
+    saved = getattr(ts, "eimex_max_rows", None)
+    ts.eimex_max_rows = 1
+    try:
+        return step_eimex(ts, t, u, dt)
+    finally:
+        if saved is None:
+            del ts.eimex_max_rows
+        else:
+            ts.eimex_max_rows = saved
+
+
 TS._impls.update({
+    "mimex": step_mimex,
     "mprk": step_mprk,
     "glee": step_glee,
     "eimex": step_eimex,

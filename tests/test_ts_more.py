@@ -258,3 +258,19 @@ def test_adapt_history_replay():
     ts.solve(u)
     assert abs(ts.getTime() - 1.0) < 1e-12
     assert ts.getStepNumber() == 4
+
+
+def test_mimex_stiff():
+    ts = pt.TS().create()
+    ts.setType("mimex")
+    ts.setRHSFunction(lambda t, u: -u)
+    ts.setIFunction(lambda t, u, udot: udot + 40.0 * u)
+    ts.setTimeStep(0.05)
+    ts.setMaxTime(0.5)
+    ts.adapt.kind = "none"
+    u = pt.Vec.from_array(np.array([1.0]))
+    ts.solve(u)
+    assert ts.getConvergedReason().converged
+    exact = np.exp(-41.0 * 0.5)
+    # backward-Euler accuracy at this dt
+    assert abs(float(u.getArray()[0]) - exact) < 5e-2
