@@ -416,3 +416,85 @@ class MatPreallocator(_WrapperMat):
         B.setValuesCSR(S.indptr, S.indices, np.zeros(S.nnz))
         B.assemble()
         return B
+
+
+class MatIS(_WrapperMat):
+    """MATIS (impls/is/matis.c): the unassembled domain-decomposition
+    format A = sum_i R_i^T A_i R_i — each subdomain holds its LOCAL
+    (Neumann) matrix plus a local-to-global map; nothing is ever summed
+    into a global CSR unless asked (MatISGetMPIXAIJ -> assemble()).
+
+    TPU realization: the subdomain matrices become one BATCH. Local mats
+    are padded to a common size and stacked (nsub, nl, nl) dense (BDDC/
+    FETI subdomains are small and dense-ish after factorization), the
+    l2g maps become gather/scatter index tables, and the apply is ONE
+    batched matmul between a gather and a scatter-add — MXU-friendly and
+    the natural analog of the reference's per-rank local mults."""
+
+    @classmethod
+    def create(cls, size, local_mats, l2g_maps, comm=None):
+        M = cls(comm)
+        M.setSizes((size, size) if np.isscalar(size) else size)
+        nsub = len(local_mats)
+        nl = max(len(m_) for m_ in l2g_maps)
+        Ab = np.zeros((nsub, nl, nl))
+        G = np.zeros((nsub, nl), dtype=np.int64)
+        valid = np.zeros((nsub, nl))
+        for i, (Ai, gi) in enumerate(zip(local_mats, l2g_maps)):
+            Ai = Ai.toarray() if hasattr(Ai, "toarray") else np.asarray(Ai)
+            k = len(gi)
+            Ab[i, :k, :k] = Ai
+            G[i, :k] = np.asarray(gi, dtype=np.int64)
+            valid[i, :k] = 1.0
+        M._meta_v = ("mat_is", nsub, nl, M.row_layout.Npad)
+        M._data_v = {"Ab": jnp.asarray(Ab, config.real_dtype()),
+                     "G": jnp.asarray(G),
+                     "valid": jnp.asarray(valid, config.real_dtype())}
+        M._locals = (local_mats, l2g_maps)
+        return M
+
+    def getLocalMats(self):
+        return self._locals
+
+    def assemble_global(self):
+        """MatISGetMPIXAIJ: sum into an assembled MatAIJ."""
+        import scipy.sparse as sp
+        from .aij import MatAIJ
+        m, n = self.getSize()
+        rows, cols, vals = [], [], []
+        for Ai, gi in zip(*self._locals):
+            Ai = sp.coo_matrix(Ai)
+            gi = np.asarray(gi)
+            rows.append(gi[Ai.row])
+            cols.append(gi[Ai.col])
+            vals.append(Ai.data)
+        S = sp.csr_matrix((np.concatenate(vals),
+                           (np.concatenate(rows), np.concatenate(cols))),
+                          shape=(m, n))
+        S.sum_duplicates()
+        return MatAIJ.from_scipy(S, comm=self.comm)
+
+    def interface_multiplicity(self):
+        """How many subdomains touch each global dof (the D_i scaling
+        BDDC/NN preconditioners need)."""
+        m = self.getSize()[0]
+        cnt = np.zeros(m)
+        for gi in self._locals[1]:
+            cnt[np.asarray(gi)] += 1.0
+        return cnt
+
+
+def _bind_mat_is(meta, data):
+    _, nsub, nl, npad = meta
+    Ab, G, valid = data["Ab"], data["G"], data["valid"]
+
+    def mult(x):
+        xl = x[G] * valid                       # (nsub, nl) gather
+        yl = jnp.einsum("sij,sj->si", Ab, xl)   # batched local mults (MXU)
+        y = jnp.zeros(npad, x.dtype)
+        return y.at[G.reshape(-1)].add((yl * valid).reshape(-1))
+
+    return operator.Op(mult=mult)
+
+
+operator.register_binder("mat_is", _bind_mat_is)

@@ -176,3 +176,46 @@ def test_mat_schur_complement():
     ksp.solve(b, xs)
     assert ksp.getConvergedReason().converged
     assert np.allclose(Sd @ np.asarray(xs.getArray())[:n1], 1.0, atol=1e-7)
+
+
+def test_mat_is_unassembled():
+    """MATIS: 1-D Poisson from two subdomain Neumann matrices; the
+    batched-apply equals the assembled operator, and a KSP solves
+    through the unassembled form directly."""
+    import scipy.sparse as sp
+    from petsc_tpu.mat.utility import MatIS
+    n = 9                       # global dofs 0..8, interface at 4
+    k_loc = sp.diags([-1.0, 2.0, -1.0], [-1, 0, 1], shape=(5, 5)).tolil()
+    # Neumann local matrices: half-stiffness at subdomain ends
+    for A_l in (k_loc,):
+        pass
+    kl = k_loc.toarray()
+    kl[0, 0] = kl[-1, -1] = 1.0     # free (Neumann) ends
+    A1 = kl.copy()
+    A2 = kl.copy()
+    M = MatIS.create(n, [A1, A2], [np.arange(0, 5), np.arange(4, 9)])
+    S = M.assemble_global().to_scipy().toarray()
+    # interior rows are the standard (-1, 2, -1); interface row sums halves
+    assert S[4, 4] == 2.0 and S[3, 3] == 2.0
+    from petsc_tpu.ops import operator
+    op = operator.bind(M.meta, M.device_data())
+    x = np.random.default_rng(0).random(n)
+    xp = np.zeros(M.row_layout.Npad)
+    xp[:n] = x
+    assert np.allclose(np.asarray(op.mult(jnp.asarray(xp)))[:n], S @ x,
+                       atol=1e-12)
+    assert M.interface_multiplicity()[4] == 2.0
+    # solve through the unassembled operator (pinned ends via shift)
+    Mshift = MatIS.create(n, [A1 + np.eye(5), A2 + np.eye(5)],
+                          [np.arange(0, 5), np.arange(4, 9)])
+    ksp = pt.KSP().create()
+    ksp.setOperators(Mshift)
+    ksp.setType("cg")
+    ksp.getPC().setType("none")
+    ksp.setTolerances(rtol=1e-10)
+    b = pt.Vec.from_array(np.ones(n))
+    xs = pt.Vec.from_array(np.zeros(n))
+    ksp.solve(b, xs)
+    assert ksp.getConvergedReason().converged
+    Sg = Mshift.assemble_global().to_scipy().toarray()
+    assert np.allclose(Sg @ np.asarray(xs.getArray())[:n], 1.0, atol=1e-7)
