@@ -1,0 +1,146 @@
+"""PCBDDC: balancing domain decomposition by constraints.
+
+Behavioral reference: src/ksp/pc/impls/bddc (PCBDDC on a MATIS operator:
+per-subdomain Neumann problems, a primal coarse space from corner/vertex
+constraints, multiplicity-scaled averaging). This implementation is the
+SPD two-level additive form:
+
+    M^-1 = sum_i R_i^T D_i  Z_i  D_i R_i  +  Phi Kc^-1 Phi^T
+
+where Z_i solves the subdomain Neumann problem with the PRIMAL dofs
+pinned (K_qq^-1 on the non-primal block), Phi_i is the energy-minimal
+(harmonic) coarse basis (Phi_q = -K_qq^-1 K_qp, Phi_p = I), Kc is the
+assembled primal coarse matrix, and D_i = 1/multiplicity. Primal dofs
+default to interface "corners" (multiplicity >= 3, with a per-subdomain
+fallback) — the reference's vertex constraint set; edge/face averages are
+a future extension (noted, not silently claimed).
+
+TPU realization: all subdomain blocks are PADDED TO A COMMON SIZE and
+stacked, so the whole apply is three batched einsums (dual solves, coarse
+restriction, coarse interpolation) + one small dense coarse solve — MXU
+batches instead of the reference's per-rank sparse factorizations.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from .. import config
+from ..ops import operator
+from ..sys.error import Error
+from .pc import PC
+
+
+class _PCBDDC:
+    def __init__(self, pc):
+        self.pc = pc
+
+    def set_from_options(self):
+        pass
+
+    def setup(self):
+        from ..mat.utility import MatIS
+        M = self.pc.pmat
+        if not isinstance(M, MatIS):
+            raise Error("PCBDDC requires a MATIS operator "
+                        "(MatIS.create with local Neumann matrices)")
+        mats, maps = M.getLocalMats()
+        ns = len(mats)
+        mult = M.interface_multiplicity()
+        nglob = M.getSize()[0]
+        # ---- primal (corner) selection ----
+        primal_glob = set(np.where(mult >= 3)[0].tolist())
+        for gi in maps:
+            gi = np.asarray(gi)
+            if not primal_glob.intersection(gi.tolist()):
+                iface = gi[mult[gi] >= 2]
+                if len(iface):
+                    primal_glob.add(int(iface[0]))
+        primal_glob = np.asarray(sorted(primal_glob), dtype=np.int64)
+        g2p = {int(g): i for i, g in enumerate(primal_glob)}
+        nP = len(primal_glob)
+
+        nl = max(len(g) for g in maps)
+        npmax = max(sum(1 for g in gi if int(g) in g2p) for gi in maps)
+        nqmax = nl  # bound
+        rd = np.float64
+        G = np.zeros((ns, nl), dtype=np.int64)
+        D = np.zeros((ns, nl))
+        Qidx = np.zeros((ns, nqmax), dtype=np.int64)
+        Qval = np.zeros((ns, nqmax))
+        Kqq_inv = np.zeros((ns, nqmax, nqmax))
+        Phi = np.zeros((ns, nl, npmax))
+        Pg = np.full((ns, npmax), nP, dtype=np.int64)  # sentinel slot nP
+        Pval = np.zeros((ns, npmax))
+        Kc = np.zeros((nP, nP))
+        for s, (Ai, gi) in enumerate(zip(mats, maps)):
+            K = Ai.toarray() if hasattr(Ai, "toarray") else np.asarray(Ai)
+            gi = np.asarray(gi, dtype=np.int64)
+            k = len(gi)
+            G[s, :k] = gi
+            D[s, :k] = 1.0 / mult[gi]
+            isp = np.asarray([int(g) in g2p for g in gi])
+            p = np.where(isp)[0]
+            q = np.where(~isp)[0]
+            npi, nqi = len(p), len(q)
+            Kqq = K[np.ix_(q, q)] + 1e-12 * np.eye(nqi)
+            Kqqi = np.linalg.inv(Kqq)
+            Kqq_inv[s, :nqi, :nqi] = Kqqi
+            Qidx[s, :nqi] = q
+            Qval[s, :nqi] = 1.0
+            # harmonic coarse basis
+            Ph = np.zeros((k, npi))
+            Ph[p, np.arange(npi)] = 1.0
+            if nqi and npi:
+                Ph[q, :] = -Kqqi @ K[np.ix_(q, p)]
+            Phi[s, :k, :npi] = Ph
+            Pg[s, :npi] = [g2p[int(gi[j])] for j in p]
+            Pval[s, :npi] = 1.0
+            Kci = Ph.T @ K @ Ph
+            idx = Pg[s, :npi]
+            Kc[np.ix_(idx, idx)] += Kci
+        Kc_inv = np.linalg.inv(Kc + 1e-12 * np.eye(nP))
+        rdty = config.real_dtype()
+        data = {
+            "G": jnp.asarray(G), "D": jnp.asarray(D, rdty),
+            "Qidx": jnp.asarray(Qidx), "Qval": jnp.asarray(Qval, rdty),
+            "Kqq_inv": jnp.asarray(Kqq_inv, rdty),
+            "Phi": jnp.asarray(Phi, rdty),
+            "Pg": jnp.asarray(Pg), "Pval": jnp.asarray(Pval, rdty),
+            "Kc_inv": jnp.asarray(Kc_inv, rdty),
+        }
+        meta = ("pc_bddc", ns, nl, nqmax, npmax, nP,
+                M.row_layout.Npad)
+        return meta, data
+
+
+def _bind_bddc(meta, data):
+    _, ns, nl, nq, npx, nP, npad = meta
+    G, D = data["G"], data["D"]
+    Qidx, Qval = data["Qidx"], data["Qval"]
+    Kqq_inv, Phi = data["Kqq_inv"], data["Phi"]
+    Pg, Pval, Kc_inv = data["Pg"], data["Pval"], data["Kc_inv"]
+
+    def mult(r):
+        rl = r[G] * D                                   # (ns, nl) scaled
+        # dual (pinned-primal Neumann) solves — batched dense
+        rq = jnp.take_along_axis(rl, Qidx, axis=1) * Qval
+        zq = jnp.einsum("sij,sj->si", Kqq_inv, rq) * Qval
+        zl = jnp.zeros_like(rl).at[
+            jnp.arange(ns)[:, None], Qidx].add(zq * Qval)
+        # coarse: restrict, solve, interpolate
+        rc_i = jnp.einsum("slp,sl->sp", Phi, rl) * Pval
+        rc = jnp.zeros(nP + 1, r.dtype).at[Pg.reshape(-1)].add(
+            rc_i.reshape(-1))[:nP]
+        xc = Kc_inv @ rc
+        xc_i = jnp.concatenate([xc, jnp.zeros(1, r.dtype)])[Pg] * Pval
+        zl = zl + jnp.einsum("slp,sp->sl", Phi, xc_i)
+        y = jnp.zeros(npad, r.dtype)
+        return y.at[G.reshape(-1)].add((zl * D).reshape(-1))
+
+    return operator.Op(mult=mult)
+
+
+operator.register_binder("pc_bddc", _bind_bddc)
+PC.register_impl("bddc", _PCBDDC)
