@@ -48,7 +48,6 @@ class _PCBDDC:
         mats, maps = M.getLocalMats()
         ns = len(mats)
         mult = M.interface_multiplicity()
-        nglob = M.getSize()[0]
         # ---- primal (corner) selection ----
         primal_glob = set(np.where(mult >= 3)[0].tolist())
         for gi in maps:
@@ -64,7 +63,6 @@ class _PCBDDC:
         nl = max(len(g) for g in maps)
         npmax = max(sum(1 for g in gi if int(g) in g2p) for gi in maps)
         nqmax = nl  # bound
-        rd = np.float64
         G = np.zeros((ns, nl), dtype=np.int64)
         D = np.zeros((ns, nl))
         Qidx = np.zeros((ns, nqmax), dtype=np.int64)
