@@ -117,7 +117,7 @@ class SNES(PObject):
                                                    "divtol")):
             v = self.opt("get_real", name, None)
             if v is not None:
-                setattr(self, name.split("_")[-1] if False else attr, v)
+                setattr(self, attr, v)
         n = self.opt("get_int", "snes_max_it", None)
         if n:
             self.max_it = n

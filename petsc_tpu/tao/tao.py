@@ -658,8 +658,7 @@ Tao.setInequalityConstraints = setInequalityConstraints
 def solve_neldermead(tao: Tao, x, xvec):
     """Derivative-free simplex (impls/neldermead)."""
     from scipy.optimize import minimize
-    res = minimize(lambda z: tao._fg(z)[0] if False else
-                   float(tao._obj(jnp.asarray(z))), x,
+    res = minimize(lambda z: float(tao._obj(jnp.asarray(z))), x,
                    method="Nelder-Mead",
                    options={"maxiter": tao.max_it, "xatol": tao.gatol,
                             "fatol": tao.gatol})

@@ -372,6 +372,63 @@ class Vec(PObject):
         for v in vals:
             print(f"{v:g}")
 
+    def axpbypcz(self, alpha, beta, gamma, x: "Vec", y: "Vec"):
+        """self = alpha x + beta y + gamma self (VecAXPBYPCZ)."""
+        self.array = alpha * x.array + beta * y.array + gamma * self.array
+        return self
+
+    def swap(self, other: "Vec"):
+        """VecSwap: exchange contents."""
+        self.array, other.array = other.array, self.array
+        return self
+
+    def dotNorm2(self, other: "Vec"):
+        """VecDotNorm2: (self . other, ||other||^2) fused — one pass /
+        one psum pair (used by BiCGStab variants)."""
+        import jax.numpy as jnp
+        a = self.array
+        b = other.array
+        return (float(jnp.vdot(b, a).real), float(jnp.vdot(b, b).real))
+
+    def getSubVector(self, iset):
+        """VecGetSubVector: gathered copy at the index set (restore with
+        restoreSubVector to write back — borrow semantics)."""
+        import numpy as np
+        idx = np.asarray(iset.indices if hasattr(iset, "indices")
+                         else iset, dtype=np.int64)
+        sub = Vec.from_array(np.asarray(self.getArray())[idx],
+                             comm=self.comm)
+        sub._parent_idx = (self, idx)
+        return sub
+
+    def restoreSubVector(self, iset, sub: "Vec"):
+        import numpy as np
+        idx = np.asarray(iset.indices if hasattr(iset, "indices")
+                         else iset, dtype=np.int64)
+        full = np.asarray(self.getArray()).copy()
+        full[idx] = np.asarray(sub.getArray())[: len(idx)]
+        self.setArray(full)
+        return self
+
+    def strideGather(self, field, bs=None):
+        """VecStrideGather: component `field` of a bs-interlaced vector."""
+        import numpy as np
+        bs = bs or self.getBlockSize() or 1
+        a = np.asarray(self.getArray())[: self.getSize()]
+        return Vec.from_array(a[field::bs], comm=self.comm)
+
+    def strideScatter(self, field, sub: "Vec", bs=None):
+        import numpy as np
+        bs = bs or self.getBlockSize() or 1
+        a = np.asarray(self.getArray())[: self.getSize()].copy()
+        a[field::bs] = np.asarray(sub.getArray())[: len(a[field::bs])]
+        self.setArray(a)
+        return self
+
+    def strideNorm(self, field, norm_type=None, bs=None):
+        return self.strideGather(field, bs=bs).norm(
+            *(() if norm_type is None else (norm_type,)))
+
     def equal(self, other: "Vec"):
         return bool(jnp.all(self.array == other.array))
 

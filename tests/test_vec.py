@@ -85,3 +85,33 @@ def test_fused_reductions():
     assert d == pytest.approx(6.0)
     assert n2 == pytest.approx(np.linalg.norm(np.arange(4.0)))
     assert n1 == pytest.approx(4.0)
+
+
+def test_vec_extended_ops():
+    a = pt.Vec.from_array(np.array([1.0, 2.0, 3.0, 4.0]))
+    b = pt.Vec.from_array(np.array([4.0, 3.0, 2.0, 1.0]))
+    z = pt.Vec.from_array(np.ones(4))
+    z.axpbypcz(2.0, 3.0, 0.5, a, b)
+    assert np.allclose(np.asarray(z.getArray())[:4],
+                       2 * np.array([1, 2, 3, 4]) + 3 * np.array([4, 3, 2, 1]) + 0.5)
+    a2 = a.duplicate(); a2.setArray(a.getArray())
+    b2 = b.duplicate(); b2.setArray(b.getArray())
+    a2.swap(b2)
+    assert np.allclose(np.asarray(a2.getArray())[:4], [4, 3, 2, 1])
+    d, n2 = a.dotNorm2(b)
+    assert np.isclose(d, 20.0) and np.isclose(n2, 30.0)
+    sub = a.getSubVector([1, 3])
+    assert np.allclose(np.asarray(sub.getArray())[:2], [2, 4])
+    sub.scale(10.0)
+    a.restoreSubVector([1, 3], sub)
+    assert np.allclose(np.asarray(a.getArray())[:4], [1, 20, 3, 40])
+
+
+def test_vec_stride_ops():
+    v = pt.Vec.from_array(np.array([1.0, 10.0, 2.0, 20.0, 3.0, 30.0]))
+    g = v.strideGather(1, bs=2)
+    assert np.allclose(np.asarray(g.getArray())[:3], [10, 20, 30])
+    g.scale(0.1)
+    v.strideScatter(1, g, bs=2)
+    assert np.allclose(np.asarray(v.getArray())[:6], [1, 1, 2, 2, 3, 3])
+    assert np.isclose(v.strideNorm(0, bs=2), np.sqrt(14.0))
