@@ -822,6 +822,104 @@ def solve_pdipm(tao: Tao, x, xvec):
     xvec.setArray(xk)
 
 
+def solve_lcl(tao: Tao, x, xvec):
+    """Linearly constrained Lagrangian for PDE-constrained optimization
+    (pde_constrained/impls/lcl): min f(d, u) s.t. c(d, u) = 0 with the
+    variable split [design d | state u] (setStateDesignIS). This
+    implementation takes the REDUCED-space path the TPU stack makes
+    natural: eliminate the state with Newton on c(d, .) = 0, get the
+    reduced gradient by the adjoint method — both via jax autodiff (the
+    hand-coded adjoint solves in lcl.c) — and drive the design with
+    L-BFGS + Armijo."""
+    import jax
+    con = getattr(tao, "_constraints", None)
+    if con is None:
+        raise Error("lcl: setConstraints(c(d, u)) first")
+    nd = getattr(tao, "n_design", None)
+    if nd is None:
+        raise Error("lcl: set tao.n_design (leading design dofs)")
+    obj = tao._obj
+
+    def split(z):
+        return z[:nd], z[nd:]
+
+    def c_of(d, u):
+        return con(jnp.concatenate([d, u]))
+
+    def f_of(d, u):
+        return obj(jnp.concatenate([d, u]))
+
+    cu = jax.jit(jax.jacfwd(c_of, argnums=1))
+    newton_rhs = jax.jit(c_of)
+
+    def state_solve(d, u0):
+        u = u0
+        for _ in range(30):
+            r = np.asarray(newton_rhs(d, u))
+            if np.linalg.norm(r) < 1e-12:
+                break
+            J = np.asarray(cu(d, u))
+            u = u - jnp.asarray(np.linalg.solve(J, r))
+        return u
+
+    # reduced gradient: g = f_d - c_d^T lambda,  c_u^T lambda = f_u
+    fd_fu = jax.jit(jax.grad(f_of, argnums=(0, 1)))
+    cd = jax.jit(jax.jacfwd(c_of, argnums=0))
+
+    def reduced(d, u0):
+        u = state_solve(jnp.asarray(d), u0)
+        f = float(f_of(jnp.asarray(d), u))
+        gd, gu = fd_fu(jnp.asarray(d), u)
+        lam = np.linalg.solve(np.asarray(cu(jnp.asarray(d), u)).T,
+                              np.asarray(gu))
+        g = np.asarray(gd) - np.asarray(cd(jnp.asarray(d), u)).T @ lam
+        return f, g, u
+
+    d = np.asarray(x[:nd])
+    u = jnp.asarray(x[nd:])
+    S, Y = [], []
+    f, g, u = reduced(d, u)
+    gnorm = float(np.linalg.norm(g))
+    g0 = max(gnorm, 1e-300)
+    tao._monitor(0, f, gnorm)
+    it = 0
+    reason = TaoR.CONTINUE_ITERATING
+    while it < tao.max_it:
+        if gnorm <= tao.gatol or gnorm / g0 <= tao.grtol:
+            reason = TaoR.CONVERGED_GATOL
+            break
+        p = -_lbfgs_dir(S, Y, g.copy()) if S else -g
+        if float(np.dot(p, g)) >= 0:
+            p = -g
+        t = 1.0
+        ok = False
+        for _ in range(30):
+            fn_, gn_, un_ = reduced(d + t * p, u)
+            if np.isfinite(fn_) and fn_ <= f + 1e-4 * t * float(
+                    np.dot(g, p)):
+                ok = True
+                break
+            t *= 0.5
+        if not ok:
+            reason = TaoR.DIVERGED_LS_FAILURE
+            break
+        S.append(t * p)
+        Y.append(gn_ - g)
+        if len(S) > 8:
+            S.pop(0)
+            Y.pop(0)
+        d, f, g, u = d + t * p, fn_, gn_, un_
+        gnorm = float(np.linalg.norm(g))
+        it += 1
+        tao._monitor(it, f, gnorm)
+    else:
+        reason = TaoR.DIVERGED_MAXITS
+    if reason == TaoR.CONTINUE_ITERATING:
+        reason = TaoR.CONVERGED_GATOL
+    tao._its, tao._fval, tao._gnorm, tao._reason = it, f, gnorm, reason
+    xvec.setArray(np.concatenate([d, np.asarray(u)]))
+
+
 def solve_bmrm(tao: Tao, x, xvec):
     """Bundle method for regularized risk minimization (unconstrained/
     impls/bmrm): J(w) = lambda/2 ||w||^2 + R(w) with R the user objective.
@@ -977,6 +1075,7 @@ Tao._impls.update({
     "asfls": solve_ssils,
     "ipm": solve_pdipm,
     "bmrm": solve_bmrm,
+    "lcl": solve_lcl,
     "pdipm": solve_pdipm,
     "bnls": solve_nls,
     "cg": solve_cg,

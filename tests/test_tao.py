@@ -269,3 +269,38 @@ def test_bmrm_regularized_risk():
     import jax
     g = np.asarray(jax.grad(risk)(jnp.asarray(w)))
     assert np.linalg.norm(0.5 * w + g) < 1e-3    # stationarity of J
+
+
+def test_lcl_pde_constrained():
+    """LCL reduced-space: min 0.5||u - t||^2 + a/2||d||^2 subject to the
+    'PDE' A u = d (design = source). Known optimum from the KKT system."""
+    n = 4
+    A = np.diag([2.0, 2.1, 2.2, 2.3])
+    t = np.array([1.0, 2.0, 3.0, 4.0])
+    alpha = 0.1
+
+    def constraints(z):
+        d, u = z[:n], z[n:]
+        return jnp.asarray(A) @ u - d
+
+    def objective(z):
+        d, u = z[:n], z[n:]
+        return 0.5 * jnp.sum((u - jnp.asarray(t)) ** 2) \
+            + 0.5 * alpha * jnp.sum(d ** 2)
+
+    tao = pt.Tao().create()
+    tao.setType("lcl")
+    tao.n_design = n
+    tao.setObjective(objective)
+    tao.setConstraints(constraints)
+    tao.setTolerances(gatol=1e-10)
+    tao.setMaximumIterations(300)
+    x = pt.Vec.from_array(np.zeros(2 * n))
+    tao.solve(x)
+    assert tao.getConvergedReason().converged
+    z = np.asarray(x.getArray())
+    d, u = z[:n], z[n:2 * n]
+    # KKT: u = (I + alpha A^2)^{-1} t (after eliminating d = A u)
+    uex = np.linalg.solve(np.eye(n) + alpha * A @ A, t)
+    assert np.allclose(u, uex, atol=1e-6), (u, uex)
+    assert np.allclose(d, A @ uex, atol=1e-6)
