@@ -578,6 +578,10 @@ def _lcd_extras(ksp):
 
 
 register_ksp("lcd", _tr.solve_lcd, extras=_lcd_extras)
+
+from .tcqmr import solve_tcqmr as _tcqmr  # noqa: E402
+
+register_ksp("tcqmr", _tcqmr)
 register_ksp("stcg", _tr.solve_stcg, extras=_stcg_extras)
 register_ksp("nash", _tr.solve_stcg, extras=_stcg_extras)   # nash.c variant
 register_ksp("gltr", _tr.solve_stcg, extras=_stcg_extras)   # gltr.c variant

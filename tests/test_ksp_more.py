@@ -239,3 +239,23 @@ def test_lcd():
     ksp, err = run("lcd", nonsym())
     assert ksp.getConvergedReason().converged
     assert err < 1e-5
+
+
+def test_tcqmr():
+    """TCQMR (Chan's transpose-free QMR, tcqmr.c): nonsymmetric solve;
+    the reported norm is the QMR upper bound, so verify the TRUE residual
+    of the returned iterate."""
+    A_sp = nonsym()
+    n = A_sp.shape[0]
+    A = pt.MatAIJ.from_scipy(A_sp)
+    ksp = pt.KSP().create()
+    ksp.setOperators(A)
+    ksp.setType("tcqmr")
+    ksp.getPC().setType("jacobi")
+    ksp.setTolerances(rtol=1e-10, max_it=600)
+    b = pt.Vec.from_array(np.ones(n))
+    x = A.createVecRight()
+    ksp.solve(b, x)
+    assert ksp.getConvergedReason().converged, ksp.getConvergedReason()
+    r = A_sp @ np.asarray(x.getArray())[:n] - 1.0
+    assert np.linalg.norm(r) < 1e-6
