@@ -582,6 +582,71 @@ register_ksp("lcd", _tr.solve_lcd, extras=_lcd_extras)
 from .tcqmr import solve_tcqmr as _tcqmr  # noqa: E402
 
 register_ksp("tcqmr", _tcqmr)
+
+
+def _tsirm(A, B, b, x0, rtol, abstol, divtol, cfg):
+    """TSIRM (tsirm.c, Couturier/Khodja two-stage iteration with
+    least-squares restarting): inner GMRES(m) cycles produce iterates
+    collected as columns of S; every cycle the update is replaced by the
+    least-squares minimizer of ||b - A S a|| over span(S). Expressed as a
+    lax.while_loop over cycles with a FIXED subspace size (static s=12),
+    the LS solve is a tiny lstsq on the MXU."""
+    import jax.numpy as jnp
+    from jax import lax
+    from . import gmres as _gm
+    from .common import (SolveResult, check_converged, empty_history,
+                         finalize_reason, norm2)
+    size_ls = 12
+    inner_cfg = KSPConfig(max_it=min(30, cfg.max_it),
+                          normtype=cfg.normtype, guess_nonzero=True,
+                          converged_maxits=True,
+                          extra=(30, 0))
+    r0 = b - A.mult(x0) if cfg.guess_nonzero else b
+    dp0 = norm2(B.mult(r0))
+    hist = empty_history(cfg, b.dtype).at[0].set(dp0)
+    ttol = jnp.maximum(rtol * dp0, abstol)
+    dtol = divtol * dp0
+    n = b.shape[0]
+    S = jnp.zeros((size_ls, n), b.dtype)
+
+    def cycle(st):
+        x, S, k, rnorm, its, reason = st
+        res = _gm.solve_gmres(A, B, b, x, rtol, abstol, divtol, inner_cfg)
+        x1 = res.x
+        S = S.at[k % size_ls].set(x1)
+        # least-squares minimization over the stored iterates
+        AS = jax.vmap(A.mult)(S)
+        G = AS @ AS.T
+        rhs = AS @ b
+        a = jnp.linalg.solve(G + 1e-30 * jnp.eye(size_ls, dtype=b.dtype),
+                             rhs)
+        x_ls = a @ S
+        r_ls = norm2(B.mult(b - A.mult(x_ls)))
+        r_in = norm2(B.mult(b - A.mult(x1)))
+        better = (r_ls < r_in) & (k + 1 >= size_ls)
+        x2 = jnp.where(better, x_ls, x1)
+        rn = jnp.where(better, r_ls, r_in)
+        its = its + res.its
+        conv = check_converged(rn, ttol, abstol, dtol)
+        return (x2, S, k + 1, rn, its,
+                jnp.asarray(conv, jnp.int32))
+
+    import jax
+
+    def cond(st):
+        return (st[-1] == 0) & (st[-2] < cfg.max_it)
+
+    x, S, k, rnorm, its, reason = lax.while_loop(
+        cond, cycle, (x0 if cfg.guess_nonzero else jnp.zeros_like(b),
+                      S, jnp.array(0), dp0, jnp.array(0),
+                      jnp.zeros((), jnp.int32)))
+    reason = finalize_reason(reason, its, cfg)
+    hist = hist.at[jnp.minimum(its, hist.shape[0] - 1)].set(rnorm) \
+        if hist.shape[0] else hist
+    return SolveResult(x, its, rnorm, reason, hist, dp0)
+
+
+register_ksp("tsirm", _tsirm)
 register_ksp("stcg", _tr.solve_stcg, extras=_stcg_extras)
 register_ksp("nash", _tr.solve_stcg, extras=_stcg_extras)   # nash.c variant
 register_ksp("gltr", _tr.solve_stcg, extras=_stcg_extras)   # gltr.c variant

@@ -259,3 +259,22 @@ def test_tcqmr():
     assert ksp.getConvergedReason().converged, ksp.getConvergedReason()
     r = A_sp @ np.asarray(x.getArray())[:n] - 1.0
     assert np.linalg.norm(r) < 1e-6
+
+
+def test_tsirm():
+    """TSIRM (two-stage + LS restarting, tsirm.c): converges on a tough
+    nonsymmetric system; final TRUE residual small."""
+    A_sp = nonsym(20)
+    n = A_sp.shape[0]
+    A = pt.MatAIJ.from_scipy(A_sp)
+    ksp = pt.KSP().create()
+    ksp.setOperators(A)
+    ksp.setType("tsirm")
+    ksp.getPC().setType("jacobi")
+    ksp.setTolerances(rtol=1e-9, max_it=2000)
+    b = pt.Vec.from_array(np.ones(n))
+    x = A.createVecRight()
+    ksp.solve(b, x)
+    assert ksp.getConvergedReason().converged, ksp.getConvergedReason()
+    r = A_sp @ np.asarray(x.getArray())[:n] - 1.0
+    assert np.linalg.norm(r) < 1e-5
