@@ -303,3 +303,44 @@ class DMPlex(DM):
     def view(self, viewer=None):
         print(f"DMPlex Object (lite): dim={self.dim} cells={self.ncells} "
               f"vertices={self.nvertices}")
+
+
+class PetscPartitioner:
+    """PetscPartitioner (dm/partitioner): partition a DMPlex's cells.
+    Types: 'simple' (contiguous chunks, partitioner impls/simple) and
+    'bisection' (recursive graph bisection over the cell adjacency — the
+    in-tree replacement for the metis bridge)."""
+
+    def __init__(self, ptype="bisection"):
+        self.ptype = ptype
+
+    def setType(self, t):
+        self.ptype = t
+        return self
+
+    def partition(self, plex, nparts):
+        ncell = len(plex.cells)
+        if self.ptype == "simple":
+            sizes = np.full(nparts, ncell // nparts)
+            sizes[: ncell % nparts] += 1
+            return np.repeat(np.arange(nparts), sizes)
+        # cell adjacency: cells sharing >= dim vertices (face neighbors)
+        import scipy.sparse as sp
+        nv = len(plex.coords)
+        rows = np.repeat(np.arange(ncell), plex.cells.shape[1])
+        cols = np.asarray(plex.cells).reshape(-1)
+        C = sp.csr_matrix((np.ones(len(rows)), (rows, cols)),
+                          shape=(ncell, nv))
+        CC = (C @ C.T).tocsr()
+        dim = plex.coords.shape[1]
+        CC.data = (CC.data >= dim).astype(np.float64)
+        CC.eliminate_zeros()
+        CC.setdiag(0)
+        CC.eliminate_zeros()
+        from ..mat.partition import MatPartitioning
+        from ..mat.aij import MatAIJ
+        mp = MatPartitioning.create()
+        mp.setAdjacency(MatAIJ.from_scipy(CC))
+        mp.setNParts(nparts)
+        mp.setType("rb")
+        return np.asarray(mp.apply())

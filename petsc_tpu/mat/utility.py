@@ -498,3 +498,47 @@ def _bind_mat_is(meta, data):
 
 
 operator.register_binder("mat_is", _bind_mat_is)
+
+
+class MatLocalRef(_WrapperMat):
+    """MatCreateLocalRef (impls/localref): a window onto a parent matrix
+    through row/col index sets — setValues through the window land in the
+    parent (used by DMComposite/fieldsplit assembly); its own apply is the
+    parent's submatrix."""
+
+    @classmethod
+    def create(cls, parent, isrow, iscol=None):
+        M = cls(parent.comm)
+        M._parent = parent
+        M._ir = np.asarray(isrow, dtype=np.int64)
+        M._ic = M._ir if iscol is None else np.asarray(iscol,
+                                                       dtype=np.int64)
+        M.setSizes((len(M._ir), len(M._ic)))
+        return M
+
+    def setValues(self, rows, cols, values, addv=None):
+        from .mat import InsertMode
+        rows = self._ir[np.atleast_1d(np.asarray(rows, dtype=np.int64))]
+        cols = self._ic[np.atleast_1d(np.asarray(cols, dtype=np.int64))]
+        self._parent.setValues(rows, cols, values,
+                               addv if addv is not None
+                               else InsertMode.INSERT_VALUES)
+        return self
+
+    def assemble(self, *a):
+        return self._parent.assemble()
+
+    assemblyBegin = lambda self, *a: None
+    assemblyEnd = assemble
+
+    @property
+    def meta(self):
+        from .aij import MatAIJ
+        sub = self._parent.createSubMatrix(self._ir, self._ic)
+        self._sub = sub
+        return sub.meta
+
+    def device_data(self):
+        if not hasattr(self, "_sub"):
+            _ = self.meta
+        return self._sub.device_data()

@@ -115,3 +115,25 @@ def test_dmsliced_product():
     p = DMProduct()
     p.setDM(1, s)
     assert p.getDM(1) is s
+
+
+def test_plex_partitioner():
+    from petsc_tpu.dm.plex import DMPlex, PetscPartitioner
+    plex = DMPlex.createBoxMesh((6, 6), simplex=True)
+    for t in ("simple", "bisection"):
+        part = PetscPartitioner(t).partition(plex, 4)
+        assert len(part) == len(plex.cells)
+        counts = np.bincount(part, minlength=4)
+        assert counts.min() > 0
+        assert counts.max() - counts.min() <= max(2, len(plex.cells) // 8)
+
+
+def test_mat_localref():
+    from petsc_tpu.mat.utility import MatLocalRef
+    A = pt.MatAIJ(None)
+    A.setSizes((6, 6))
+    L = MatLocalRef.create(A, [2, 4, 5])
+    L.setValues([0, 1], [0, 1], [[1.0, 2.0], [3.0, 4.0]])
+    L.assemble()
+    S = A.to_scipy().toarray()
+    assert S[2, 2] == 1.0 and S[2, 4] == 2.0 and S[4, 4] == 4.0
