@@ -32,9 +32,9 @@ _IMPLS: dict[str, dict] = {}
 
 
 def register_ksp(name, fn, default_norm=common.PRECONDITIONED,
-                 extras=None, supports_right=False):
+                 extras=None, supports_right=False, host_driven=False):
     _IMPLS[name] = {"fn": fn, "norm": default_norm, "extras": extras,
-                    "right": supports_right}
+                    "right": supports_right, "host_driven": host_driven}
 
 
 _jit_cache: dict = {}
@@ -325,6 +325,27 @@ class KSP(PObject):
             self._mixed = mixed
         x0 = x.array if self.guess_nonzero else jnp.zeros_like(b.array)
         t0 = time.perf_counter()
+        if _IMPLS[self._type].get("host_driven"):
+            # host-orchestrated methods (deflation eig etc.): device
+            # matvecs through bound ops, control flow on host
+            xh, its, rnorm, reason, histl, rnorm0 = \
+                _IMPLS[self._type]["fn"](self, np.asarray(b.array),
+                                         np.asarray(x0))
+            x.setArray(xh)
+            self.guess_nonzero = saved_nonzero
+            self._its = int(its)
+            self._rnorm = float(rnorm)
+            self._rnorm0 = float(rnorm0)
+            self._reason = KR(int(reason))
+            self._history = np.asarray(histl)
+            config.log().log_event("KSPSolve",
+                                   time.perf_counter() - t0)
+            self._report(b)
+            if self.error_if_not_converged and self._reason.diverged:
+                raise NotConvergedError(
+                    f"KSPSolve has not converged, reason "
+                    f"{ksp_reason_string(self._reason)}")
+            return x
         if mixed and mixed[0]:
             fn = self._compiled_ir(cfg, mixed)
             from .ir import _to_f32
@@ -647,6 +668,10 @@ def _tsirm(A, B, b, x0, rtol, abstol, divtol, cfg):
 
 
 register_ksp("tsirm", _tsirm)
+
+from .dgmres import solve_dgmres_host as _dgmres  # noqa: E402
+
+register_ksp("dgmres", _dgmres, host_driven=True)
 register_ksp("stcg", _tr.solve_stcg, extras=_stcg_extras)
 register_ksp("nash", _tr.solve_stcg, extras=_stcg_extras)   # nash.c variant
 register_ksp("gltr", _tr.solve_stcg, extras=_stcg_extras)   # gltr.c variant

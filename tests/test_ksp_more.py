@@ -278,3 +278,39 @@ def test_tsirm():
     assert ksp.getConvergedReason().converged, ksp.getConvergedReason()
     r = A_sp @ np.asarray(x.getArray())[:n] - 1.0
     assert np.linalg.norm(r) < 1e-5
+
+
+def test_dgmres_deflation_beats_restarted_gmres():
+    """DGMRES (dgmres.c): on a system with a few isolated small
+    eigenvalues, deflated restarts converge where plain GMRES(m)
+    stagnates or needs far more iterations."""
+    import scipy.sparse as sp
+    rng = np.random.default_rng(3)
+    n = 120
+    # spectrum: bulk near 1..2, plus 4 tiny isolated eigenvalues
+    d = np.concatenate([np.array([1e-3, 2e-3, 5e-3, 1e-2]),
+                        1.0 + rng.random(n - 4)])
+    Q, _ = np.linalg.qr(rng.standard_normal((n, n)))
+    A_d = sp.csr_matrix(Q @ np.diag(d) @ Q.T)
+    A = pt.MatAIJ.from_scipy(A_d)
+
+    def its_of(kt, **params):
+        ksp = pt.KSP().create()
+        ksp.setOperators(A)
+        ksp.setType(kt)
+        for k, v in params.items():
+            ksp.setParam(k, v)
+        ksp.getPC().setType("none")
+        ksp.setTolerances(rtol=1e-8, max_it=600)
+        b = pt.Vec.from_array(np.ones(n))
+        x = A.createVecRight()
+        ksp.solve(b, x)
+        r = A_d @ np.asarray(x.getArray())[:n] - 1.0
+        return (ksp.getIterationNumber(), ksp.getConvergedReason(),
+                np.linalg.norm(r))
+
+    itd, rd, resd = its_of("dgmres", restart=20, max_eigen=6)
+    assert rd.converged, rd
+    assert resd < 1e-5
+    itg, rg, _ = its_of("gmres", restart=20)
+    assert itd < itg or not rg.converged, (itd, itg)
