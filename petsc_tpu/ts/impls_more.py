@@ -149,6 +149,72 @@ _IRK_A = [[0.25, 0.25 - np.sqrt(3) / 6],
 _IRK_B = [0.5, 0.5]
 
 
+def step_alpha2(ts: TS, t, u, dt):
+    """Generalized-alpha for 2nd-order systems (Chung-Hulbert;
+    impls/implicit/alpha/alpha2.c): Newmark state (u, v, a) with
+    alpha_m = (2*rho-1)/(rho+1), alpha_f = rho/(rho+1),
+    gamma = 1/2 - alpha_m + alpha_f, beta = (1 - alpha_m + alpha_f)^2/4;
+    solves F(t_mid, u_mid, v_mid, a_mid) = 0 for a_{n+1} with the TS SNES
+    (TSSetI2Function residual F(t, u, u', u'')). Velocity state persists
+    on the TS (ts.alpha2_v0 initial velocity)."""
+    F2 = getattr(ts, "_i2func", None)
+    if F2 is None:
+        raise Error("alpha2: call setI2Function(F(t, u, v, a)) first")
+    rho = float(getattr(ts, "alpha_radius", 0.2))
+    am = (2.0 * rho - 1.0) / (rho + 1.0)
+    af = rho / (rho + 1.0)
+    gamma = 0.5 - am + af
+    beta = 0.25 * (1.0 - am + af) ** 2
+    v0 = getattr(ts, "_alpha2_v", None)
+    a0 = getattr(ts, "_alpha2_a", None)
+    if v0 is None or v0.shape != u.shape:
+        v0 = np.asarray(getattr(ts, "alpha2_v0", np.zeros_like(u)),
+                        dtype=np.float64)
+        # consistent initial acceleration: F(t, u0, v0, a0) = 0
+        from .ts import _snes_stage_solve, _stage_residual
+
+        def build0():
+            f2 = ts._i2func
+
+            def residual(a, tt, uu, vv):
+                return f2(tt, uu, vv, a)
+            return residual
+        res0 = _stage_residual(ts, ("alpha2_init",), build0)
+        a0, ok0 = _snes_stage_solve(
+            ts, res0, (jnp.asarray(t), jnp.asarray(u), jnp.asarray(v0)),
+            np.zeros_like(u))
+        if not ok0:
+            a0 = np.zeros_like(u)
+    from .ts import _snes_stage_solve, _stage_residual
+
+    def build():
+        f2 = ts._i2func
+
+        def residual(a1, tt, dtt, uu, vv, aa):
+            u1 = uu + dtt * vv + dtt * dtt * ((0.5 - beta) * aa
+                                              + beta * a1)
+            v1 = vv + dtt * ((1.0 - gamma) * aa + gamma * a1)
+            um = (1.0 - af) * u1 + af * uu
+            vm = (1.0 - af) * v1 + af * vv
+            aam = (1.0 - am) * a1 + am * aa
+            tm = tt + (1.0 - af) * dtt
+            return f2(tm, um, vm, aam)
+        return residual
+
+    residual = _stage_residual(ts, ("alpha2", rho), build)
+    a1, ok = _snes_stage_solve(
+        ts, residual,
+        (jnp.asarray(t), jnp.asarray(dt), jnp.asarray(u),
+         jnp.asarray(v0), jnp.asarray(a0)), np.asarray(a0))
+    if not ok:
+        return u, None, 2, False
+    u1 = u + dt * v0 + dt * dt * ((0.5 - beta) * a0 + beta * a1)
+    v1 = v0 + dt * ((1.0 - gamma) * a0 + gamma * a1)
+    ts._alpha2_v = np.asarray(v1)
+    ts._alpha2_a = np.asarray(a1)
+    return np.asarray(u1), None, 2, bool(np.all(np.isfinite(u1)))
+
+
 def step_irk(ts: TS, t, u, dt):
     """Fully implicit Gauss(2) RK: both stage derivatives solved as ONE
     stacked nonlinear system (impls/irk)."""
@@ -184,6 +250,7 @@ TS._impls.update({
     "symplectic": step_symplectic,
     "pseudo": step_pseudo,
     "alpha": step_alpha,
+    "alpha2": step_alpha2,
 })
 
 

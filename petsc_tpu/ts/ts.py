@@ -144,6 +144,12 @@ class TS(PObject):
                                   else np.asarray(iset, dtype=np.int64))
         return self
 
+    def setI2Function(self, fn):
+        """TSSetI2Function: pure jax F(t, u, u', u'') for 2nd-order
+        systems (alpha2)."""
+        self._i2func = fn
+        return self
+
     def setRHSFunction(self, fn):
         """Pure jax fn(t, u) -> du/dt (TSSetRHSFunction)."""
         self._rhs = fn

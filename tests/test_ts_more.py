@@ -274,3 +274,28 @@ def test_mimex_stiff():
     exact = np.exp(-41.0 * 0.5)
     # backward-Euler accuracy at this dt
     assert abs(float(u.getArray()[0]) - exact) < 5e-2
+
+
+def test_alpha2_oscillator():
+    """Generalized-alpha2 (Chung-Hulbert) on u'' + w^2 u = 0: 2nd-order
+    accurate, stable, and (rho=1, no numerical damping) amplitude
+    preserved."""
+    w = 2.0 * np.pi
+    errs = []
+    for dtv in (0.01, 0.005):
+        ts = pt.TS().create()
+        ts.setType("alpha2")
+        ts.alpha_radius = 1.0       # no dissipation
+        ts.setI2Function(lambda t, u, v, a: a + w * w * u)
+        ts.setTimeStep(dtv)
+        ts.setMaxTime(1.0)
+        ts.adapt.kind = "none"
+        ts.alpha2_v0 = np.zeros(1)
+        u = pt.Vec.from_array(np.array([1.0]))
+        ts.solve(u)
+        assert ts.getConvergedReason().converged
+        errs.append(abs(float(u.getArray()[0]) - np.cos(w * 1.0)))
+    rate = np.log2(errs[0] / errs[1])
+    # at rho=1 (midpoint Newmark) the linear oscillator superconverges
+    assert rate > 1.7, (errs, rate)
+    assert errs[1] < 1e-5
