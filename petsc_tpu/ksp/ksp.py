@@ -552,6 +552,8 @@ from . import impls_more as _m  # noqa: E402
 register_ksp("cgs", _m.solve_cgs)
 register_ksp("tfqmr", _m.solve_tfqmr)
 register_ksp("cr", _m.solve_cr)
+register_ksp("pipegcr", _m.solve_gcr,
+             default_norm=common.UNPRECONDITIONED, supports_right=True)
 register_ksp("gcr", _m.solve_gcr, default_norm=common.UNPRECONDITIONED,
              extras=_gmres_extras, supports_right=True)
 register_ksp("lsqr", _m.solve_lsqr, default_norm=common.UNPRECONDITIONED)

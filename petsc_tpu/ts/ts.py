@@ -569,14 +569,44 @@ def step_euler(ts: TS, t, u, dt):
 
 
 def step_ssp(ts: TS, t, u, dt):
-    """SSPRK(3,3) Shu-Osher (impls/explicit/ssp, rks3)."""
+    """Strong-stability-preserving RK (impls/explicit/ssp): types
+    rks2 (SSPRK(s,2), default s=5), rks3 (SSPRK(3,3) Shu-Osher),
+    rk104 (Ketcheson's SSPRK(10,4), effective CFL 6) —
+    -ts_ssp_type / ts.ssp_type."""
+    kind = getattr(ts, "ssp_type", "rks3")
     uj = jnp.asarray(u)
     f = ts.rhs
-    u1 = uj + dt * f(t, uj)
-    u2 = 0.75 * uj + 0.25 * (u1 + dt * f(t + dt, u1))
-    u3 = uj / 3.0 + 2.0 / 3.0 * (u2 + dt * f(t + 0.5 * dt, u2))
-    un = np.asarray(u3)
-    return un, None, 3, np.all(np.isfinite(un))
+    if kind == "rks2":
+        s_st = int(getattr(ts, "ssp_nstages", 5))
+        v = uj
+        tt = t
+        for _ in range(s_st - 1):
+            v = v + dt / (s_st - 1) * f(tt, v)
+            tt = tt + dt / (s_st - 1)
+        un = ((s_st - 1) * v + uj + dt * f(tt, v)) / s_st
+        order = 2
+    elif kind == "rk104":
+        # Ketcheson SSPRK(10,4) low-storage two-register form
+        v = uj
+        tt = t
+        for i in range(5):
+            v = v + dt / 6.0 * f(tt, v)
+            tt = tt + dt / 6.0
+        w = (uj + 9.0 * v) / 25.0          # q2 register at stage 5
+        v = 15.0 * w - 5.0 * v
+        tt = t + dt / 3.0
+        for i in range(4):
+            v = v + dt / 6.0 * f(tt, v)
+            tt = tt + dt / 6.0
+        un = w + 0.6 * v + 0.1 * dt * f(tt, v)
+        order = 4
+    else:
+        u1 = uj + dt * f(t, uj)
+        u2 = 0.75 * uj + 0.25 * (u1 + dt * f(t + dt, u1))
+        un = uj / 3.0 + 2.0 / 3.0 * (u2 + dt * f(t + 0.5 * dt, u2))
+        order = 3
+    un = np.asarray(un)
+    return un, None, order, np.all(np.isfinite(un))
 
 
 def step_rk(ts: TS, t, u, dt):

@@ -299,3 +299,23 @@ def test_alpha2_oscillator():
     # at rho=1 (midpoint Newmark) the linear oscillator superconverges
     assert rate > 1.7, (errs, rate)
     assert errs[1] < 1e-5
+
+
+@pytest.mark.parametrize("sspt,order", [("rks2", 2), ("rks3", 3),
+                                        ("rk104", 4)])
+def test_ssp_variants_order(sspt, order):
+    """SSP types converge at design order on the decay problem."""
+    errs = []
+    for dtv in (0.1, 0.05):
+        ts = pt.TS().create()
+        ts.setType("ssp")
+        ts.ssp_type = sspt
+        ts.setRHSFunction(lambda t, u: -u)
+        ts.setTimeStep(dtv)
+        ts.setMaxTime(1.0)
+        ts.adapt.kind = "none"
+        u = pt.Vec.from_array(np.array([1.0]))
+        ts.solve(u)
+        errs.append(abs(float(u.getArray()[0]) - np.exp(-1.0)))
+    rate = np.log2(errs[0] / errs[1])
+    assert rate > order - 0.5, (sspt, errs, rate)
