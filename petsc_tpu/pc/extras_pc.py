@@ -729,3 +729,75 @@ def _bind_cp(meta, data):
 
 operator.register_binder("pc_cp", _bind_cp)
 PC.register_impl("cp", _PCCP)
+
+
+class _PCPatch(__import__("petsc_tpu.pc.more_pc",
+                          fromlist=["_PCASM"])._PCASM):
+    """PCPATCH (impls/patch, Farrell-Knepley-Mitchell-Wechsung): additive
+    relaxation over VERTEX-STAR patches — one tiny subdomain per dof
+    consisting of the dof and its matrix-graph neighbors (the algebraic
+    star; with a DMDA attached this IS the stencil star). The reference
+    builds patches from the mesh topology + FEM discretisation; here the
+    operator pattern supplies the same stars for the assembled case.
+
+    TPU shape: thousands of tiny patches become ONE block-diagonal
+    level-scheduled solve (the ASM machinery) — patch independence is
+    exactly batch parallelism."""
+
+    def __init__(self, pc):
+        super().__init__(pc)
+        self.overlap = 0
+        # full additive scatter: sum R_i^T K_i^{-1} R_i is SYMMETRIC, so
+        # the patch smoother is CG-safe (restricted ASM is not)
+        self.asm_type = "basic"
+        self.sub_kind = "star"
+
+    def set_from_options(self):
+        t = self.pc.opt("get_string", "pc_patch_construct_type", None)
+        if t:
+            self.sub_kind = t
+
+    def _default_domains(self, S, m):
+        doms = []
+        for i in range(m):
+            nbrs = S.indices[S.indptr[i]: S.indptr[i + 1]]
+            leaves = np.setdiff1d(nbrs, [i]).astype(np.int64)
+            # center LAST: the star's arrow pattern then factors exactly
+            # under ILU(0) (leaf elimination fills only the center row)
+            dom = np.concatenate([leaves, [i]])
+            doms.append((np.asarray([i], dtype=np.int64), dom))
+        return doms
+
+    def setup(self):
+        meta, data = super().setup()
+        # partition-of-unity scaling D = mult^{-1/2} applied on BOTH
+        # sides of the patch solves: sum R^T D K^-1 D R stays symmetric
+        # and cancels the overlap over-counting of plain additive patches
+        gat = np.asarray(data["gather"])
+        m = meta[-1]
+        cnt = np.zeros(m)
+        np.add.at(cnt, gat, 1.0)
+        w = 1.0 / np.sqrt(np.maximum(cnt, 1.0))
+        data["pou_w"] = jnp.asarray(w, config.real_dtype())
+        return ("pc_patch",) + meta[1:], data
+
+
+def _bind_patch(meta, data):
+    from ..ops import trisolve
+    _, mbig, nlevL, nlevU, npad = meta
+    core = {k: data[k] for k in ("Ld", "Lx", "Ud", "Ux", "tabL", "tabU",
+                                 "dinv")}
+    w = data["pou_w"]
+
+    def mult(x):
+        xg = (x * w)[data["gather"]]
+        sol = trisolve.trisolve_apply(core, xg, mbig, nlevL, nlevU)
+        y = jnp.zeros_like(x)
+        y = y.at[data["sel_dst"]].add(sol[data["sel_src"]])
+        return y * w
+
+    return operator.Op(mult=mult)
+
+
+operator.register_binder("pc_patch", _bind_patch)
+PC.register_impl("patch", _PCPatch)

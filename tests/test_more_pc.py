@@ -220,3 +220,27 @@ def test_pc_cp_column_projection():
     ksp, err = run("cp", A_sp=A_sp, ksp_type="gmres", max_it=800)
     assert ksp.getConvergedReason().converged
     assert err < 1e-5
+
+
+def test_pc_patch_star_relaxation():
+    """PCPATCH: vertex-star patches smooth a Poisson problem — as a
+    preconditioner for CG it converges and beats plain Jacobi."""
+    A_sp = poisson2d(10)
+    n = A_sp.shape[0]
+    A = pt.MatAIJ.from_scipy(A_sp)
+
+    def its(pc_type):
+        ksp = pt.KSP().create()
+        ksp.setOperators(A)
+        ksp.setType("cg")
+        ksp.getPC().setType(pc_type)
+        ksp.setTolerances(rtol=1e-8, max_it=500)
+        b = pt.Vec.from_array(np.ones(n))
+        x = A.createVecRight()
+        ksp.solve(b, x)
+        assert ksp.getConvergedReason().converged
+        r = A_sp @ np.asarray(x.getArray())[:n] - 1.0
+        assert np.linalg.norm(r) < 1e-6
+        return ksp.getIterationNumber()
+
+    assert its("patch") < its("jacobi")
