@@ -43,7 +43,9 @@ class LineSearch:
     def apply(self, x, y, f, fnorm):
         """x,y,f: numpy arrays; returns (x_new, f_new, fnorm_new, lam, ok)."""
         fn = {"bt": self._bt, "basic": self._basic, "none": self._basic,
-              "l2": self._l2, "cp": self._cp}.get(self.kind)
+              "l2": self._l2, "cp": self._cp, "secant": self._secant,
+              "bisection": self._bisection,
+              "nleqerr": self._nleqerr}.get(self.kind)
         if fn is None:
             raise KeyError(f"unknown linesearch type {self.kind}")
         return fn(x, y, f, fnorm)
@@ -51,6 +53,94 @@ class LineSearch:
     def _eval(self, x):
         F = self.snes._func_np(x)
         return F, float(np.linalg.norm(F))
+
+    def _secant(self, x, y, f, fnorm):
+        """linesearchsecant: secant iteration on
+        g(lam) = d/dlam 0.5||F(x - lam y)||^2 approximated by finite
+        differences of phi — minimizes phi along the direction."""
+        def phi(lam):
+            _, gn = self._eval(x - lam * y)
+            return 0.5 * gn * gn
+
+        l0, l1 = 0.0, self.damping
+        p0 = 0.5 * fnorm * fnorm
+        p1 = phi(l1)
+        h = 1e-4 * max(abs(l1), 1.0)
+        for _ in range(min(self.max_its, 12)):
+            g1 = (phi(l1 + h) - p1) / h
+            g0 = (phi(l0 + h) - p0) / h
+            denom = g1 - g0
+            if abs(denom) < 1e-300:
+                break
+            l2 = l1 - g1 * (l1 - l0) / denom
+            if not np.isfinite(l2) or l2 <= self.minlambda:
+                break
+            l0, p0 = l1, p1
+            l1 = l2
+            p1 = phi(l1)
+            if abs(l1 - l0) < 1e-8 * max(abs(l1), 1.0):
+                break
+        if p1 >= 0.5 * fnorm * fnorm:     # no decrease: fall back to bt
+            return self._bt(x, y, f, fnorm)
+        xn = x - l1 * y
+        fn_, gnorm = self._eval(xn)
+        return xn, fn_, gnorm, l1, np.isfinite(gnorm)
+
+    def _bisection(self, x, y, f, fnorm):
+        """linesearchbisection: bisection on the directional derivative
+        sign of phi(lam) over (0, damping]."""
+        def dphi(lam, h=1e-6):
+            _, ga = self._eval(x - (lam + h) * y)
+            _, gb = self._eval(x - (lam - h) * y)
+            return (0.5 * ga * ga - 0.5 * gb * gb) / (2 * h)
+
+        lo, hi = 0.0, self.damping
+        dlo = -fnorm * fnorm
+        dhi = dphi(hi)
+        if dhi <= 0:                      # monotone decrease: take full
+            lam = hi
+        else:
+            lam = 0.5 * (lo + hi)
+            for _ in range(min(self.max_its, 30)):
+                d = dphi(lam)
+                if d > 0:
+                    hi = lam
+                else:
+                    lo = lam
+                lam = 0.5 * (lo + hi)
+                if hi - lo < 1e-8:
+                    break
+        xn = x - lam * y
+        fn_, gnorm = self._eval(xn)
+        if gnorm >= fnorm:
+            return self._bt(x, y, f, fnorm)
+        return xn, fn_, gnorm, lam, np.isfinite(gnorm)
+
+    def _nleqerr(self, x, y, f, fnorm):
+        """Deuflhard's affine-covariant NLEQ-ERR damping
+        (linesearchnleqerr.c): lambda from the estimated Lipschitz
+        constant h = ||F(x - lam y) - (1-lam) F(x)|| * 2 / (lam^2 ||y||
+        ||Jy||-scale), iterated with the a-posteriori update
+        lam' = min(1, 1/h)."""
+        lam = self.damping
+        ynorm2 = float(np.dot(y, y))
+        if ynorm2 == 0:
+            return x, f, fnorm, 0.0, False
+        for _ in range(min(self.max_its, 20)):
+            xn = x - lam * y
+            fn_, gnorm = self._eval(xn)
+            if not np.isfinite(gnorm):
+                lam *= 0.5
+                continue
+            # affine-covariant estimate of the contraction
+            diff = fn_ - (1.0 - lam) * f
+            h_est = 2.0 * float(np.linalg.norm(diff)) \
+                / max(lam * lam * fnorm, 1e-300)
+            lam_new = min(1.0, 1.0 / max(h_est, 1e-300))
+            if gnorm < fnorm or lam <= self.minlambda:
+                return xn, fn_, gnorm, lam, gnorm < fnorm * (1 + 1e-12)
+            lam = max(min(lam_new, 0.5 * lam), self.minlambda)
+        return self._bt(x, y, f, fnorm)
 
     def _basic(self, x, y, f, fnorm):
         lam = self.damping

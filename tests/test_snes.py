@@ -181,3 +181,24 @@ def test_solve_compiled_bratu():
     assert snes.getConvergedReason().converged
     r = snes._func_np(np.asarray(x.getArray()))
     assert np.linalg.norm(r) < 1e-6
+
+
+@pytest.mark.parametrize("lstype", ["secant", "bisection", "nleqerr"])
+def test_linesearch_variants(lstype):
+    """secant/bisection/nleqerr line searches solve Bratu-like problems
+    (linesearch impls parity)."""
+    import jax.numpy as jnp
+    snes = pt.SNES().create()
+    snes.setType("newtonls")
+    snes.linesearch.kind = lstype
+
+    def F(x):
+        return x ** 3 + 2.0 * x - 4.0 + 0.5 * jnp.roll(x, 1)
+
+    snes.setFunction(F)
+    x = pt.Vec.from_array(np.zeros(8))
+    snes.solve(None, x)
+    assert snes.getConvergedReason().converged, (lstype,
+                                                 snes.getConvergedReason())
+    r = np.asarray(F(jnp.asarray(np.asarray(x.getArray()))))
+    assert np.linalg.norm(r[:8]) < 1e-6
