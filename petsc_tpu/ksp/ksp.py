@@ -678,6 +678,10 @@ register_ksp("dgmres", _dgmres, host_driven=True)
 # Ritz vectors ADDED to the search space rather than preconditioned out;
 # served by the dgmres driver (documented substitution)
 register_ksp("agmres", _dgmres, host_driven=True)
+
+from .fetidp import solve_fetidp_host as _fetidp  # noqa: E402
+
+register_ksp("fetidp", _fetidp, host_driven=True)
 register_ksp("stcg", _tr.solve_stcg, extras=_stcg_extras)
 register_ksp("nash", _tr.solve_stcg, extras=_stcg_extras)   # nash.c variant
 register_ksp("gltr", _tr.solve_stcg, extras=_stcg_extras)   # gltr.c variant

@@ -96,3 +96,24 @@ def test_bddc_beats_no_pc():
         return ksp.getIterationNumber()
 
     assert solve("bddc") < 0.5 * solve("none")
+
+
+@pytest.mark.parametrize("nsub", [2, 4])
+def test_fetidp_matches_assembled_solve(nsub):
+    """KSPFETIDP on the MATIS Poisson: the recovered primal solution
+    matches the assembled direct solve; dual CG iteration count stays
+    modest (two-level scalability via the primal coarse problem)."""
+    M, n = build_matis_poisson(ne=8 * nsub // 2, nsub=nsub)
+    ksp = pt.KSP().create()
+    ksp.setOperators(M)
+    ksp.setType("fetidp")
+    ksp.setTolerances(rtol=1e-10)
+    b = pt.Vec.from_array(np.ones(n))
+    x = pt.Vec.from_array(np.zeros(n))
+    ksp.solve(b, x)
+    assert ksp.getConvergedReason().converged, ksp.getConvergedReason()
+    S = M.assemble_global().to_scipy()
+    import scipy.sparse.linalg as spla
+    xref = spla.spsolve(S.tocsc(), np.ones(n))
+    assert np.allclose(np.asarray(x.getArray())[:n], xref, atol=1e-6)
+    assert ksp.getIterationNumber() < 60, ksp.getIterationNumber()
