@@ -102,7 +102,9 @@ class _PETScNS:
             "cg", "gmres", "fgmres", "bcgs", "cgs", "tfqmr", "cr", "gcr",
             "lsqr", "minres", "chebyshev", "richardson", "preonly",
             "pipecg", "groppcg", "bcgsl", "idr", "stcg", "nash", "gltr",
-            "qcg", "symmlq", "cgne", "fcg", "lgmres", "ibcgs", "fbcgs")})
+            "qcg", "symmlq", "cgne", "fcg", "lgmres", "ibcgs", "fbcgs",
+            "lcd", "tcqmr", "tsirm", "dgmres", "agmres", "fetidp",
+            "pgmres", "pipegcr")})
         ConvergedReason = KSPConvergedReason
 
         def __new__(cls):
