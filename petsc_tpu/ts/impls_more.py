@@ -244,7 +244,54 @@ def step_irk(ts: TS, t, u, dt):
     return un, None, 4, np.all(np.isfinite(un))
 
 
+# Radau IIA 3-stage (order 5) Butcher table — the method RADAU5 wraps
+# (Hairer-Wanner); exact rational/radical coefficients
+_R6 = np.sqrt(6.0)
+_RADAU_C = [(4.0 - _R6) / 10.0, (4.0 + _R6) / 10.0, 1.0]
+_RADAU_A = [
+    [(88.0 - 7.0 * _R6) / 360.0, (296.0 - 169.0 * _R6) / 1800.0,
+     (-2.0 + 3.0 * _R6) / 225.0],
+    [(296.0 + 169.0 * _R6) / 1800.0, (88.0 + 7.0 * _R6) / 360.0,
+     (-2.0 - 3.0 * _R6) / 225.0],
+    [(16.0 - _R6) / 36.0, (16.0 + _R6) / 36.0, 1.0 / 9.0],
+]
+_RADAU_B = [(16.0 - _R6) / 36.0, (16.0 + _R6) / 36.0, 1.0 / 9.0]
+
+
+def step_radau5(ts: TS, t, u, dt):
+    """Radau IIA(3), order 5, L-stable — the native replacement for the
+    reference's RADAU5 external wrapper (impls: sundials/radau5 rows).
+    All three stage derivatives solve as ONE stacked system with the
+    cached parametric SNES (same pattern as irk)."""
+    uj = jnp.asarray(u)
+
+    def build():
+        f = ts.rhs
+
+        def residual(kflat, tt, dtt, uprev):
+            k = kflat.reshape(3, -1)
+            r = []
+            for i in range(3):
+                ui = uprev + dtt * (_RADAU_A[i][0] * k[0]
+                                    + _RADAU_A[i][1] * k[1]
+                                    + _RADAU_A[i][2] * k[2])
+                r.append(k[i] - f(tt + _RADAU_C[i] * dtt, ui))
+            return jnp.concatenate(r)
+        return residual
+
+    residual = _stage_residual(ts, ("radau5",), build)
+    k0 = np.concatenate([np.asarray(ts.rhs(t, uj))] * 3)
+    kflat, ok = _snes_stage_solve(ts, residual, (t, dt, u), k0)
+    if not ok:
+        return u, None, 5, False
+    k = kflat.reshape(3, -1)
+    un = u + dt * (_RADAU_B[0] * k[0] + _RADAU_B[1] * k[1]
+                   + _RADAU_B[2] * k[2])
+    return un, None, 5, np.all(np.isfinite(un))
+
+
 TS._impls.update({
+    "radau5": step_radau5,
     "irk": step_irk,
     "basicsymplectic": step_symplectic,
     "symplectic": step_symplectic,

@@ -319,3 +319,31 @@ def test_ssp_variants_order(sspt, order):
         errs.append(abs(float(u.getArray()[0]) - np.exp(-1.0)))
     rate = np.log2(errs[0] / errs[1])
     assert rate > order - 0.5, (sspt, errs, rate)
+
+
+def test_radau5_order_and_lstability():
+    """Radau IIA(3): 5th order on decay, and L-stable (strong damping of
+    a very stiff mode at large dt)."""
+    errs = []
+    for dtv in (0.2, 0.1):
+        ts = pt.TS().create()
+        ts.setType("radau5")
+        ts.setRHSFunction(lambda t, u: -u)
+        ts.setTimeStep(dtv)
+        ts.setMaxTime(1.0)
+        ts.adapt.kind = "none"
+        u = pt.Vec.from_array(np.array([1.0]))
+        ts.solve(u)
+        errs.append(abs(float(u.getArray()[0]) - np.exp(-1.0)))
+    rate = np.log2(errs[0] / errs[1])
+    assert rate > 4.0, (errs, rate)
+    # L-stability: one huge-dt step on a stiff mode decays hard
+    ts = pt.TS().create()
+    ts.setType("radau5")
+    ts.setRHSFunction(lambda t, u: -1e4 * u)
+    ts.setTimeStep(1.0)
+    ts.setMaxTime(1.0)
+    ts.adapt.kind = "none"
+    u = pt.Vec.from_array(np.array([1.0]))
+    ts.solve(u)
+    assert abs(float(u.getArray()[0])) < 1e-3
