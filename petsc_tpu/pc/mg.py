@@ -24,7 +24,7 @@ import jax
 import jax.numpy as jnp
 
 from .. import config
-from ..ksp.cheby import cheby_smooth
+from ..ksp.cheby import cheby_smooth, cheby_smooth4
 from ..ops import operator
 from ..sys.error import Error
 from .pc import PC
@@ -261,6 +261,11 @@ def _smooth(kind, Aop, dinv, eig, b, x, its):
     pcmult = lambda v: dinv * v
     if kind == "chebyshev":
         return cheby_smooth(Aop.mult, pcmult, b, x, its, eig[0], eig[1])
+    if kind in ("chebyshev4", "fourth"):
+        return cheby_smooth4(Aop.mult, pcmult, b, x, its, eig[1])
+    if kind in ("opt_fourth", "chebyshev4opt"):
+        return cheby_smooth4(Aop.mult, pcmult, b, x, its, eig[1],
+                             optimized=True)
     if kind == "richardson":
         for _ in range(its):
             x = x + pcmult(b - Aop.mult(x))

@@ -192,3 +192,35 @@ def test_pc_hmg_block_system():
     assert ksp.getIterationNumber() < 30
     r = S @ np.asarray(x.getArray())[: S.shape[0]] - 1.0
     assert np.linalg.norm(r) < 1e-6 * np.sqrt(S.shape[0])
+
+
+@pytest.mark.parametrize("kind", ["fourth", "opt_fourth"])
+def test_mg_fourth_kind_chebyshev_smoother(kind):
+    """4th-kind Chebyshev smoothing (cheby.c KSPChebyshevKind, Lottes):
+    MG with the 4th-kind smoother converges comparably to first-kind —
+    and needs NO emin estimate."""
+    import scipy.sparse as sp
+    A_sp = poisson2d(33)
+    A = pt.MatAIJ.from_scipy(A_sp)
+    da = pt.DMDA.create(dim=2, sizes=(33, 33))
+    A._dm = da
+
+    def run_mg(smoother):
+        ksp = pt.KSP().create()
+        ksp.setOperators(A)
+        ksp.setType("cg")
+        pc = ksp.getPC()
+        pc.setType("mg")
+        pc._impl.smoother = smoother
+        ksp.setTolerances(rtol=1e-8)
+        b = pt.Vec.from_array(np.ones(A_sp.shape[0]))
+        x = A.createVecRight()
+        ksp.solve(b, x)
+        assert ksp.getConvergedReason().converged
+        r = A_sp @ np.asarray(x.getArray())[: A_sp.shape[0]] - 1.0
+        assert np.linalg.norm(r) < 1e-6 * np.sqrt(A_sp.shape[0])
+        return ksp.getIterationNumber()
+
+    it4 = run_mg(kind)
+    it1 = run_mg("chebyshev")
+    assert it4 <= it1 + 4, (it4, it1)
