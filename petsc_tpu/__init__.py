@@ -32,6 +32,10 @@ from .mat.mat import Mat, MatShell, MatDense, MatNullSpace, MatStructure
 from .mat.aij import MatAIJ
 from .mat.sbaij import MatSBAIJ
 from .dm.swarm import DMSwarm
+from .dm.network import DMNetwork
+from .mat.utility import (MatComposite, MatDiagonal, MatIS, MatLRC,
+                          MatMAIJ, MatNormal, MatSchurComplement,
+                          MatTranspose)
 
 __version__ = "0.1.0"
 
