@@ -1,0 +1,35 @@
+"""Every runnable example executes end-to-end with small arguments —
+the examples/ directory is part of the tested surface (the reference
+runs its tutorials in CI the same way)."""
+
+import sys
+from pathlib import Path
+
+import pytest
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+CASES = [
+    ("ex1", []),
+    ("ex2", ["-m", "5", "-n", "5"]),
+    ("ex5", ["-da_grid_x", "9", "-da_grid_y", "9"]),
+    ("ex45", ["-da_grid_x", "9", "-da_grid_y", "9", "-da_grid_z", "9"]),
+    ("heat", []),
+    ("dd_matis", ["-ne", "8", "-nsub", "2"]),
+    ("dd_matis", ["-ne", "8", "-nsub", "2", "-solver", "fetidp"]),
+]
+
+
+@pytest.mark.parametrize("name,args", CASES,
+                         ids=[f"{n}{('-' + a[-1]) if n == 'dd_matis' else ''}"
+                              for n, a in CASES])
+def test_example_runs(name, args):
+    import importlib
+    mod = importlib.import_module(f"examples.{name}")
+    mod.main(args)
+
+
+def test_example_stokes():
+    import examples.stokes_stag as st
+    st.main(["-nx", "8"]) if "nx" in open(
+        st.__file__).read() else st.main([])
