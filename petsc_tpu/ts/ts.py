@@ -221,6 +221,28 @@ class TS(PObject):
     def getTrajectory(self):
         return list(getattr(self, "_traj", []))
 
+    def trajectorySave(self, path):
+        """TSTrajectory 'singlefile' impl: persist the recorded (t, dt)
+        schedule + final state to one npz file."""
+        traj = getattr(self, "_traj", None)
+        if traj is None:
+            raise Error("trajectorySave: setSaveTrajectory before solve")
+        ts_arr = np.asarray([t for t, _ in traj])
+        dt_arr = np.asarray([d for _, d in traj])
+        np.savez(path, t=ts_arr, dt=dt_arr,
+                 u_final=np.asarray(self._solution_np()
+                                    if hasattr(self, "_solution_np")
+                                    else []))
+        return self
+
+    def trajectoryLoad(self, path):
+        """Restore a saved (t, dt) schedule so replay/adjointSolve work in
+        a fresh process (TSTrajectoryGet role)."""
+        z = np.load(path)
+        self._traj = list(zip(z["t"].tolist(), z["dt"].tolist()))
+        self._save_traj = True
+        return self
+
     def _pure_step(self, t, u, dt):
         """One explicit step as a pure jax function (for AD replay)."""
         if self._type == "euler":

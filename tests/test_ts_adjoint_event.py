@@ -102,3 +102,28 @@ def test_event_postevent_bounce():
     ts.solve(u)
     assert ts.getConvergedReason().converged
     assert float(u.getArray()[0]) > -1e-6
+
+
+def test_trajectory_singlefile_roundtrip(tmp_path):
+    """TSTrajectory singlefile: save the step schedule, reload in a fresh
+    TS, and the AD replay reproduces the forward solution."""
+    import jax.numpy as jnp
+    p = str(tmp_path / "traj.npz")
+    ts = pt.TS().create()
+    ts.setType("rk")
+    ts.setRHSFunction(lambda t, u: -u)
+    ts.setTimeStep(0.02)
+    ts.setMaxTime(0.5)
+    ts.adapt.kind = "none"
+    ts.setSaveTrajectory()
+    u = pt.Vec.from_array(np.array([1.0, 2.0]))
+    ts.solve(u)
+    uf = np.asarray(u.getArray())[:2]
+    ts.trajectorySave(p)
+
+    ts2 = pt.TS().create()
+    ts2.setType("rk")
+    ts2.setRHSFunction(lambda t, u: -u)
+    ts2.trajectoryLoad(p)
+    ur = np.asarray(ts2.replay(jnp.asarray(np.array([1.0, 2.0]))))
+    assert np.allclose(ur[:2], uf, atol=1e-12)
