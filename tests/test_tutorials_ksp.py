@@ -191,3 +191,50 @@ def test_ex1_tridiagonal_reference_parity():
                       "-ksp_gmres_cgs_refinement_type refine_always")
     # error norm is O(eps); compare with absolute slack there
     assert_output(out, EX1_1, rtol=1e-3, atol=1e-13)
+
+
+# reference: output/ex2_bjacobi_3.out (nsize=4: -pc_bjacobi_blocks 4 with
+# inner gmres+jacobi sub-solves, default 8x7 grid)
+EX2_BJ3 = """\
+  0 KSP Residual norm 3.44632
+  1 KSP Residual norm 1.321
+  2 KSP Residual norm 0.720888
+  3 KSP Residual norm 0.383469
+  4 KSP Residual norm 0.0585789
+  5 KSP Residual norm 0.0187709
+  6 KSP Residual norm 0.00119179
+  7 KSP Residual norm 0.000321916
+Norm of error 0.000404746 iterations 7
+"""
+
+
+def test_ex2_bjacobi_3_reference_parity():
+    """4-block bjacobi with iterative (gmres+jacobi) sub-solves: the
+    reference's ex2_bjacobi_3.out monitor values."""
+    out = run_example(ex2.main,
+                      "-pc_type bjacobi -pc_bjacobi_blocks 4 "
+                      "-sub_pc_type jacobi -sub_ksp_type gmres "
+                      "-ksp_monitor_short "
+                      "-ksp_gmres_cgs_refinement_type refine_always")
+    assert_output(out, EX2_BJ3, rtol=1e-3)
+
+
+# reference: output/ex2_bjacobi_2.out monitor section (nsize=4,
+# -pc_bjacobi_blocks 2; the ksp_view dump is checked separately)
+EX2_BJ2 = """\
+  0 KSP Residual norm 5.18566
+  1 KSP Residual norm 0.882327
+  2 KSP Residual norm 0.232433
+  3 KSP Residual norm 0.0193881
+  4 KSP Residual norm 0.000403063
+Norm of error 0.000496964 iterations 4
+"""
+
+
+def test_ex2_bjacobi_2_reference_parity():
+    out = run_example(ex2.main,
+                      "-pc_type bjacobi -pc_bjacobi_blocks 2 "
+                      "-sub_pc_type jacobi -sub_ksp_type gmres "
+                      "-ksp_rtol 0.000138889 -ksp_monitor_short "
+                      "-ksp_gmres_cgs_refinement_type refine_always")
+    assert_output(out, EX2_BJ2, rtol=1e-3)
