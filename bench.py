@@ -46,17 +46,30 @@ def _poisson3d_27pt(n):
 
 
 def _timed_rate(f, args, nnz, k_lo=3, k_hi=23, tries=3):
-    """Per-mult seconds via K-differencing of a jitted K-loop."""
-    best = {}
-    for K in (k_lo, k_hi):
-        float(f(*args, K))  # warm/compile
+    """Per-mult seconds via K-differencing of a jitted K-loop.
+
+    Tunnel latency jitter can exceed the compute delta at small K, which
+    would make the difference negative — so the K spread escalates until
+    compute clearly dominates, and the final fallback (whole-loop time at
+    the largest K) is a conservative positive bound."""
+
+    def timed(K, reps):
+        float(f(*args, K))          # warm/compile
         b = float("inf")
-        for _ in range(tries):
+        for _ in range(reps):
             t0 = time.perf_counter()
             float(f(*args, K))
             b = min(b, time.perf_counter() - t0)
-        best[K] = b
-    per = (best[k_hi] - best[k_lo]) / (k_hi - k_lo)
+        return b
+
+    t_hi = hi = None
+    for lo, hi, reps in ((k_lo, k_hi, tries), (3, 103, 3), (3, 403, 2)):
+        t_lo = timed(lo, reps)
+        t_hi = timed(hi, reps)
+        per = (t_hi - t_lo) / (hi - lo)
+        if per > 0 and t_hi > 1.5 * t_lo:   # compute dominates jitter
+            return nnz / per / 1e9
+    per = t_hi / hi                          # jitter-dominated bound
     return nnz / per / 1e9
 
 
