@@ -195,6 +195,39 @@ class DMPlex(DM):
     def getConeClosure(self, cell):
         return np.concatenate([[cell], self.getCone(cell)])
 
+    def interpolate(self):
+        """DMPlexInterpolate (plexinterpolate.c): generate the EDGE
+        stratum (2-D simplex meshes) so the chart becomes
+        cells -> edges -> vertices with cones through edges. Returns self;
+        edge data lands in .edges (ne, 2 vertex ids), .cell2edge
+        (ncell, 3), and cone/support queries see the new points (edge
+        point ids start at ncells + nvertices)."""
+        from .fe import build_edges
+        self.edges, self.cell2edge = build_edges(self.cells)
+        self._interpolated = True
+        return self
+
+    def getDepth(self):
+        return 2 if getattr(self, "_interpolated", False) else 1
+
+    def getConeInterpolated(self, cell):
+        """Cone of a cell AFTER interpolate(): its three edge points."""
+        if not getattr(self, "_interpolated", False):
+            raise Error("call interpolate() first")
+        base = self.ncells + self.nvertices
+        return self.cell2edge[cell] + base
+
+    def getEdgeCone(self, edge_point):
+        """Cone of an edge point: its two vertex points."""
+        base = self.ncells + self.nvertices
+        return self.edges[edge_point - base] + self.ncells
+
+    def distribute(self, overlap=0):
+        """DMPlexDistribute: in the SPMD single-program model the mesh is
+        not re-owned per rank — cell partitioning (PetscPartitioner) maps
+        cells to shards and array sharding does the rest. Returns self."""
+        return self
+
     def markBoundaryVertices(self):
         """Vertex ids on the domain boundary (facets shared by one cell —
         DMPlexMarkBoundaryFaces role)."""

@@ -93,3 +93,21 @@ $EndElements
     assert "physical_5" in plex.labels and len(plex.labels["physical_5"]) == 2
     g, vol = plex.p1_gradients()
     assert abs(vol.sum() - 1.0) < 1e-12
+
+
+def test_plex_interpolate_edges():
+    """DMPlexInterpolate-lite: edge stratum generation; Euler formula
+    V - E + F = 1 for a simply-connected planar triangulation (plus the
+    outer face)."""
+    from petsc_tpu.dm.plex import DMPlex
+    plex = DMPlex.createBoxMesh((4, 4), simplex=True)
+    plex.interpolate()
+    V = plex.nvertices
+    E = len(plex.edges)
+    F = plex.ncells
+    assert V - E + F == 1
+    assert plex.getDepth() == 2
+    cone = plex.getConeInterpolated(0)
+    assert len(cone) == 3
+    vts = plex.getEdgeCone(cone[0])
+    assert len(vts) == 2
