@@ -63,7 +63,7 @@ def _timed_rate(f, args, nnz, k_lo=3, k_hi=23, tries=3):
         return b
 
     t_hi = hi = None
-    for lo, hi, reps in ((k_lo, k_hi, tries), (3, 103, 3), (3, 403, 2)):
+    for lo, hi, reps in ((k_lo, k_hi, 2), (3, 203, 2)):
         t_lo = timed(lo, reps)
         t_hi = timed(hi, reps)
         per = (t_hi - t_lo) / (hi - lo)
@@ -115,15 +115,16 @@ def _pick_size():
     varies by orders of magnitude between sessions)."""
     import jax
     import jax.numpy as jnp
-    probe_mb = 16.0
+    probe_mb = 4.0
     x = jnp.ones((int(probe_mb * 1024 * 1024 // 8),), dtype=jnp.float64)
     t0 = time.perf_counter()
     float(jnp.sum(x))          # force transfer + round trip
     rate = probe_mb / max(time.perf_counter() - t0, 1e-3)  # MB/s
-    for n, mb, host_s in ((128, 900, 90), (96, 380, 35), (64, 115, 15)):
-        if mb / rate + host_s + 90 < 400:
+    for n, mb, host_s in ((128, 900, 90), (96, 380, 35), (64, 115, 15),
+                          (48, 50, 8)):
+        if mb / rate + host_s + 90 < 360:
             return n
-    return 48
+    return 32
 
 
 if __name__ == "__main__":
@@ -134,7 +135,7 @@ if __name__ == "__main__":
         import traceback
         traceback.print_exc(file=sys.stderr)
         try:
-            main(48)   # smaller fallback (tunnel hiccups / memory)
+            main(32)   # smallest fallback (tunnel hiccups / memory)
         except Exception:
             traceback.print_exc(file=sys.stderr)
             print(json.dumps({"metric": "spmv_27pt_poisson_f64",
