@@ -25,8 +25,25 @@ LANE = 128
 BLK_R = 512          # (512, 128) f32 block = 256 KiB per operand in VMEM
 
 
-def _interpret():
-    return jax.default_backend() not in ("tpu",)
+def _interpret(*arrs):
+    """Kernel execution policy:
+      - off-TPU: interpret (tests/virtual CPU meshes);
+      - on TPU with 64-bit inputs: interpret — Mosaic has no 64-bit
+        element types, and f64 is this framework's default precision;
+      - on TPU with 32-bit inputs: compiled Mosaic when
+        PETSC_TPU_PALLAS_COMPILED=1 (opt-in: the dev tunnel's remote
+        compile helper currently 500s on grid+accumulator kernels even
+        though plain pallas_call compiles; on direct-attached TPUs set
+        the flag).
+    The numerics are identical either way — XLA's fused jnp path is the
+    production fallback and is already near roofline for these BLAS-1
+    shapes (PERF.md)."""
+    import os
+    if jax.default_backend() not in ("tpu",):
+        return True
+    if any(jnp.asarray(a).dtype.itemsize > 4 for a in arrs):
+        return True
+    return os.environ.get("PETSC_TPU_PALLAS_COMPILED", "0") != "1"
 
 
 def _as_tiles(x):
@@ -48,7 +65,7 @@ def _triad_kernel(alpha_ref, b_ref, c_ref, a_ref):
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def triad(b, c, alpha, interpret=None):
-    interpret = _interpret() if interpret is None else interpret
+    interpret = _interpret(b, c) if interpret is None else interpret
     bt, n = _as_tiles(b)
     ct, _ = _as_tiles(c)
     grid = bt.shape[0] // BLK_R
@@ -87,7 +104,7 @@ def _axpy_normsq_kernel(alpha_ref, x_ref, y_ref, out_ref, acc_ref):
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def axpy_normsq(alpha, x, y, interpret=None):
     """y + alpha*x and ||y + alpha*x||^2 in ONE pass over HBM."""
-    interpret = _interpret() if interpret is None else interpret
+    interpret = _interpret(x, y) if interpret is None else interpret
     xt, n = _as_tiles(x)
     yt, _ = _as_tiles(y)
     grid = xt.shape[0] // BLK_R
@@ -128,7 +145,7 @@ def _dot2_kernel(x_ref, y_ref, acc_ref):
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def dot2(x, y, interpret=None):
-    interpret = _interpret() if interpret is None else interpret
+    interpret = _interpret(x, y) if interpret is None else interpret
     xt, n = _as_tiles(x)
     yt, _ = _as_tiles(y)
     grid = xt.shape[0] // BLK_R
