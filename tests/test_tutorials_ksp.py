@@ -238,3 +238,18 @@ def test_ex2_bjacobi_2_reference_parity():
                       "-ksp_rtol 0.000138889 -ksp_monitor_short "
                       "-ksp_gmres_cgs_refinement_type refine_always")
     assert_output(out, EX2_BJ2, rtol=1e-3)
+
+
+def test_ex2_chebyest_inner_chebyshev_pc():
+    """ex2 chebyest_1: GMRES right-preconditioned by 5 inner Chebyshev
+    iterations with the esteig transform (0.9,0; 0,1.1). The reference
+    converges in 15 iterations; the estimator's Ritz bounds differ in the
+    last digits so we assert the same behavioral envelope."""
+    out = run_example(ex2.main,
+                      "-m 80 -n 80 -ksp_pc_side right -pc_type ksp "
+                      "-ksp_ksp_type chebyshev -ksp_ksp_max_it 5 "
+                      "-ksp_ksp_chebyshev_esteig 0.9,0,0,1.1 ")
+    line = [l for l in out.splitlines() if l.startswith("Norm")][0]
+    err, its = float(line.split()[3]), int(line.split()[-1])
+    assert 12 <= its <= 19, its          # reference: 15
+    assert err < 1e-3
