@@ -353,6 +353,17 @@ class KSP(PObject):
                      _to_f32(self.mat.device_data()),
                      _to_f32(self.pc.device_data()),
                      b.array, x0, self.rtol, self.abstol, self.divtol)
+        elif hasattr(self.pc._impl, "presolve"):
+            # PCPreSolve/PCPostSolve pattern (Eisenstat trick): iterate on
+            # the transformed operator, recover afterwards
+            om, od = self.pc._impl.operator_meta_data()
+            bt = jnp.asarray(self.pc._impl.presolve(np.asarray(b.array)))
+            fn = _compiled_solver(self._type, om, self.pc.meta, cfg)
+            res = fn(od, self.pc.device_data(), bt, x0,
+                     self.rtol, self.abstol, self.divtol)
+            res = jax.block_until_ready(res)
+            res = res._replace(x=jnp.asarray(
+                self.pc._impl.postsolve(np.asarray(res.x))))
         else:
             fn = _compiled_solver(self._type, self.mat.meta, self.pc.meta,
                                   cfg)

@@ -22,16 +22,88 @@ from .more_pc import _PCSOR
 
 
 class _PCEisenstat(_PCSOR):
-    """SSOR with the Eisenstat trick (eisens.c). The trick halves the
-    triangular-solve work by folding the operator application into the
-    sweeps; under XLA the fused SSOR apply already performs one pass, so
-    this is the SSOR apply with omega defaulting like PETSc."""
+    """Eisenstat-trick SSOR (eisens.c): the KSP iterates on the
+    TRANSFORMED system
+
+        (E+L)^{-1} A (E+U)^{-1}  xhat = (E+L)^{-1} b,   E = D/omega,
+
+    with PCApply = diagonal scaling by D and the solution recovered as
+    x = (E+U)^{-1} xhat (PCPreSolve/PCPostSolve_Eisenstat). The shell
+    operator uses Eisenstat's identity so ONE apply costs two triangular
+    sweeps + a diagonal — half the work of SSOR-preconditioned iteration.
+    The triangular sweeps reuse the SOR unit-solve level schedules."""
+
+    def __init__(self, pc):
+        super().__init__(pc)
+        self.usediag = True
 
     def set_from_options(self):
-        super().set_from_options()
-        w = self.pc.opt("get_real", "pc_eisenstat_omega", None)
+        o = self.pc.opt
+        w = o("get_real", "pc_eisenstat_omega", None) \
+            or o("get_real", "pc_sor_omega", None)
         if w:
             self.omega = w
+        if o("get_bool", "pc_eisenstat_no_diagonal_scaling", False):
+            self.usediag = False
+
+    def setup(self):
+        sor_meta, sor_data = super().setup()
+        A = self.pc.pmat
+        m = A.row_layout.N
+        d = 1.0 / np.asarray(sor_data["dinv"])[:m]
+        self._shell = (("mat_eisenstat",) + sor_meta[1:5]
+                       + (float(self.omega),), dict(sor_data))
+        self._sor_data = sor_data
+        self._m = m
+        self._npad = A.row_layout.Npad
+        diag = np.pad(d, (0, A.row_layout.pad)) if self.usediag \
+            else np.ones(A.row_layout.Npad)
+        return ("pc_jacobi",), {"inv": jnp.asarray(diag,
+                                                   config.real_dtype())}
+
+    # ---- PCPreSolve/PCPostSolve (KSP calls these around the solve) ----
+
+    def operator_meta_data(self):
+        return self._shell
+
+    def presolve(self, b):
+        meta, data = self._shell
+        _, m, nlevL, nlevU, npad, w = meta
+        from ..ops import trisolve as _t
+        bj = jnp.asarray(b)
+        return np.asarray(_t.unit_lower_solve(
+            data["Ld"], data["Lx"], data["tabL"],
+            data["winv"] * bj, m, nlevL))
+
+    def postsolve(self, x):
+        meta, data = self._shell
+        _, m, nlevL, nlevU, npad, w = meta
+        from ..ops import trisolve as _t
+        xj = jnp.asarray(x)
+        return np.asarray(_t.unit_upper_solve(
+            data["Ud"], data["Ux"], data["tabU"],
+            data["winv"] * xj, m, nlevU))
+
+
+def _bind_mat_eisenstat(meta, data):
+    from ..ops import trisolve as _t
+    _, m, nlevL, nlevU, npad, w = meta
+    scale = 2.0 / w - 1.0
+    dinv = data["dinv"]
+    d = jnp.where(dinv == 0, 0.0, 1.0 / jnp.where(dinv == 0, 1.0, dinv))
+
+    def mult(v):
+        x = _t.unit_upper_solve(data["Ud"], data["Ux"], data["tabU"],
+                                data["winv"] * v, m, nlevU)
+        t = v - scale * d * x
+        t = _t.unit_lower_solve(data["Ld"], data["Lx"], data["tabL"],
+                                data["winv"] * t, m, nlevL)
+        return x + t
+
+    return operator.Op(mult=mult)
+
+
+operator.register_binder("mat_eisenstat", _bind_mat_eisenstat)
 
 
 class _PCKaczmarz:

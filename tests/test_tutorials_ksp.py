@@ -253,3 +253,25 @@ def test_ex2_chebyest_inner_chebyshev_pc():
     err, its = float(line.split()[3]), int(line.split()[-1])
     assert 12 <= its <= 19, its          # reference: 15
     assert err < 1e-3
+
+
+# reference: output/ex2_4.out (-pc_type eisenstat, default 8x7 grid) —
+# TRUE Eisenstat trick: transformed-system iteration w/ diagonal PCApply
+EX2_4 = """\
+  0 KSP Residual norm 8.27636
+  1 KSP Residual norm 2.71231
+  2 KSP Residual norm 1.42381
+  3 KSP Residual norm 0.36228
+  4 KSP Residual norm 0.0646682
+  5 KSP Residual norm 0.00995895
+  6 KSP Residual norm 0.00236302
+  7 KSP Residual norm 0.000575025
+Norm of error 0.000372942 iterations 7
+"""
+
+
+def test_ex2_eisenstat_reference_parity():
+    out = run_example(ex2.main,
+                      "-pc_type eisenstat -ksp_monitor_short "
+                      "-ksp_gmres_cgs_refinement_type refine_always")
+    assert_output(out, EX2_4, rtol=1e-3)
