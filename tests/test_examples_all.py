@@ -33,3 +33,10 @@ def test_example_stokes():
     import examples.stokes_stag as st
     st.main(["-nx", "8"]) if "nx" in open(
         st.__file__).read() else st.main([])
+
+
+def test_ex7_bjacobi_blocks():
+    import examples.ex7 as ex7
+    ksp = ex7.main(["-pc_bjacobi_blocks", "2"])
+    assert ksp.getConvergedReason().converged
+    assert ksp.getIterationNumber() <= 8
