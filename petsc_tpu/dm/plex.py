@@ -20,7 +20,48 @@ from .dm import DM
 
 
 class Section:
-    """PetscSection-lite: dofs per point + offsets (section.c role)."""
+    """PetscSection: dofs per point + prefix-sum offsets, with named
+    FIELDS (sub-layouts) and per-point constrained dofs
+    (src/vec/is/section/interface/section.c: PetscSectionSetDof/
+    SetFieldDof/SetConstraintDof/GetOffset/GetFieldOffset/Chart)."""
+
+    def setNumFields(self, nf):
+        self._fields = [np.zeros(len(self.ndof), dtype=np.int64)
+                        for _ in range(nf)]
+        return self
+
+    def getNumFields(self):
+        return len(getattr(self, "_fields", []))
+
+    def setFieldDof(self, point, field, n):
+        self._fields[field][np.asarray(point)] = n
+        self._off = None
+
+    def getFieldDof(self, point, field):
+        return int(self._fields[field][point])
+
+    def getFieldOffset(self, point, field):
+        """Offset of a field's dofs within the point's block (fields are
+        laid out consecutively per point, the reference default)."""
+        base = self.getOffset(point)
+        return base + int(sum(self._fields[f][point]
+                              for f in range(field)))
+
+    def setConstraintDof(self, point, n):
+        if not hasattr(self, "_cdof"):
+            self._cdof = np.zeros(len(self.ndof), dtype=np.int64)
+        self._cdof[np.asarray(point)] = n
+
+    def getConstraintDof(self, point):
+        return int(getattr(self, "_cdof",
+                           np.zeros(len(self.ndof)))[point])
+
+    def getChart(self):
+        return 0, len(self.ndof)
+
+    def getConstrainedStorageSize(self):
+        return self.getStorageSize() - int(
+            getattr(self, "_cdof", np.zeros(1)).sum())
 
     def __init__(self, npoints):
         self.ndof = np.zeros(npoints, dtype=np.int64)

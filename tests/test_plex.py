@@ -111,3 +111,21 @@ def test_plex_interpolate_edges():
     assert len(cone) == 3
     vts = plex.getEdgeCone(cone[0])
     assert len(vts) == 2
+
+
+def test_section_fields_constraints():
+    from petsc_tpu.dm.plex import Section
+    s = Section(5)
+    s.setNumFields(2)
+    for p in range(5):
+        s.setFieldDof(p, 0, 2)
+        s.setFieldDof(p, 1, 1)
+        s.setDof(p, 3)
+    s.setConstraintDof(0, 1)
+    s.setUp()
+    assert s.getStorageSize() == 15
+    assert s.getConstrainedStorageSize() == 14
+    assert s.getOffset(2) == 6
+    assert s.getFieldOffset(2, 1) == 8
+    assert s.getChart() == (0, 5)
+    assert s.getNumFields() == 2
