@@ -244,3 +244,35 @@ def test_pc_patch_star_relaxation():
         return ksp.getIterationNumber()
 
     assert its("patch") < its("jacobi")
+
+
+def test_heterogeneous_blocks_via_fieldsplit():
+    """ex7.c's 'advanced' path — DIFFERENT solvers per block (bcgs+none
+    with inner rtol vs jacobi) — composes here as PCFieldSplit additive
+    with a pc_ksp sub-solver configured through prefixed options."""
+    pt.init(args=["-fieldsplit_0_pc_type", "ksp",
+                  "-fieldsplit_0_ksp_ksp_type", "bcgs",
+                  "-fieldsplit_0_ksp_pc_type", "none",
+                  "-fieldsplit_0_ksp_ksp_rtol", "1e-6",
+                  "-fieldsplit_1_pc_type", "jacobi"])
+    A_sp = poisson2d(4)
+    N = A_sp.shape[0]
+    A = pt.MatAIJ.from_scipy(A_sp)
+    ksp = pt.KSP().create()
+    ksp.setOperators(A)
+    pc = ksp.getPC()
+    pc.setType("fieldsplit")
+    impl = pc._impl
+    impl.ftype = "additive"
+    impl.setIS("0", np.arange(0, N // 2))
+    impl.setIS("1", np.arange(N // 2, N))
+    ksp.setTolerances(rtol=1e-5)
+    ksp.setFromOptions()
+    b = pt.Vec.from_array(np.ones(N))
+    x = A.createVecRight()
+    ksp.solve(b, x)
+    assert ksp.getConvergedReason().converged
+    assert ksp.getIterationNumber() <= 10
+    r = A_sp @ np.asarray(x.getArray())[:N] - 1.0
+    assert np.linalg.norm(r) < 1e-4
+    pt.init(args=[])
