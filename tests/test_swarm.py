@@ -82,3 +82,23 @@ def test_add_remove_points():
     mask[0] = True
     sw.removePoints(mask)
     assert sw.getLocalSize() == n0 + 1
+
+
+def test_swarm_1d_and_3d():
+    """Binning/deposition generalize across dimensions."""
+    for dim, n in ((1, 9), (3, 4)):
+        da = pt.DMDA.create(dim=dim, sizes=(n,) * dim)
+        sw = pt.DMSwarm.create()
+        sw.setType("pic")
+        sw.setCellDM(da)
+        sw.registerField("w", 1)
+        sw.insertPointsUsingCellDM(ppcell=2)
+        assert sw.getLocalSize() == (2 * (n - 1)) ** dim
+        w = sw.getField("w")
+        w[:] = 1.0
+        sw.restoreField("w", w)
+        rho = sw.depositSum("w")
+        total = float(np.sum(np.asarray(rho.getArray())[: n ** dim]))
+        assert np.isclose(total, sw.getLocalSize(), atol=1e-10)
+        cid = sw.binToCells()
+        assert cid.min() >= 0 and cid.max() < (n - 1) ** dim
