@@ -193,3 +193,45 @@ def test_cg_mpiaij_matches_seq(nshards):
     np.testing.assert_allclose(kspp.getConvergenceHistory(), seq_hist,
                                rtol=1e-9, atol=1e-13 * seq_hist[0])
     np.testing.assert_allclose(xp.getArray(), x.getArray(), rtol=1e-7, atol=1e-10)
+
+
+@pytest.mark.parametrize("nt", ["preconditioned", "unpreconditioned",
+                                "natural"])
+def test_cg_norm_types(nt):
+    """KSPSetNormType variants drive convergence consistently
+    (iterativ.c norm-type semantics)."""
+    from tests.test_mg_gamg import poisson2d
+    A_sp = poisson2d(10)
+    n = A_sp.shape[0]
+    A = pt.MatAIJ.from_scipy(A_sp)
+    ksp = pt.KSP().create()
+    ksp.setOperators(A)
+    ksp.setType("cg")
+    ksp.getPC().setType("jacobi")
+    ksp.setNormType(nt)
+    ksp.setTolerances(rtol=1e-10)
+    b = pt.Vec.from_array(np.ones(n))
+    x = A.createVecRight()
+    ksp.solve(b, x)
+    assert ksp.getConvergedReason().converged, nt
+    r = A_sp @ np.asarray(x.getArray())[:n] - 1.0
+    assert np.linalg.norm(r) < 1e-6, nt
+
+
+def test_norm_none_runs_to_max_it():
+    """norm type NONE: no convergence checks, runs exactly max_it
+    (smoother mode — zero reductions in the loop)."""
+    from tests.test_mg_gamg import poisson2d
+    A = pt.MatAIJ.from_scipy(poisson2d(8))
+    ksp = pt.KSP().create()
+    ksp.setOperators(A)
+    ksp.setType("chebyshev")
+    ksp.getPC().setType("jacobi")
+    ksp.setNormType("none")
+    ksp.max_it = 7
+    from petsc_tpu.ksp import common
+    ksp.converged_maxits = True
+    b = pt.Vec.from_array(np.ones(64))
+    x = A.createVecRight()
+    ksp.solve(b, x)
+    assert ksp.getIterationNumber() == 7
