@@ -342,7 +342,7 @@ def solve_cgne(A, B, b, x0, rtol, abstol, divtol, cfg: KSPConfig):
     dtol_bound = divtol * dp0
 
     def cond(s):
-        return (s[-2] == 0) & (s[-3] < cfg.max_it)
+        return (s[-2] == 0) & (s[-4] < cfg.max_it)
 
     def body(s):
         x, r, z, p, beta_old, its, rnorm, reason, hist = s

@@ -805,16 +805,6 @@ class MatAIJ(Mat):
             return float(np.abs(A).sum(axis=1).max())
         raise ValueError(norm_type)
 
-    def matMult(self, B: "MatAIJ"):
-        """C = A*B via host SpGEMM (symbolic+numeric; MatMatMult
-        matmatmult.c:91 sorted-heap analog)."""
-        return MatAIJ.from_scipy((self.to_scipy() @ B.to_scipy()).tocsr(), comm=self.comm)
-
-    def ptap(self, Pm: "MatAIJ"):
-        """C = P^T A P (MatPtAP matrix.c:10514) — the Galerkin product."""
-        Ps = Pm.to_scipy()
-        return MatAIJ.from_scipy((Ps.T @ self.to_scipy() @ Ps).tocsr(), comm=self.comm)
-
     def convert(self, kind):
         if kind == "dense":
             from .mat import MatDense
@@ -996,7 +986,47 @@ def _bind_dnd_mpi(meta, data):
     def mult(x):
         return smap(data["coef"], x).reshape(-1)
 
-    return operator.Op(mult=mult, diag=lambda: data["diag"])
+    def local_mult_t(coef, xl):
+        # transpose stencil: contributions scatter to row+offset positions;
+        # boundary z-planes landing outside the slab are ppermuted to the
+        # owning neighbor and added (reverse of the bcast halo exchange)
+        coef = coef[0]
+        v = xl.reshape(-1)[:blk].reshape(slab)
+        Pz = nzl + 2 * s
+        Ptail = tuple(tail[ax] + lpad[ax] + rpad[ax]
+                      for ax in range(len(tail)))
+        acc = jnp.zeros((Pz,) + Ptail, dtype=v.dtype)
+        for k, off in enumerate(offs):
+            start = (s + off[0],) + tuple(lpad[ax - 1] + off[ax]
+                                          for ax in range(1, nd))
+            seg = lax.dynamic_slice(acc, start, slab)
+            acc = lax.dynamic_update_slice(acc, seg + coef[k] * v, start)
+        sl = (slice(None),) + tuple(slice(lpad[i], lpad[i] + tail[i])
+                                    for i in range(len(tail)))
+        acc = acc[sl]
+        core = acc[s:nzl + s]
+        if s > 0:
+            low = acc[:s]              # rows owned by the previous shard
+            high = acc[nzl + s:]       # rows owned by the next shard
+            from_next = lax.ppermute(low, axis,
+                                     [(i + 1, i) for i in range(Pn - 1)])
+            from_prev = lax.ppermute(high, axis,
+                                     [(i, i + 1) for i in range(Pn - 1)])
+            core = core.at[nzl - s:].add(from_next)
+            core = core.at[:s].add(from_prev)
+        return core.reshape(1, blk)
+
+    smap_t = shard_map(
+        local_mult_t, mesh=mesh,
+        in_specs=(P(axis, *([None] * (nd + 1))), P(axis)),
+        out_specs=P(axis, None),
+    )
+
+    def mult_t(x):
+        return smap_t(data["coef"], x).reshape(-1)
+
+    return operator.Op(mult=mult, mult_t=mult_t,
+                       diag=lambda: data["diag"])
 
 
 def _bind_mpiaij(meta, data):
@@ -1026,7 +1056,29 @@ def _bind_mpiaij(meta, data):
                  data["sf"], x)
         return y.reshape(-1)
 
-    return operator.Op(mult=mult, diag=lambda: data["diag"])
+    def local_mult_t(dd, di, od, oi, sf, xl):
+        # y = A^T x per shard: diag-block transpose is local; offdiag-block
+        # transpose produces halo-position contributions that reduce-add
+        # back to their owners (MatMultTranspose_MPIAIJ, mpiaij.c — the
+        # reverse VecScatter path)
+        dd, di, od, oi, xl = dd[0], di[0], od[0], oi[0], xl.reshape(-1)
+        yd = spmv.ell_spmv_t(dd, di, xl, cb)
+        contrib = spmv.ell_spmv_t(od, oi, xl, H)       # halo positions
+        back = ExchangePlan.reduce_add(sf_meta, sf, contrib, cb, axis)
+        return (yd + back).reshape(1, cb)
+
+    smap_t = shard_map(
+        local_mult_t, mesh=mesh,
+        in_specs=(P(axis, None, None),) * 4 + (sf_specs, P(axis)),
+        out_specs=P(axis, None),
+    )
+
+    def mult_t(x):
+        y = smap_t(data["dd"], data["di"], data["od"], data["oi"],
+                   data["sf"], x)
+        return y.reshape(-1)
+
+    return operator.Op(mult=mult, mult_t=mult_t, diag=lambda: data["diag"])
 
 
 operator.register_binder("aij_ell", _bind_aij_ell)

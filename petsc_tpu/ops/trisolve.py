@@ -151,7 +151,61 @@ def unit_upper_solve(Ud, Ux, tabU, b, m, nlevU):
     return x
 
 
+def make_transpose_tables(L, U, dinv):
+    """Tables for the TRANSPOSE solve x = A^{-T} b = (I+L)^{-T} (D+U)^{-T} b
+    (MatSolveTranspose_SeqAIJ, aijfact.c): (D+U)^T = D + strictU^T is lower
+    triangular (forward sweep with diagonal scaling), (I+L)^T = I + strictL^T
+    is unit upper (backward sweep). Returns extra device-table entries to
+    merge into a trisolve plan's data dict.
+
+    The level counts equal the forward plan's (longest dependency chain in a
+    DAG is invariant under edge reversal), so trisolve_transpose_apply reuses
+    the same (m, nlevL, nlevU) meta."""
+    import scipy.sparse as sp
+    m = len(dinv)
+    Li, Lj, Lv = L
+    Ui, Uj, Uv = U
+    Lt = sp.csr_matrix((Lv, Lj, Li), shape=(m, m)).T.tocsr()  # strict upper
+    Ut = sp.csr_matrix((Uv, Uj, Ui), shape=(m, m)).T.tocsr()  # strict lower
+    levUt, nlevUt = levels_from_csr(Ut.indptr, Ut.indices, lower=True)
+    levLt, nlevLt = levels_from_csr(Lt.indptr, Lt.indices, lower=False)
+    # invariance check; pad with empty (all-sentinel) levels if ever violated
+    levL, nlevL = levels_from_csr(Li, Lj, lower=True)
+    levU, nlevU = levels_from_csr(Ui, Uj, lower=False)
+    tabUt = build_level_table(levUt, max(nlevUt, nlevU), m)
+    tabLt = build_level_table(levLt, max(nlevLt, nlevL), m)
+    Utd, Utx = ell_of_csr(Ut.indptr, Ut.indices, Ut.data, m)
+    Ltd, Ltx = ell_of_csr(Lt.indptr, Lt.indices, Lt.data, m)
+    return {
+        "Utd": jnp.asarray(Utd), "Utx": jnp.asarray(Utx),
+        "Ltd": jnp.asarray(Ltd), "Ltx": jnp.asarray(Ltx),
+        "tabUt": jnp.asarray(tabUt), "tabLt": jnp.asarray(tabLt),
+    }
+
+
 def trisolve_transpose_apply(data, b, m, nlevL, nlevU):
-    """x = L^{-T} U^{-T} b (for symmetric use / ICC): not yet level-planned;
-    falls back to iterating the same tables in reverse."""
-    raise NotImplementedError
+    """x = (I+L)^{-T} (D+U)^{-T} b, level by level on device. Requires the
+    make_transpose_tables entries in `data`; nlevL/nlevU are the same static
+    level counts as the forward solve (see make_transpose_tables)."""
+    Utd, Utx, Ltd, Ltx = data["Utd"], data["Utx"], data["Ltd"], data["Ltx"]
+    tabUt, tabLt, dinv = data["tabUt"], data["tabLt"], data["dinv"]
+    bl = b[:m]
+
+    def fwd(l, z):           # (D + strictU^T) z = b
+        rows = tabUt[l]
+        rr = jnp.minimum(rows, m - 1)
+        contrib = jnp.sum(Utd[rr] * z[Utx[rr]], axis=1)
+        return z.at[rows].set((bl[rr] - contrib) * dinv[rr], mode="drop")
+
+    z = lax.fori_loop(0, tabUt.shape[0], fwd, jnp.zeros_like(bl))
+
+    def bwd(l, x):           # (I + strictL^T) x = z
+        rows = tabLt[l]
+        rr = jnp.minimum(rows, m - 1)
+        contrib = jnp.sum(Ltd[rr] * x[Ltx[rr]], axis=1)
+        return x.at[rows].set(z[rr] - contrib, mode="drop")
+
+    x = lax.fori_loop(0, tabLt.shape[0], bwd, jnp.zeros_like(bl))
+    if b.shape[0] > m:
+        x = jnp.pad(x, (0, b.shape[0] - m))
+    return x

@@ -40,6 +40,9 @@ class ExchangePlan:
         self.layout = layout
         self.axis = axis
         self.P = P
+        self.leaves_per_shard = [np.asarray(lv, dtype=np.int64)
+                                 for lv in leaves_per_shard]
+        self._glt = None
         self.H = max((len(lv) for lv in leaves_per_shard), default=1) or 1
         # offsets d such that some shard s needs data from shard (s+d) % P
         need = {}
@@ -92,7 +95,10 @@ class ExchangePlan:
         from jax.sharding import NamedSharding, PartitionSpec as Pt
         sh = NamedSharding(mesh, Pt(self.axis, None))
         if self.use_allgather:
-            return {"sf_gidx": jax.device_put(jnp.asarray(self.gidx), sh)}
+            cnt = np.asarray([[len(lv)] for lv in self.leaves_per_shard],
+                             dtype=np.int64)
+            return {"sf_gidx": jax.device_put(jnp.asarray(self.gidx), sh),
+                    "sf_gcnt": jax.device_put(jnp.asarray(cnt), sh)}
         out = {}
         for d in self.offsets:
             out[f"sf_pack_{d}"] = jax.device_put(
@@ -136,8 +142,17 @@ class ExchangePlan:
         (PetscSFReduceBegin with MPIU_SUM). leaf_vals: (H,)."""
         kind = meta[0]
         if kind == "sf_allgather":
-            raise NotImplementedError("reduce over allgather plan: use "
-                                      "psum_scatter form")
+            # scatter-add into a global-length buffer, one psum, slice own
+            # block (the SF "allgatherv pattern" reverse path)
+            _, P, H = meta
+            cnt = tables["sf_gcnt"][0, 0]
+            lv = jnp.where(jnp.arange(leaf_vals.shape[0]) < cnt,
+                           leaf_vals, jnp.zeros((), leaf_vals.dtype))
+            g = jnp.zeros((P * blk,), leaf_vals.dtype) \
+                .at[tables["sf_gidx"][0]].add(lv)
+            g = lax.psum(g, axis)
+            s = lax.axis_index(axis)
+            return lax.dynamic_slice(g, (s * blk,), (blk,))
         _, P, H, offsets, counts = meta
         acc = jnp.zeros((blk,), dtype=leaf_vals.dtype)
         lv = jnp.concatenate([leaf_vals, jnp.zeros((1,), leaf_vals.dtype)])
@@ -149,6 +164,125 @@ class ExchangePlan:
             recv = lax.ppermute(contrib, axis, perm)
             acc = acc.at[tables[f"sf_pack_{d}"][0]].add(recv)
         return acc
+
+
+    # ---- full SF surface: degree / gather / fetch-and-op / compose ----
+    # (PetscSFComputeDegree, PetscSFGatherBegin, PetscSFFetchAndOpBegin,
+    # PetscSFCompose — src/vec/is/sf/interface/sf.c. These are setup-phase
+    # ops, not solver-hot: they run as self-contained shard_maps over
+    # global-index tables, O(N*maxdeg) transient memory.)
+
+    def _global_leaf_tables(self):
+        """(gidx (P,H), cnt (P,), slot (P,H), D): per-leaf globally-unique
+        slot within its root (deterministic shard-major order), D = max
+        root degree."""
+        if self._glt is not None:
+            return self._glt
+        P, H = self.P, self.H
+        ga = np.zeros((P, H), dtype=np.int64)
+        cnt = np.zeros(P, dtype=np.int64)
+        slot = np.zeros((P, H), dtype=np.int64)
+        roots, where = [], []
+        for s, lv in enumerate(self.leaves_per_shard):
+            ga[s, : len(lv)] = lv
+            cnt[s] = len(lv)
+            roots.extend(lv.tolist())
+            where.extend((s, p) for p in range(len(lv)))
+        roots = np.asarray(roots, dtype=np.int64)
+        order = np.argsort(roots, kind="stable")
+        sr = roots[order]
+        seq = np.arange(len(order)) - np.searchsorted(sr, sr)
+        for k, o in enumerate(order):
+            s, p = where[o]
+            slot[s, p] = seq[k]
+        D = int(seq.max()) + 1 if len(seq) else 1
+        self._glt = (ga, cnt, slot, D)
+        return self._glt
+
+    def degree(self):
+        """Leaves-per-root counts, (N,) host array (PetscSFComputeDegree)."""
+        N = self.layout.N
+        deg = np.zeros(N, dtype=np.int64)
+        for lv in self.leaves_per_shard:
+            np.add.at(deg, lv, 1)
+        return deg
+
+    def _shmap(self, mesh, fn, n_tab, leaf_ndim):
+        from jax import shard_map
+        from jax.sharding import PartitionSpec as Pt
+        specs = (Pt(self.axis, None),) * n_tab + \
+            (Pt(self.axis, *([None] * leaf_ndim)),)
+        return shard_map(fn, mesh=mesh, in_specs=specs,
+                         out_specs=Pt(self.axis, None, None))
+
+    def gather(self, mesh, leaf_vals):
+        """Root-side gather (PetscSFGatherBegin/End): returns (P, blk, D)
+        sharded — row r holds that root's leaf values in slot order,
+        zero-padded past its degree. leaf_vals: (P, H) stacked per shard."""
+        ga, cnt, slot, D = self._global_leaf_tables()
+        P, blk, axis = self.P, self.layout.block, self.axis
+        H = self.H
+
+        def f(ga_l, cnt_l, slot_l, lv_l):
+            mask = jnp.arange(H) < cnt_l[0, 0]
+            vals = jnp.where(mask, lv_l[0], jnp.zeros((), lv_l.dtype))
+            g = jnp.zeros((P * blk, D), lv_l.dtype) \
+                .at[ga_l[0], slot_l[0]].add(vals)
+            g = lax.psum(g, axis)
+            s = lax.axis_index(axis)
+            return lax.dynamic_slice(
+                g, (s * blk, jnp.zeros((), s.dtype)), (blk, D))[None]
+
+        return self._shmap(mesh, f, 3, 1)(
+            jnp.asarray(ga), jnp.asarray(cnt).reshape(P, 1),
+            jnp.asarray(slot), jnp.asarray(leaf_vals))
+
+    def fetch_and_add(self, mesh, x_sharded, leaf_vals):
+        """PetscSFFetchAndOp with MPIU_SUM, deterministic slot order: each
+        leaf receives the root value BEFORE its own update (root start value
+        + contributions of lower-slot leaves); roots are updated with the
+        full sum. Returns (fetched (P, H), updated_roots (P, blk)) stacked.
+
+        x_sharded: (N,) array sharded over the axis; leaf_vals: (P, H)."""
+        ga, cnt, slot, D = self._global_leaf_tables()
+        P, blk, axis, H = self.P, self.layout.block, self.axis, self.H
+        from jax import shard_map
+        from jax.sharding import PartitionSpec as Pt
+
+        def f(ga_l, cnt_l, slot_l, lv_l, xl):
+            mask = jnp.arange(H) < cnt_l[0, 0]
+            vals = jnp.where(mask, lv_l[0], jnp.zeros((), lv_l.dtype))
+            g = jnp.zeros((P * blk, D), lv_l.dtype) \
+                .at[ga_l[0], slot_l[0]].add(vals)
+            g = lax.psum(g, axis)                      # (N, D) contributions
+            xg = lax.all_gather(xl.reshape(-1), axis, tiled=True)
+            excl = jnp.cumsum(g, axis=1) - g           # exclusive prefix
+            fetched = xg[ga_l[0]] + excl[ga_l[0], slot_l[0]]
+            s = lax.axis_index(axis)
+            upd = xl.reshape(-1) + lax.dynamic_slice(
+                jnp.sum(g, axis=1), (s * blk,), (blk,))
+            return fetched[None], upd[None]
+
+        out = shard_map(
+            f, mesh=mesh,
+            in_specs=(Pt(axis, None),) * 3 + (Pt(axis, None), Pt(axis)),
+            out_specs=(Pt(axis, None), Pt(axis, None)))(
+            jnp.asarray(ga), jnp.asarray(cnt).reshape(P, 1),
+            jnp.asarray(slot), jnp.asarray(leaf_vals), x_sharded)
+        return out
+
+    def compose(self, other: "ExchangePlan"):
+        """SFCompose: self (A: leaves index A-roots) then other (B: leaves
+        index B-roots == A-leaf positions, per shard). Resulting plan's
+        shard-s leaves are A-root indices other's leaves resolve to:
+        leaves[s] = A.leaves[s][B.leaves[s] - s*H_slot]. Here `other`'s
+        leaves index positions in self's per-shard leaf array (0..len-1)."""
+        new_leaves = []
+        for s in range(self.P):
+            mine = self.leaves_per_shard[s]
+            idx = other.leaves_per_shard[s]
+            new_leaves.append(mine[idx] if len(mine) else idx[:0])
+        return ExchangePlan(self.layout, new_leaves, axis=self.axis)
 
 
 class VecScatter:

@@ -57,6 +57,10 @@ class _PCILU(_PCFactorBase):
         if ff is not None:
             self.fill_factor = ff
 
+    def _want_transpose(self):
+        return bool(self.pc.opt("get_bool", "pc_factor_transpose_solve",
+                                default=False))
+
     def setup(self):
         (indptr, indices, vals), layout = self._csr()
         if self.drop_tol is not None:
@@ -64,22 +68,31 @@ class _PCILU(_PCFactorBase):
             L, U, dinv, perm_r, perm_c = factor.spilu_factors(
                 A, self.drop_tol, self.fill_factor)
             tail, data = trisolve.make_trisolve_plan(L, U, dinv)
+            if self._want_transpose():
+                data.update(trisolve.make_transpose_tables(L, U, dinv))
             data["scatter_r"] = jnp.asarray(perm_r)
             data["gather_c"] = jnp.asarray(perm_c)
             return ("pc_trisolve_perm",) + tail + (layout.Npad,), data
         L, U, dinv = factor.iluk(indptr, indices, vals, self.levels)
         tail, data = trisolve.make_trisolve_plan(L, U, dinv)
+        if self._want_transpose():
+            data.update(trisolve.make_transpose_tables(L, U, dinv))
         return ("pc_trisolve",) + tail + (layout.Npad,), data
 
 
 class _PCLU(_PCFactorBase):
+    def _want_transpose(self):
+        return bool(self.pc.opt("get_bool", "pc_factor_transpose_solve",
+                                default=False))
+
     def setup(self):
         _, layout = self._csr()
         A = self.pc.pmat.to_scipy()
         L, U, dinv, perm_r, perm_c = factor.splu_factors(A)
         tail, data = trisolve.make_trisolve_plan(L, U, dinv)
+        if self._want_transpose():
+            data.update(trisolve.make_transpose_tables(L, U, dinv))
         # scatter b into perm_r, gather result with perm_c (A = Pr^T LU Pc^T)
-        n = A.shape[0]
         data["scatter_r"] = jnp.asarray(perm_r)
         data["gather_c"] = jnp.asarray(perm_c)
         return ("pc_trisolve_perm",) + tail + (layout.Npad,), data
@@ -177,7 +190,12 @@ def _bind_trisolve(meta, data):
     def mult(x):
         return trisolve.trisolve_apply(data, x, m, nlevL, nlevU)
 
-    return operator.Op(mult=mult)
+    mult_t = None
+    if "Utd" in data:       # transpose tables present (static at bind time)
+        def mult_t(x):
+            return trisolve.trisolve_transpose_apply(data, x, m, nlevL, nlevU)
+
+    return operator.Op(mult=mult, mult_t=mult_t)
 
 
 def _bind_trisolve_perm(meta, data):
@@ -193,7 +211,18 @@ def _bind_trisolve_perm(meta, data):
             y = jnp.pad(y, (0, x.shape[0] - m))
         return y
 
-    return operator.Op(mult=mult)
+    mult_t = None
+    if "Utd" in data:
+        # A^{-1} = Pc' (LU)^{-1} Pr'  =>  A^{-T} = Pr'^T (LU)^{-T} Pc'^T
+        def mult_t(x):
+            w = jnp.zeros((m,), x.dtype).at[pc_].set(x[:m])
+            u = trisolve.trisolve_transpose_apply(data, w, m, nlevL, nlevU)
+            y = u[pr]
+            if x.shape[0] > m:
+                y = jnp.pad(y, (0, x.shape[0] - m))
+            return y
+
+    return operator.Op(mult=mult, mult_t=mult_t)
 
 
 PC.register_impl("ilu", _PCILU)
