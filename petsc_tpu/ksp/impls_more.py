@@ -318,13 +318,103 @@ def solve_lsqr(A, B, b, x0, rtol, abstol, divtol, cfg: KSPConfig):
 
 
 def solve_symmlq(A, B, b, x0, rtol, abstol, divtol, cfg: KSPConfig):
-    """SYMMLQ role (symmlq.c): symmetric possibly-indefinite systems via
-    the Lanczos process. Served by the MINRES implementation — the same
-    Krylov space and Lanczos recurrence, monotone in the residual norm
-    (SYMMLQ minimizes the error in a related norm; PETSc users reaching
-    for symmlq on indefinite A get the identical robustness class)."""
-    from .impls_basic import solve_minres
-    return solve_minres(A, B, b, x0, rtol, abstol, divtol, cfg)
+    """SYMMLQ (Paige & Saunders; reference src/ksp/ksp/impls/symmlq/
+    symmlq.c): symmetric possibly-indefinite A with an SPD preconditioner,
+    via the preconditioned Lanczos process and an LQ factorization of the
+    tridiagonal; iterates follow the minimum-ERROR point xL, with the final
+    move to the CG point xc. Residual estimate np = s_prod/|c| (the CGNORM
+    recurrence of the reference). One lax.while_loop, fused reductions."""
+    dt = b.dtype
+    haptol = 1e-18
+
+    def nz(v):
+        return jnp.where(v == 0, jnp.ones((), dt), v)
+
+    x_init = x0 if cfg.guess_nonzero else jnp.zeros_like(b)
+    r0 = b - A.mult(x_init) if cfg.guess_nonzero else b
+    z0 = B.mult(r0)
+    dp_ = jnp.vdot(r0, z0)
+    indef0 = dp_ < 0
+    beta1 = jnp.sqrt(jnp.abs(dp_))
+    v0 = r0 / nz(beta1)
+    u0 = z0 / nz(beta1)
+    np0 = norm2(z0)
+    hist = empty_history(cfg, dt).at[0].set(np0)
+    ttol = jnp.maximum(rtol * np0, abstol)
+    dtol_bound = divtol * np0
+    zerov = jnp.zeros_like(b)
+    s0_ = dict(x=x_init, r=r0, z=z0, v=v0, u=u0, vold=zerov, uold=zerov,
+               w=zerov, wbar=u0, beta=beta1,
+               c=jnp.ones((), dt), s=jnp.zeros((), dt),
+               cold=jnp.ones((), dt), sold=jnp.zeros((), dt),
+               ceta=jnp.zeros((), dt), ceta_old=jnp.zeros((), dt),
+               ceta_oold=jnp.zeros((), dt), s_prod=jnp.abs(beta1),
+               its=jnp.array(0), rnorm=np0,
+               reason=jnp.where(indef0,
+                                jnp.asarray(int(KR.DIVERGED_INDEFINITE_PC),
+                                            jnp.int32),
+                                jnp.zeros((), jnp.int32)),
+               hist=hist)
+
+    def cond(s):
+        return (s["reason"] == 0) & (s["its"] < cfg.max_it)
+
+    def body(s):
+        first = s["its"] == 0
+        vold = jnp.where(first, s["vold"], s["v"])
+        uold = jnp.where(first, s["uold"], s["u"])
+        v = jnp.where(first, s["v"], s["r"] / nz(s["beta"]))
+        u = jnp.where(first, s["u"], s["z"] / nz(s["beta"]))
+        w = jnp.where(first, s["w"], s["c"] * s["wbar"] + s["s"] * u)
+        wbar = jnp.where(first, s["wbar"], -s["s"] * s["wbar"] + s["c"] * u)
+        x = jnp.where(first, s["x"], s["x"] + s["ceta"] * w)
+        ceta_oold = jnp.where(first, s["ceta_oold"], s["ceta_old"])
+        ceta_old = jnp.where(first, s["ceta_old"], s["ceta"])
+        # Lanczos step
+        r = A.mult(u)
+        alpha = jnp.vdot(u, r)
+        z = B.mult(r)
+        r = r - alpha * v - s["beta"] * vold
+        z = z - alpha * u - s["beta"] * uold
+        betaold = s["beta"]
+        dp = jnp.vdot(r, z)
+        happy = jnp.abs(dp) < haptol
+        indef = (dp < 0) & ~happy
+        dp = jnp.where(happy, 0.0, dp)
+        beta = jnp.sqrt(jnp.abs(dp))
+        # LQ factorization
+        coold, cold = s["cold"], s["c"]
+        soold, sold = s["sold"], s["s"]
+        rho0 = cold * alpha - coold * sold * betaold
+        rho1 = jnp.sqrt(rho0 * rho0 + beta * beta)
+        rho2 = sold * alpha + coold * cold * betaold
+        rho3 = soold * betaold
+        c = rho0 / nz(rho1)
+        sn = beta / nz(rho1)
+        ceta = jnp.where(first, beta1 / nz(rho1),
+                         -(rho2 * ceta_old + rho3 * ceta_oold) / nz(rho1))
+        s_prod = s["s_prod"] * jnp.abs(sn)
+        np_ = jnp.where(c == 0, s_prod * 1e16, s_prod / nz(jnp.abs(c)))
+        its = s["its"] + 1
+        conv = check_converged(np_, ttol, abstol, dtol_bound) \
+            if cfg.normtype != NONE else jnp.zeros((), jnp.int32)
+        reason = jnp.where(indef, int(KR.DIVERGED_INDEFINITE_PC), conv)
+        hist2 = s["hist"].at[jnp.minimum(its, cfg.max_it)].set(np_)
+        return dict(x=x, r=r, z=z, v=v, u=u, vold=vold, uold=uold,
+                    w=w, wbar=wbar, beta=beta, c=c, s=sn, cold=cold,
+                    sold=sold, ceta=ceta, ceta_old=ceta_old,
+                    ceta_oold=ceta_oold, s_prod=s_prod, its=its, rnorm=np_,
+                    reason=jnp.asarray(reason, jnp.int32), hist=hist2)
+
+    out = lax.while_loop(cond, body, s0_)
+    # move to the CG point: x <- x + (ceta/c) * wbar (symmlq.c exit)
+    ceta_bar = jnp.where(out["c"] == 0, out["ceta"] * 1e15,
+                         out["ceta"] / nz(out["c"]))
+    x = out["x"] + ceta_bar * out["wbar"]
+    x = jnp.where(out["its"] > 0, x, out["x"])
+    reason = finalize_reason(out["reason"], out["its"], cfg)
+    return SolveResult(x, out["its"], out["rnorm"], reason, out["hist"],
+                       np0)
 
 
 def solve_cgne(A, B, b, x0, rtol, abstol, divtol, cfg: KSPConfig):

@@ -694,9 +694,14 @@ from .fetidp import solve_fetidp_host as _fetidp  # noqa: E402
 
 register_ksp("fetidp", _fetidp, host_driven=True)
 register_ksp("stcg", _tr.solve_stcg, extras=_stcg_extras)
-register_ksp("nash", _tr.solve_stcg, extras=_stcg_extras)   # nash.c variant
-register_ksp("gltr", _tr.solve_stcg, extras=_stcg_extras)   # gltr.c variant
-register_ksp("qcg", _tr.solve_stcg, extras=_stcg_extras)    # qcg.c variant
+# nash/qcg: documented aliases of stcg (same Steihaug-Toint family; the
+# nash.c/qcg.c variants differ in step-acceptance bookkeeping only)
+register_ksp("nash", _tr.solve_stcg, extras=_stcg_extras)
+register_ksp("qcg", _tr.solve_stcg, extras=_stcg_extras)
+
+from .gltr import solve_gltr as _gltr  # noqa: E402
+
+register_ksp("gltr", _gltr, extras=_stcg_extras)
 register_ksp("bcgsl", _tr.solve_bcgsl, extras=_bcgsl_extras)
 # pipelined-restart GMRES family: pgmres/pipefgmres hide the
 # orthogonalization reduction latency behind the matvec with split-phase
@@ -706,11 +711,27 @@ register_ksp("bcgsl", _tr.solve_bcgsl, extras=_bcgsl_extras)
 register_ksp("pgmres", _gmres, extras=_gmres_extras)
 register_ksp("pipefgmres", _fgmres, default_norm=common.UNPRECONDITIONED,
              extras=_gmres_extras, supports_right=True)
-register_ksp("ibcgs", _bcgs)
+
+from .bcgs import solve_ibcgs as _ibcgs  # noqa: E402
+
+register_ksp("ibcgs", _ibcgs)
+# fbcgs/fbcgsr: flexible BCGS == BCGS when the preconditioner is a fixed
+# linear operator (ours are); documented aliases
 register_ksp("fbcgs", _bcgs)
 register_ksp("fbcgsr", _bcgs)
-register_ksp("lgmres", _m.solve_gcr, default_norm=common.UNPRECONDITIONED,
-             extras=_gmres_extras, supports_right=True)
+
+from .lgmres import solve_lgmres as _lgmres  # noqa: E402
+
+
+def _lgmres_extras(ksp):
+    restart, refine = _gmres_extras(ksp)
+    aug = ksp.opt("get_int", "ksp_lgmres_augment", None)
+    if aug is None:
+        aug = int(ksp._params.get("aug_dim", 2))
+    return (restart, refine, int(aug))
+
+
+register_ksp("lgmres", _lgmres, extras=_lgmres_extras)
 register_ksp("cgne", _m.solve_cgne)
 register_ksp("fcg", _m.solve_fcg, extras=_gmres_extras)
 register_ksp("groppcg", _m.solve_pipecg)
