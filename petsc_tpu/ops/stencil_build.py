@@ -1,0 +1,108 @@
+"""Device-side construction of constant-coefficient grid-stencil operators.
+
+Role of DMDA matrix assembly (reference src/dm/impls/da/fdda.c) for the
+common constant-coefficient case, done the TPU way: the `aij_dnd` /
+`dnd_mpi` coefficient arrays are GENERATED in HBM with jnp ops — no host
+COO staging and no host->device transfer of O(nnz) data. At 512^3 the
+27-point operator is ~29 GB of coefficients; building it on device is the
+only scalable path (and mirrors MatSetValuesCOO's "numeric phase on
+device" design, gcreate.c:706).
+
+Boundary convention: an offset's coefficient is zero wherever the
+neighbor falls outside the grid (Dirichlet row truncation — the pattern
+`bench_kspsolve.c` and ex45 produce).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .. import config
+
+
+def stencil_offsets(ndim: int, kind: str):
+    """Offsets for 'star' (2*ndim+1-point) or 'box' (3^ndim-point)."""
+    if kind == "star":
+        offs = [(0,) * ndim]
+        for ax in range(ndim):
+            for s in (-1, 1):
+                o = [0] * ndim
+                o[ax] = s
+                offs.append(tuple(o))
+        return offs
+    if kind == "box":
+        from itertools import product
+        return [o for o in product((-1, 0, 1), repeat=ndim)]
+    raise ValueError(kind)
+
+
+def _valid_mask(shape, off, one):
+    """Indicator of rows whose `off` neighbor is inside the grid. `one` is
+    a TRACED scalar 1.0 — threading it through keeps XLA from constant-
+    folding the O(N) coefficient arrays into literals (which would embed
+    hundreds of MB of constants in the executable; the axon tunnel's
+    compile endpoint rejects such payloads)."""
+    m = one
+    for ax, o in enumerate(off):
+        n = shape[ax]
+        idx = jnp.arange(n)
+        ok = jnp.broadcast_to(one, (n,)) if o == 0 else \
+            jnp.where((idx + o >= 0) & (idx + o < n), one, 0.0 * one)
+        shp = [1] * len(shape)
+        shp[ax] = n
+        m = m * ok.reshape(shp)
+    return jnp.broadcast_to(m, shape)
+
+
+def build_dnd(shape, offsets=None, diag_coef=None, off_coef=-1.0,
+              kind="box", dtype=None):
+    """(meta, data) for the `aij_dnd` binder, fully on device.
+
+    diag_coef default: number of off-diagonal offsets (26 for 3-D box,
+    2*ndim for star) — the diagonally-dominant Poisson-type operator of
+    bench_kspsolve.c (27-point, diag 26) / ex45 (7-point, diag 6)."""
+    shape = tuple(int(s) for s in shape)
+    dt = dtype or config.real_dtype()
+    if offsets is None:
+        offsets = [o for o in stencil_offsets(len(shape), kind)
+                   if any(o)]
+    offsets = [tuple(int(v) for v in o) for o in offsets]
+    if (0,) * len(shape) not in offsets:
+        offsets = [(0,) * len(shape)] + offsets
+    if diag_coef is None:
+        diag_coef = float(len(offsets) - 1)
+
+    @jax.jit
+    def gen(dval, oval, one):
+        coefs = []
+        for off in offsets:
+            if not any(off):
+                coefs.append(jnp.broadcast_to(dval, shape))
+            else:
+                coefs.append(oval * _valid_mask(shape, off, one))
+        coef = jnp.stack(coefs)
+        diag = jnp.broadcast_to(dval, (int(np.prod(shape)),))
+        return coef, diag
+
+    coef, diag = gen(jnp.asarray(diag_coef, dt), jnp.asarray(off_coef, dt),
+                     jnp.asarray(1.0, dt))
+    uniq = np.asarray(offsets)
+    lpad = tuple(int(max(0, -uniq[:, ax].min())) for ax in range(len(shape)))
+    rpad = tuple(int(max(0, uniq[:, ax].max())) for ax in range(len(shape)))
+    meta = ("aij_dnd", shape, tuple(offsets), lpad, rpad,
+            int(np.prod(shape)))
+    return meta, {"coef": coef, "diag": diag}
+
+
+def nnz_of(shape, offsets):
+    """Exact nonzero count of the masked stencil (for nnz/s metrics)."""
+    shape = np.asarray(shape)
+    total = 0
+    for off in offsets:
+        rows = 1
+        for ax, o in enumerate(off):
+            rows *= shape[ax] - abs(int(o))
+        total += rows
+    return int(total)
