@@ -30,6 +30,7 @@ from jax.sharding import PartitionSpec as P
 
 from .. import config
 from ..ops import operator, spmv
+from ..parallel.layout import Layout
 from ..sys.error import Error
 from ..vec.vec import InsertMode, NormType
 from .mat import Mat
@@ -206,8 +207,11 @@ class MatAIJ(Mat):
 
     def to_scipy(self):
         import scipy.sparse as sp
-        self._sync_host_vals()
         m, n = self.getSize()
+        if self._indptr is None and getattr(self, "_sharded_src", None) is not None:
+            G = self._sharded_src.to_global_csr().tocsr()
+            return G[:m, :n].tocsr()
+        self._sync_host_vals()
         return sp.csr_matrix((self._vals, self._indices, self._indptr), shape=(m, n))
 
     @classmethod
@@ -219,7 +223,39 @@ class MatAIJ(Mat):
         return M.assemble()
 
     def nnz(self):
-        return int(self._indptr[-1]) if self._indptr is not None else 0
+        if self._indptr is not None:
+            return int(self._indptr[-1])
+        if getattr(self, "_sharded_src", None) is not None:
+            return self._sharded_src.nnz()
+        return 0
+
+    def shardcsr(self):
+        """Per-shard row-block representation for distributed SETUP
+        algorithms (ShardedCSR; the role of MPIAIJHEADER's per-rank
+        structures, mpiaij.h:40-74). Column indices stay in the padded
+        global space (identity with logical indices — Layout pads only at
+        the global tail), so no renumbering happens here."""
+        import scipy.sparse as sp
+        from .shardcsr import ShardedCSR
+        if getattr(self, "_sharded_src", None) is not None:
+            return self._sharded_src
+        self._sync_host_vals()
+        rl, cl = self.row_layout, self.col_layout
+        blocks = []
+        for s in range(rl.nshards):
+            lo, hi = rl.range(s)
+            p0, p1 = self._indptr[lo], self._indptr[hi]
+            ip = (self._indptr[lo:hi + 1] - p0).astype(np.int64)
+            if hi - lo < rl.block:
+                ip = np.concatenate(
+                    [ip, np.full(rl.block - (hi - lo), ip[-1],
+                                 dtype=np.int64)])
+            blocks.append(sp.csr_matrix(
+                (self._vals[p0:p1], self._indices[p0:p1], ip),
+                shape=(rl.block, cl.Npad)))
+        return ShardedCSR(blocks,
+                          Layout(rl.N, nshards=rl.nshards),
+                          Layout(cl.N, nshards=cl.nshards))
 
     def getRow(self, row):
         self._sync_host_vals()
@@ -606,6 +642,20 @@ class MatAIJ(Mat):
 
     def _finish_build_mpi(self, Pn, rl_, cl_, blk, cb, m, rd,
                           indptr, indices, vals):
+        per_shard_coo = []
+        for s in range(Pn):
+            lo, hi = rl_.range(s)
+            p0, p1 = indptr[lo], indptr[hi]
+            rows = np.repeat(np.arange(lo, hi), np.diff(indptr[lo:hi + 1])) - lo
+            per_shard_coo.append((rows, indices[p0:p1], vals[p0:p1]))
+        return self._finish_build_mpi_pershard(Pn, rl_, cl_, blk, cb, rd,
+                                               per_shard_coo)
+
+    def _finish_build_mpi_pershard(self, Pn, rl_, cl_, blk, cb, rd,
+                                   per_shard_coo):
+        """Build the mpiaij device layout from per-shard (local rows,
+        global cols, vals) COO triples — shared by the global-CSR path and
+        the ShardedCSR (distributed-setup) path."""
 
         def row_pos(r):
             """Position of each entry within its row (r nondecreasing)."""
@@ -620,11 +670,7 @@ class MatAIJ(Mat):
         per_shard = []
         Kd = Ko = H = 1
         for s in range(Pn):
-            lo, hi = rl_.range(s)
-            p0, p1 = indptr[lo], indptr[hi]
-            rows = np.repeat(np.arange(lo, hi), np.diff(indptr[lo:hi + 1])) - lo
-            cols = indices[p0:p1]
-            v = vals[p0:p1]
+            rows, cols, v = per_shard_coo[s]
             is_diag = (cols // cb) == s
             ga = np.unique(cols[~is_diag])
             per_shard.append((rows, cols, v, is_diag, ga))
@@ -666,11 +712,39 @@ class MatAIJ(Mat):
             "od": jax.device_put(jnp.asarray(np.stack(od_l), dtype=rd), sh3),
             "oi": jax.device_put(jnp.asarray(np.stack(oi_l)), sh3),
             "sf": plan.device_tables(self.comm.mesh),
-            "diag": jax.device_put(
-                jnp.asarray(np.pad(self._diag_host(), (0, rl_.pad)), dtype=rd), sh1),
         }
+        # diagonal from the per-shard triples (no global CSR required)
+        diag = np.zeros(rl_.Npad)
+        for s in range(Pn):
+            rows, cols, v = per_shard_coo[s]
+            hit = cols == rows + s * blk
+            np.add.at(diag, rows[hit] + s * blk, v[hit])
+        self._dev["diag"] = jax.device_put(jnp.asarray(diag, dtype=rd), sh1)
         self._meta = ("mpiaij", Pn, blk, cb, Kd, Ko, plan.H, plan.meta(),
                       self.comm.axis, self.comm.mesh)
+
+    @classmethod
+    def from_sharded(cls, S, comm):
+        """Device-bind a ShardedCSR (per-shard setup representation) as a
+        distributed MatAIJ WITHOUT ever forming a global CSR — the path
+        the distributed GAMG setup uses for mid-level operators and
+        prolongators (round-2; reverses the round-1 to_scipy pattern)."""
+        M = cls(comm)
+        rl, cl = S.row_layout, S.col_layout
+        M.row_layout = Layout(rl.N, nshards=rl.nshards, axis=comm.axis)
+        M.col_layout = Layout(cl.N, nshards=cl.nshards, axis=comm.axis)
+        assert M.row_layout.block == rl.block, (M.row_layout, rl)
+        assert M.col_layout.block == cl.block, (M.col_layout, cl)
+        per_shard_coo = []
+        for b in S.blocks:
+            rows = np.repeat(np.arange(b.shape[0]), np.diff(b.indptr))
+            per_shard_coo.append((rows, b.indices.astype(np.int64), b.data))
+        rd = config.real_dtype()
+        M._finish_build_mpi_pershard(rl.nshards, M.row_layout, M.col_layout,
+                                     rl.block, cl.block, rd, per_shard_coo)
+        M._sharded_src = S
+        M._assembled = True
+        return M
 
     # ================= algebra on host CSR =================
 

@@ -298,6 +298,62 @@ class _PCGAMG(_PCMG):
             return self.threshold[level]
         return self.threshold[-1]
 
+    def _dist_levels(self, A, levels):
+        """Distributed setup for sharded scalar operators: every phase runs
+        on per-shard row blocks (ShardedCSR) with explicit owner-keyed
+        exchanges — no global matrix is ever formed while the level is
+        distributed (the round-1 to_scipy() full gather is gone; matches
+        the reference's parallel setup, mpiptap.c:215 + mis.c:89). Once the
+        level is small the operator is collapsed to one replicated matrix
+        (the telescope / process-reduction pattern, gamg.c:155-201) and the
+        serial loop continues from there. Returns (tail CSR, tail near-
+        nullspace, level index reached)."""
+        import scipy.sparse as sp
+        from ..mat.aij import MatAIJ
+        from ..parallel.mesh import comm_self
+        from .gamg_dist import build_level
+
+        S = A.shardcsr()
+        Bn = getattr(A, "near_nullspace", None)
+        if Bn is None:
+            bvec = S.row_layout.valid_mask_np.astype(np.float64)
+        else:
+            v = np.asarray(Bn.vectors if hasattr(Bn, "vectors") else Bn)
+            bvec = np.zeros(S.row_layout.Npad)
+            bvec[:A.row_layout.N] = v.reshape(-1)[:A.row_layout.N]
+        collapse = max(self.coarse_eq_limit,
+                       self.pc.opt("get_int", "pc_gamg_dist_coarse_limit",
+                                   None) or 2000)
+        nreal = A.row_layout.N
+        cur, level = S, 0
+        while nreal > collapse and level < self.max_levels - 1:
+            aggressive = (level < self.aggressive_levels
+                          and self.square_aggressive)
+            P, Ac, Bc, emax, nagg = build_level(
+                cur, bvec, threshold=self._threshold(level),
+                aggressive=aggressive, nsmooths=self.nsmooths)
+            if nagg == 0 or nagg >= nreal:
+                break
+            levels[-1].emax = 1.1 * emax
+            levels[-1].emin = 0.1 * emax
+            levels[-1].P = MatAIJ.from_sharded(P, A.comm)
+            levels.append(MGLevelSpec(MatAIJ.from_sharded(Ac, A.comm)))
+            cur, bvec, nreal = Ac, Bc, nagg
+            level += 1
+        # collapse to the replicated tail: gap rows (empty, padded coarse
+        # numbering raggedness) become identity rows so the serial
+        # continuation and the coarse LU stay nonsingular
+        Ag = cur.to_global_csr().tocsr()
+        n = Ag.shape[0]
+        if Ag.shape[1] != n:
+            Ag = sp.csr_matrix(Ag[:, :n])
+        gaps = np.diff(Ag.indptr) == 0
+        if gaps.any():
+            Ag = (Ag + sp.diags(gaps.astype(np.float64))).tocsr()
+        if level > 0:
+            levels[-1].A = MatAIJ.from_scipy(Ag, comm=comm_self())
+        return Ag, bvec.reshape(-1, 1), level
+
     def build_hierarchy(self):
         import scipy.sparse as sp
         from ..mat.aij import MatAIJ
@@ -312,17 +368,25 @@ class _PCGAMG(_PCMG):
         coarse_comm = A.comm if A.comm.nshards == 1 else comm_self()
         bs = A.row_layout.bs or 1
         Bn = getattr(A, "near_nullspace", None)
-        A_sp = A.to_scipy()
+        levels = [MGLevelSpec(A)]
+        level = 0
+        nvec = 1 if Bn is None else \
+            (np.asarray(Bn.vectors if hasattr(Bn, "vectors") else Bn)
+             .reshape(A.row_layout.N, -1).shape[1])
+        if (A.comm.nshards > 1 and bs == 1 and nvec == 1
+                and self.coarsen_type == "mis"):
+            A_sp, Bn, level = self._dist_levels(A, levels)
+            # continue serially on the replicated tail
+        else:
+            A_sp = A.to_scipy()
         if Bn is None:
             Bn = np.ones((A_sp.shape[0], 1))
         elif hasattr(Bn, "vectors"):
             Bn = np.asarray(Bn.vectors)
         else:
             Bn = np.asarray(Bn)
-        levels = [MGLevelSpec(A)]
         cur = A_sp
         cur_bs = bs
-        level = 0
         while (cur.shape[0] > self.coarse_eq_limit
                and level < self.max_levels - 1):
             G = strength_graph(cur, bs=cur_bs, threshold=self._threshold(level))
