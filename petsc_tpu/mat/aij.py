@@ -668,33 +668,56 @@ class MatAIJ(Mat):
             return np.arange(len(r)) - np.repeat(run_starts, run_lens)
 
         per_shard = []
-        Kd = Ko = H = 1
+        H = 1
+        deg_d, deg_o = [], []
         for s in range(Pn):
             rows, cols, v = per_shard_coo[s]
             is_diag = (cols // cb) == s
             ga = np.unique(cols[~is_diag])
             per_shard.append((rows, cols, v, is_diag, ga))
-            if is_diag.any():
-                Kd = max(Kd, int(np.bincount(rows[is_diag]).max()))
-            if (~is_diag).any():
-                Ko = max(Ko, int(np.bincount(rows[~is_diag]).max()))
+            deg_d.append(np.bincount(rows[is_diag], minlength=blk))
+            deg_o.append(np.bincount(rows[~is_diag], minlength=blk))
             H = max(H, len(ga))
 
+        # Hybrid ELL+spill widths: SPMD needs uniform static shapes, so a
+        # single dense-ish row anywhere would otherwise pad EVERY shard's
+        # ELL lanes to the worst-case degree (mpiaij.h:40-74 keeps
+        # per-rank compressed CSR instead). Cap the lane count at the
+        # storage/flops-optimal K and push long-row tails into a small
+        # padded COO spill segment applied by segment_sum.
+        Kd, Sd = _hyb_width(deg_d, blk)
+        Ko, So = _hyb_width(deg_o, blk)
+
         dd_l, di_l, od_l, oi_l, ga_l = [], [], [], [], []
+        spl = {k: [] for k in ("dsr", "dsc", "dsv", "osr", "osc", "osv")}
         for s in range(Pn):
             rows, cols, v, is_diag, ga = per_shard[s]
             dd = np.zeros((blk, Kd)); di = np.zeros((blk, Kd), dtype=np.int32)
             od = np.zeros((blk, Ko)); oi = np.zeros((blk, Ko), dtype=np.int32)
             gaa = np.zeros((H,), dtype=np.int64)
             gaa[: len(ga)] = ga
-            for sel, dat, idxa, locf in (
-                (is_diag, dd, di, lambda c: c - s * cb),
-                (~is_diag, od, oi, lambda c: np.searchsorted(ga, c)),
+            for sel, dat, idxa, locf, K, S, pre in (
+                (is_diag, dd, di, lambda c: c - s * cb, Kd, Sd, "d"),
+                (~is_diag, od, oi, lambda c: np.searchsorted(ga, c), Ko, So,
+                 "o"),
             ):
                 r, c, vv = rows[sel], cols[sel], v[sel]
                 pos = row_pos(r)
-                dat[r, pos] = vv
-                idxa[r, pos] = locf(c)
+                fit = pos < K
+                dat[r[fit], pos[fit]] = vv[fit]
+                idxa[r[fit], pos[fit]] = locf(c[fit])
+                if S:
+                    ov = ~fit
+                    sr = np.zeros(S, dtype=np.int32)
+                    sc = np.zeros(S, dtype=np.int32)
+                    sv = np.zeros(S)
+                    nov = int(ov.sum())
+                    sr[:nov] = r[ov]
+                    sc[:nov] = locf(c[ov])
+                    sv[:nov] = vv[ov]
+                    spl[pre + "sr"].append(sr)
+                    spl[pre + "sc"].append(sc)
+                    spl[pre + "sv"].append(sv)
             dd_l.append(dd); di_l.append(di); od_l.append(od); oi_l.append(oi); ga_l.append(gaa)
 
         from jax.sharding import NamedSharding
@@ -706,11 +729,19 @@ class MatAIJ(Mat):
         # SF-based Mvctx construction in mmaij.c:8)
         plan = ExchangePlan(cl_, [per_shard[s][4] for s in range(Pn)],
                             axis=self.comm.axis)
+        sh2 = NamedSharding(self.comm.mesh, P(self.comm.axis, None))
+        spill = {}
+        for k, lst in spl.items():
+            if lst:
+                arr = np.stack(lst)
+                dt = rd if k.endswith("v") else None
+                spill[k] = jax.device_put(jnp.asarray(arr, dtype=dt), sh2)
         self._dev = {
             "dd": jax.device_put(jnp.asarray(np.stack(dd_l), dtype=rd), sh3),
             "di": jax.device_put(jnp.asarray(np.stack(di_l)), sh3),
             "od": jax.device_put(jnp.asarray(np.stack(od_l), dtype=rd), sh3),
             "oi": jax.device_put(jnp.asarray(np.stack(oi_l)), sh3),
+            "sp": spill,
             "sf": plan.device_tables(self.comm.mesh),
         }
         # diagonal from the per-shard triples (no global CSR required)
@@ -721,7 +752,7 @@ class MatAIJ(Mat):
             np.add.at(diag, rows[hit] + s * blk, v[hit])
         self._dev["diag"] = jax.device_put(jnp.asarray(diag, dtype=rd), sh1)
         self._meta = ("mpiaij", Pn, blk, cb, Kd, Ko, plan.H, plan.meta(),
-                      self.comm.axis, self.comm.mesh)
+                      self.comm.axis, self.comm.mesh, Sd, So)
 
     @classmethod
     def from_sharded(cls, S, comm):
@@ -1017,6 +1048,31 @@ def _bind_aij_csr(meta, data):
     )
 
 
+def _hyb_width(deg_list, blk, spill_cost=4):
+    """Pick the ELL lane count K for a hybrid ELL+spill layout.
+
+    Minimizes  blk*K  (uniform padded lanes, the per-shard SpMV flops)
+    +  spill_cost * max_s spill_s(K)  (the COO spill segment is padded
+    to the max across shards and costs a gather + scatter-add per
+    entry).  Returns (K, max_spill).  With no long-row outliers this
+    degenerates to the plain worst-case ELL of round 1 (spill 0)."""
+    degs = [np.asarray(d, dtype=np.int64) for d in deg_list if len(d)]
+    if not degs:
+        return 1, 0
+    kmax = max(int(d.max()) for d in degs)
+    if kmax <= 1:
+        return 1, 0
+    cands = sorted({1, kmax} | {int(v) for d in degs
+                                for v in np.unique(d) if 0 < v < kmax})
+    best_k, best_cost, best_spill = kmax, blk * kmax, 0
+    for k in cands:
+        spill = max(int(np.maximum(d - k, 0).sum()) for d in degs)
+        cost = blk * k + spill_cost * spill
+        if cost < best_cost:
+            best_k, best_cost, best_spill = k, cost, spill
+    return best_k, best_spill
+
+
 def _bind_dnd_mpi(meta, data):
     from jax import shard_map
     from jax import lax
@@ -1106,31 +1162,39 @@ def _bind_dnd_mpi(meta, data):
 def _bind_mpiaij(meta, data):
     from jax import shard_map
     from ..parallel.sf import ExchangePlan
-    _, Pn, blk, cb, Kd, Ko, H, sf_meta, axis, mesh = meta
+    _, Pn, blk, cb, Kd, Ko, H, sf_meta, axis, mesh = meta[:10]
+    Sd, So = (meta[10], meta[11]) if len(meta) > 10 else (0, 0)
+    sp = data.get("sp", {})
 
-    def local_mult(dd, di, od, oi, sf, xl):
+    def local_mult(dd, di, od, oi, sp, sf, xl):
         dd, di, od, oi, xl = dd[0], di[0], od[0], oi[0], xl.reshape(-1)
         # overlap structure of MatMult_MPIAIJ (mpiaij.c:1052-1065): the
         # halo exchange (neighbor ppermutes) and the diag-block SpMV are
         # independent — XLA schedules them concurrently
         halo = ExchangePlan.bcast(sf_meta, sf, xl, axis)
-        yd = spmv.ell_spmv(dd, di, xl)                  # diag block: no comm
-        yo = spmv.ell_spmv(od, oi, halo)                # offdiag on halo
-        return (yd + yo).reshape(1, blk)
+        y = spmv.ell_spmv(dd, di, xl) + spmv.ell_spmv(od, oi, halo)
+        if Sd:  # long-row tails beyond the ELL lane cap (hybrid layout)
+            y = y + spmv.csr_seg_spmv(sp["dsr"][0], sp["dsc"][0],
+                                      sp["dsv"][0], xl, blk)
+        if So:
+            y = y + spmv.csr_seg_spmv(sp["osr"][0], sp["osc"][0],
+                                      sp["osv"][0], halo, blk)
+        return y.reshape(1, blk)
 
     sf_specs = {k: P(axis, None) for k in data["sf"]}
+    sp_specs = {k: P(axis, None) for k in sp}
     smap = shard_map(
         local_mult, mesh=mesh,
-        in_specs=(P(axis, None, None),) * 4 + (sf_specs, P(axis)),
+        in_specs=(P(axis, None, None),) * 4 + (sp_specs, sf_specs, P(axis)),
         out_specs=P(axis, None),
     )
 
     def mult(x):
         y = smap(data["dd"], data["di"], data["od"], data["oi"],
-                 data["sf"], x)
+                 sp, data["sf"], x)
         return y.reshape(-1)
 
-    def local_mult_t(dd, di, od, oi, sf, xl):
+    def local_mult_t(dd, di, od, oi, sp, sf, xl):
         # y = A^T x per shard: diag-block transpose is local; offdiag-block
         # transpose produces halo-position contributions that reduce-add
         # back to their owners (MatMultTranspose_MPIAIJ, mpiaij.c — the
@@ -1138,18 +1202,24 @@ def _bind_mpiaij(meta, data):
         dd, di, od, oi, xl = dd[0], di[0], od[0], oi[0], xl.reshape(-1)
         yd = spmv.ell_spmv_t(dd, di, xl, cb)
         contrib = spmv.ell_spmv_t(od, oi, xl, H)       # halo positions
+        if Sd:
+            yd = yd + spmv.csr_seg_spmv_t(sp["dsr"][0], sp["dsc"][0],
+                                          sp["dsv"][0], xl, cb)
+        if So:
+            contrib = contrib + spmv.csr_seg_spmv_t(
+                sp["osr"][0], sp["osc"][0], sp["osv"][0], xl, H)
         back = ExchangePlan.reduce_add(sf_meta, sf, contrib, cb, axis)
         return (yd + back).reshape(1, cb)
 
     smap_t = shard_map(
         local_mult_t, mesh=mesh,
-        in_specs=(P(axis, None, None),) * 4 + (sf_specs, P(axis)),
+        in_specs=(P(axis, None, None),) * 4 + (sp_specs, sf_specs, P(axis)),
         out_specs=P(axis, None),
     )
 
     def mult_t(x):
         y = smap_t(data["dd"], data["di"], data["od"], data["oi"],
-                   data["sf"], x)
+                   sp, data["sf"], x)
         return y.reshape(-1)
 
     return operator.Op(mult=mult, mult_t=mult_t, diag=lambda: data["diag"])

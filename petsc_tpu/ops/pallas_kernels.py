@@ -25,25 +25,59 @@ LANE = 128
 BLK_R = 512          # (512, 128) f32 block = 256 KiB per operand in VMEM
 
 
+_COMPILED_OK = None
+
+
+def pallas_compiled_available():
+    """One-time probe: can this runtime compile a gridded Mosaic kernel?
+
+    Compiled Mosaic requires tracing with x64 DISABLED: with the
+    framework's global f64 default on, BlockSpec index maps emit i64
+    grid indices and Mosaic fails to legalize `func.return (i32, i64)`
+    (measured 2026-08-17 on the axon tunnel's TpuAotCompiler).  The
+    production wrappers therefore trace the f32 kernels under
+    jax.enable_x64(False); this probe verifies that path end-to-end
+    once and caches the verdict.  Off-TPU the answer is always False
+    (interpret mode is the CPU test path)."""
+    global _COMPILED_OK
+    if _COMPILED_OK is None:
+        if jax.default_backend() != "tpu":
+            _COMPILED_OK = False
+        else:
+            try:
+                def _probe(x_ref, o_ref):
+                    o_ref[:] = x_ref[:] + 1.0
+                x = jnp.zeros((2 * 8, LANE), jnp.float32)
+                with jax.enable_x64(False):
+                    out = pl.pallas_call(
+                        _probe,
+                        out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
+                        grid=(2,),
+                        in_specs=[pl.BlockSpec((8, LANE), lambda i: (i, 0))],
+                        out_specs=pl.BlockSpec((8, LANE), lambda i: (i, 0)),
+                    )(x)
+                out.block_until_ready()
+                _COMPILED_OK = True
+            except Exception:
+                _COMPILED_OK = False
+    return _COMPILED_OK
+
+
 def _interpret(*arrs):
-    """Kernel execution policy:
+    """Kernel execution policy (auto, no flags):
       - off-TPU: interpret (tests/virtual CPU meshes);
       - on TPU with 64-bit inputs: interpret — Mosaic has no 64-bit
         element types, and f64 is this framework's default precision;
-      - on TPU with 32-bit inputs: compiled Mosaic when
-        PETSC_TPU_PALLAS_COMPILED=1 (opt-in: the dev tunnel's remote
-        compile helper currently 500s on grid+accumulator kernels even
-        though plain pallas_call compiles; on direct-attached TPUs set
-        the flag).
+      - on TPU with 32-bit inputs: compiled Mosaic iff the runtime can
+        compile it (pallas_compiled_available probe).
     The numerics are identical either way — XLA's fused jnp path is the
     production fallback and is already near roofline for these BLAS-1
     shapes (PERF.md)."""
-    import os
     if jax.default_backend() not in ("tpu",):
         return True
     if any(jnp.asarray(a).dtype.itemsize > 4 for a in arrs):
         return True
-    return os.environ.get("PETSC_TPU_PALLAS_COMPILED", "0") != "1"
+    return not pallas_compiled_available()
 
 
 def _as_tiles(x):
@@ -63,9 +97,22 @@ def _triad_kernel(alpha_ref, b_ref, c_ref, a_ref):
     a_ref[:] = b_ref[:] + alpha_ref[0, 0] * c_ref[:]
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
+def _x64_guard(interpret):
+    """Compiled Mosaic must trace with x64 off (see
+    pallas_compiled_available); interpret mode keeps the caller's
+    setting so f64 CPU tests stay exact."""
+    import contextlib
+    return contextlib.nullcontext() if interpret else jax.enable_x64(False)
+
+
 def triad(b, c, alpha, interpret=None):
     interpret = _interpret(b, c) if interpret is None else interpret
+    with _x64_guard(interpret):
+        return _triad(b, c, alpha, interpret)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _triad(b, c, alpha, interpret):
     bt, n = _as_tiles(b)
     ct, _ = _as_tiles(c)
     grid = bt.shape[0] // BLK_R
@@ -101,10 +148,15 @@ def _axpy_normsq_kernel(alpha_ref, x_ref, y_ref, out_ref, acc_ref):
     acc_ref[0, 0] += jnp.sum(ynew * ynew)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
 def axpy_normsq(alpha, x, y, interpret=None):
     """y + alpha*x and ||y + alpha*x||^2 in ONE pass over HBM."""
     interpret = _interpret(x, y) if interpret is None else interpret
+    with _x64_guard(interpret):
+        return _axpy_normsq(alpha, x, y, interpret)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _axpy_normsq(alpha, x, y, interpret):
     xt, n = _as_tiles(x)
     yt, _ = _as_tiles(y)
     grid = xt.shape[0] // BLK_R
@@ -143,9 +195,14 @@ def _dot2_kernel(x_ref, y_ref, acc_ref):
     acc_ref[0, 1] += jnp.sum(yv * yv)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
 def dot2(x, y, interpret=None):
     interpret = _interpret(x, y) if interpret is None else interpret
+    with _x64_guard(interpret):
+        return _dot2(x, y, interpret)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _dot2(x, y, interpret):
     xt, n = _as_tiles(x)
     yt, _ = _as_tiles(y)
     grid = xt.shape[0] // BLK_R

@@ -28,15 +28,21 @@ from .pc import PC
 # host-side setup pieces
 # ---------------------------------------------------------------------
 
-def strength_graph(A_sp, bs=1, threshold=-1.0):
+def strength_graph(A_sp, bs=1, threshold=-1.0, index=None):
     """Nodal strength-of-connection graph (agg.c:752 PCGAMGCreateGraph_AGG):
     |A| symmetrized; bs>1 collapses dof blocks to one node (sum of |values|);
     entries with |a_ij| <= threshold * sqrt(|a_ii a_jj|) dropped
-    (threshold < 0 keeps everything)."""
+    (threshold < 0 keeps everything).  index: restrict the collapse to
+    these dof components within each block
+    (-pc_gamg_mat_coarsen_strength_index, MatCoarsenSetStrengthIndex)."""
     import scipy.sparse as sp
     G = abs(A_sp).tocsr()
     if bs > 1:
         n = A_sp.shape[0] // bs
+        if index is not None:
+            sel = np.isin(np.arange(A_sp.shape[0]) % bs,
+                          np.asarray(index)).astype(np.float64)
+            G = (sp.diags(sel) @ G @ sp.diags(sel)).tocsr()
         # collapse: S = C^T |A| C with C the bs-block indicator
         C = sp.csr_matrix((np.ones(A_sp.shape[0]),
                            (np.arange(A_sp.shape[0]),
@@ -267,6 +273,7 @@ class _PCGAMG(_PCMG):
         self.square_aggressive = True
         self.coarsen_type = "mis"      # mis | hem
         self.hem_rounds = 3
+        self.strength_index = None
 
     def set_from_options(self):
         super().set_from_options()
@@ -292,6 +299,9 @@ class _PCGAMG(_PCMG):
         n = o("get_int", "pc_gamg_mat_coarsen_max_it", None)
         if n:
             self.hem_rounds = n
+        t = o("get_string", "pc_gamg_mat_coarsen_strength_index", None)
+        if t:
+            self.strength_index = [int(x) for x in t.split(",")]
 
     def _threshold(self, level):
         if level < len(self.threshold):
@@ -334,8 +344,7 @@ class _PCGAMG(_PCMG):
                 aggressive=aggressive, nsmooths=self.nsmooths)
             if nagg == 0 or nagg >= nreal:
                 break
-            levels[-1].emax = 1.1 * emax
-            levels[-1].emin = 0.1 * emax
+            levels[-1].emin, levels[-1].emax = self.eig_bounds(emax)
             levels[-1].P = MatAIJ.from_sharded(P, A.comm)
             levels.append(MGLevelSpec(MatAIJ.from_sharded(Ac, A.comm)))
             cur, bvec, nreal = Ac, Bc, nagg
@@ -389,7 +398,9 @@ class _PCGAMG(_PCMG):
         cur_bs = bs
         while (cur.shape[0] > self.coarse_eq_limit
                and level < self.max_levels - 1):
-            G = strength_graph(cur, bs=cur_bs, threshold=self._threshold(level))
+            G = strength_graph(cur, bs=cur_bs,
+                               threshold=self._threshold(level),
+                               index=self.strength_index)
             if self.coarsen_type == "hem":
                 from .. import native
                 out = native.hem_aggregate(
@@ -407,6 +418,11 @@ class _PCGAMG(_PCMG):
                     agg = fix_aggregates_with_square(G, agg, roots)
             if nagg == 0 or nagg * Bn.shape[1] >= cur.shape[0]:
                 break  # coarsening stalled
+            # keep the aggregates on the level they coarsen: they define
+            # the -pc_gamg_asm_use_agg smoother subdomains (gamg.c
+            # PCGAMGASMCreateSubdomains)
+            levels[-1].agg = np.asarray(agg)
+            levels[-1].agg_bs = cur_bs
             P0, Bc = tentative_prolongator(agg, nagg, Bn, bs=cur_bs)
             d = cur.diagonal()
             dinv = np.where(d != 0, 1.0 / np.where(d == 0, 1.0, d), 1.0)
@@ -415,8 +431,7 @@ class _PCGAMG(_PCMG):
             for _ in range(self.nsmooths):
                 P = (P - (1.4 / emax) * sp.diags(dinv) @ (cur @ P)).tocsr()
             # SA eigenvalue reuse for the level smoother (gamg.c:934)
-            levels[-1].emax = 1.1 * emax
-            levels[-1].emin = 0.1 * emax
+            levels[-1].emin, levels[-1].emax = self.eig_bounds(emax)
             Ac = (P.T @ cur @ P).tocsr()
             Ac.eliminate_zeros()
             if Bn.shape[1] == 1 and cur_bs == 1 and self.nsmooths <= 1:

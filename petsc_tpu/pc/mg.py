@@ -43,6 +43,8 @@ class MGLevelSpec:
         self.R = R          # Mat restriction (default P^T)
         self.emax = emax    # cheby smoother eigenvalue bounds (floats)
         self.emin = emin
+        self.agg = None     # nodal aggregates that coarsened this level
+        self.agg_bs = 1     # (for -pc_gamg_asm_use_agg smoother blocks)
 
 
 def _host_emax(A_sp, dinv, iters=10, seed=7):
@@ -104,6 +106,56 @@ def _dense_lu_factor(A_sp):
     return lu, piv
 
 
+def _agg_block_tables(A_sp, agg, bs):
+    """Aggregate-block-Jacobi smoother tables (-pc_gamg_asm_use_agg with
+    -mg_levels_sub_pc_type lu -mg_levels_pc_asm_overlap 0,
+    PCGAMGASMCreateSubdomains gamg.c + asm.c exact sub-solves): the
+    diagonal block over each aggregate's dof set is dense-inverted;
+    blocks are padded to the max size so the apply is one gather →
+    batched GEMV (MXU) → scatter.  Dofs outside every aggregate
+    (removed singleton nodes) become 1x1 diagonal blocks.  Returns
+    (idx, mask, inv) with shapes (nb, bmax) / (nb, bmax) /
+    (nb, bmax, bmax)."""
+    n = A_sp.shape[0]
+    nagg = int(agg.max()) + 1 if len(agg) else 0
+    dofs = [[] for _ in range(nagg)]
+    for v, a in enumerate(np.asarray(agg)):
+        if a >= 0:
+            dofs[int(a)].extend(range(v * bs, (v + 1) * bs))
+    assigned = np.zeros(n, dtype=bool)
+    for dl in dofs:
+        assigned[dl] = True
+    dofs.extend([int(i)] for i in np.nonzero(~assigned)[0])
+    dofs = [dl for dl in dofs if dl]
+    nb = len(dofs)
+    bmax = max(len(dl) for dl in dofs)
+    idx = np.zeros((nb, bmax), dtype=np.int32)
+    mask = np.zeros((nb, bmax))
+    inv = np.zeros((nb, bmax, bmax))
+    Ac = A_sp.tocsc()
+    for a, dl in enumerate(dofs):
+        k = len(dl)
+        idx[a, :k] = dl
+        mask[a, :k] = 1.0
+        blk = Ac[:, dl][dl, :].toarray()
+        try:
+            inv[a, :k, :k] = np.linalg.inv(blk)
+        except np.linalg.LinAlgError:
+            # degenerate subdomain (e.g. decoupled/zero rows): the
+            # pseudo-inverse keeps the smoother well-defined
+            inv[a, :k, :k] = np.linalg.pinv(blk)
+    return idx, mask, inv
+
+
+def _agg_pc_apply_np(idx, mask, inv, v):
+    """Host-side reference apply of the aggregate-block PC (for esteig)."""
+    g = mask * v[idx]
+    y = np.einsum("abc,ac->ab", inv, g)
+    out = np.zeros_like(v)
+    np.add.at(out, idx.reshape(-1), (mask * y).reshape(-1))
+    return out
+
+
 class _PCMG:
     """PCMG impl: hierarchy provided through the PCMG API (geometric MG) or
     built by a subclass (PCGAMG)."""
@@ -115,7 +167,11 @@ class _PCMG:
         self.smooth_pre = 2
         self.smooth_post = 2
         self.smoother = "chebyshev"   # chebyshev | richardson (w/ jacobi PC)
-        self.coarse_solver = "lu"
+        self.levels_pc = "jacobi"     # jacobi | asm_agg (smoother inner PC)
+        self.coarse_solver = "lu"     # lu | cg_jacobi (parallel coarse)
+        # esteig transform (a,b,c,d): emin_used = a*emin + b*emax,
+        # emax_used = c*emin + d*emax (cheby.c:203 MG default 0,0.1,0,1.1)
+        self.esteig_tform = (0.0, 0.1, 0.0, 1.1)
 
     def set_from_options(self):
         o = self.pc.opt
@@ -131,6 +187,18 @@ class _PCMG:
         t = o("get_string", "mg_levels_ksp_type", None)
         if t:
             self.smoother = t
+        t = o("get_string", "mg_levels_ksp_chebyshev_esteig", None)
+        if t:
+            vals = [float(x) for x in t.split(",")]
+            self.esteig_tform = tuple(vals + [0.0] * (4 - len(vals)))[:4]
+        if o("get_bool", "pc_gamg_asm_use_agg", False):
+            self.levels_pc = "asm_agg"
+        # reference ex56 parity knobs: -pc_gamg_parallel_coarse_grid_solver
+        # -mg_coarse_ksp_type cg -mg_coarse_pc_type jacobi
+        ct = o("get_string", "mg_coarse_ksp_type", None)
+        cp = o("get_string", "mg_coarse_pc_type", None)
+        if ct == "cg" and (cp in (None, "jacobi")):
+            self.coarse_solver = "cg_jacobi"
 
     # ---- PCMG API (geometric path) ----
 
@@ -167,7 +235,12 @@ class _PCMG:
                 d = A_sp.diagonal()
                 dinv = np.where(d != 0, 1.0 / np.where(d == 0, 1.0, d), 1.0)
                 emax = _host_emax(A_sp, dinv)
-                lev.emax, lev.emin = 1.1 * emax, 0.1 * emax
+                lev.emin, lev.emax = self.eig_bounds(emax)
+
+    def eig_bounds(self, emax_est, emin_est=0.0):
+        """Apply the esteig transform to estimated D^-1 A bounds."""
+        a, b, c, d = self.esteig_tform
+        return (a * emin_est + b * emax_est, c * emin_est + d * emax_est)
 
     def _build_from_dm(self, dm):
         nlev_opt = self.pc.opt("get_int", "pc_mg_levels", None)
@@ -197,7 +270,9 @@ class _PCMG:
         self.build_hierarchy()
         return build_mg_meta_data(
             self.levels, cycle=self.cycle, smoother=self.smoother,
-            pre=self.smooth_pre, post=self.smooth_post)
+            pre=self.smooth_pre, post=self.smooth_post,
+            coarse=self.coarse_solver, levels_pc=self.levels_pc,
+            esteig_tform=self.esteig_tform)
 
     def view(self):
         if self.levels is None:
@@ -212,7 +287,9 @@ class _PCMG:
                    if lev.emax else ""))
 
 
-def build_mg_meta_data(levels, cycle="v", smoother="chebyshev", pre=2, post=2):
+def build_mg_meta_data(levels, cycle="v", smoother="chebyshev", pre=2, post=2,
+                       coarse="lu", levels_pc="jacobi",
+                       esteig_tform=(0.0, 0.1, 0.0, 1.1)):
     """Compile the hierarchy into the (meta, data) jit-composability pair."""
     rd = config.real_dtype()
     lev_metas = []
@@ -221,6 +298,16 @@ def build_mg_meta_data(levels, cycle="v", smoother="chebyshev", pre=2, post=2):
     for l, lev in enumerate(levels):
         A = lev.A
         if l == nlev - 1:
+            if coarse == "cg_jacobi":
+                # iterative parallel-style coarse solve (ex56 parity:
+                # -pc_gamg_parallel_coarse_grid_solver -mg_coarse_ksp_type
+                # cg -mg_coarse_pc_type jacobi)
+                d = np.asarray(A.op().diag())
+                dinv = np.where(d != 0, 1.0 / np.where(d == 0, 1.0, d), 1.0)
+                lev_metas.append(("coarse_cg", A.meta, A.getSize()[0]))
+                lev_datas.append({"A": A.device_data(),
+                                  "dinv": jnp.asarray(dinv, dtype=rd)})
+                continue
             # coarsest: dense LU (reference coarse default bjacobi+lu,
             # gamg.c:887-907)
             lu, piv = _dense_lu_factor(A.to_scipy())
@@ -237,15 +324,38 @@ def build_mg_meta_data(levels, cycle="v", smoother="chebyshev", pre=2, post=2):
             # operator provides one (gather-free interp_q1 path)
             Pop = operator.bind(P.meta, P.device_data())
             R = None if Pop.mult_t is not None else P.transpose()
-        emax = lev.emax if lev.emax is not None else 2.0
-        emin = lev.emin if lev.emin is not None else 0.2
+        pc_kind = "jacobi"
+        ld = {"A": A.device_data(), "P": P.device_data(),
+              "dinv": jnp.asarray(dinv, dtype=rd)}
+        if levels_pc == "asm_agg" and lev.agg is not None:
+            pc_kind = "asm_agg"
+            A_sp = A.to_scipy()
+            idx, mask, inv = _agg_block_tables(A_sp, lev.agg, lev.agg_bs)
+            ld["agg_idx"] = jnp.asarray(idx)
+            ld["agg_mask"] = jnp.asarray(mask, dtype=rd)
+            ld["agg_inv"] = jnp.asarray(inv, dtype=rd)
+            # Chebyshev bounds must be of M^-1 A for THIS smoother PC,
+            # not D^-1 A (the esteig KSP runs preconditioned, cheby.c)
+            npad = A.row_layout.Npad
+
+            def mpc_mult(v, A_sp=A_sp, idx=idx, mask=mask, inv=inv):
+                return _agg_pc_apply_np(idx, mask, inv,
+                                        A_sp @ v[: A_sp.shape[0]])
+
+            emn, emx = _host_eig_bounds(
+                lambda v: np.pad(mpc_mult(v),
+                                 (0, npad - A_sp.shape[0])),
+                np.ones(npad), npad)
+            a, b, c, dd_ = esteig_tform
+            emin = a * emn + b * emx
+            emax = c * emn + dd_ * emx
+        else:
+            emax = lev.emax if lev.emax is not None else 2.0
+            emin = lev.emin if lev.emin is not None else 0.2
         lev_metas.append((A.meta, P.meta,
-                          None if R is None else R.meta, smoother, pre, post))
-        ld = {
-            "A": A.device_data(), "P": P.device_data(),
-            "dinv": jnp.asarray(dinv, dtype=rd),
-            "eig": jnp.asarray([emin, emax], dtype=rd),
-        }
+                          None if R is None else R.meta, smoother, pre, post,
+                          pc_kind))
+        ld["eig"] = jnp.asarray([emin, emax], dtype=rd)
         ld["R"] = {} if R is None else R.device_data()
         lev_datas.append(ld)
     meta = ("pc_mg", cycle, nlev, tuple(lev_metas))
@@ -257,8 +367,7 @@ def build_mg_meta_data(levels, cycle="v", smoother="chebyshev", pre=2, post=2):
 # binder: the whole cycle as one pure function
 # ---------------------------------------------------------------------
 
-def _smooth(kind, Aop, dinv, eig, b, x, its):
-    pcmult = lambda v: dinv * v
+def _smooth(kind, Aop, pcmult, eig, b, x, its):
     if kind == "chebyshev":
         return cheby_smooth(Aop.mult, pcmult, b, x, its, eig[0], eig[1])
     if kind in ("chebyshev4", "fourth"):
@@ -284,29 +393,74 @@ def _bind_pc_mg(meta, data):
 
     def coarse_solve(b):
         cm, cd = lev_metas[-1], levels[-1]
+        if cm[0] == "coarse_cg":
+            # Jacobi-preconditioned CG to rtol 1e-5 (the reference's
+            # -mg_coarse_ksp_type cg -mg_coarse_pc_type jacobi parallel
+            # coarse solve), fixed-shape lax.while_loop so the whole MG
+            # apply stays one compiled program
+            Aop = operator.bind(cm[1], cd["A"])
+            dinv = cd["dinv"]
+            r0 = b
+            z0 = dinv * r0
+            rz0 = jnp.vdot(r0, z0)
+            atol2 = 1e-10 * jnp.abs(rz0)
+
+            def cond(s):
+                x, r, z, p, rz, it = s
+                return (jnp.abs(rz) > atol2) & (it < 200)
+
+            def body(s):
+                x, r, z, p, rz, it = s
+                Ap = Aop.mult(p)
+                alpha = rz / jnp.vdot(p, Ap)
+                x = x + alpha * p
+                r = r - alpha * Ap
+                z = dinv * r
+                rz2 = jnp.vdot(r, z)
+                p = z + (rz2 / rz) * p
+                return x, r, z, p, rz2, it + 1
+
+            x, *_ = jax.lax.while_loop(
+                cond, body, (jnp.zeros_like(b), r0, z0, z0, rz0,
+                             jnp.int32(0)))
+            return x
         sol = jax.scipy.linalg.lu_solve((cd["lu"], cd["piv"]), b[: cm[1]])
         if b.shape[0] > cm[1]:
             sol = jnp.pad(sol, (0, b.shape[0] - cm[1]))
         return sol
 
     def bind_level(l):
-        A_meta, P_meta, R_meta, kind, pre, post = lev_metas[l]
+        A_meta, P_meta, R_meta, kind, pre, post = lev_metas[l][:6]
+        pc_kind = lev_metas[l][6] if len(lev_metas[l]) > 6 else "jacobi"
         ld = levels[l]
         Aop = operator.bind(A_meta, ld["A"])
         Pop = operator.bind(P_meta, ld["P"])
         restrict = Pop.mult_t if R_meta is None \
             else operator.bind(R_meta, ld["R"]).mult
-        return Aop, Pop, restrict, ld, kind, pre, post
+        if pc_kind == "asm_agg":
+            idx, mask, inv = ld["agg_idx"], ld["agg_mask"], ld["agg_inv"]
+
+            def pcmult(v):
+                # gather -> batched block GEMV (MXU) -> scatter:
+                # exact sub-solves over the aggregate subdomains
+                g = mask * v[idx]
+                y = jnp.einsum("abc,ac->ab", inv, g)
+                return jnp.zeros_like(v).at[idx.reshape(-1)] \
+                    .add((mask * y).reshape(-1))
+        else:
+            dinv = ld["dinv"]
+            pcmult = lambda v: dinv * v
+        return Aop, Pop, restrict, pcmult, ld, kind, pre, post
 
     def level_apply(l, b, x0=None):
         if l == nlev - 1:
             return coarse_solve(b)
-        Aop, Pop, restrict, ld, kind, pre, post = bind_level(l)
+        Aop, Pop, restrict, pcmult, ld, kind, pre, post = bind_level(l)
         if cycle == "kaskade":
             xc = level_apply(l + 1, restrict(b))
             x = Pop.mult(xc)
-            return _smooth(kind, Aop, ld["dinv"], ld["eig"], b, x, post)
-        x = _smooth(kind, Aop, ld["dinv"], ld["eig"], b,
+            return _smooth(kind, Aop, pcmult, ld["eig"], b, x, post)
+        x = _smooth(kind, Aop, pcmult, ld["eig"], b,
                     jnp.zeros_like(b) if x0 is None else x0,
                     pre)
         for c in range(ncycles):
@@ -314,7 +468,7 @@ def _bind_pc_mg(meta, data):
             xc = level_apply(l + 1, restrict(r))
             x = x + Pop.mult(xc)
             if c < ncycles - 1 or post:
-                x = _smooth(kind, Aop, ld["dinv"], ld["eig"], b, x, post)
+                x = _smooth(kind, Aop, pcmult, ld["eig"], b, x, post)
         return x
 
     def full_apply(b):
@@ -322,11 +476,11 @@ def _bind_pc_mg(meta, data):
         # V-cycle per level seeded by the prolongated coarser solution
         bs = [b]
         for l in range(nlev - 1):
-            _, _, restrict, _, _, _, _ = bind_level(l)
+            restrict = bind_level(l)[2]
             bs.append(restrict(bs[-1]))
         x = coarse_solve(bs[-1])
         for l in range(nlev - 2, -1, -1):
-            _, Pop, _, _, _, _, _ = bind_level(l)
+            Pop = bind_level(l)[1]
             x = Pop.mult(x)
             x = level_apply(l, bs[l], x0=x)
         return x
