@@ -51,10 +51,45 @@ def run(ndev, local_n, its=50):
     b.set(1.0)
     x = A.createVecRight()
     ksp.solve(b, x)      # compile + warm
+    dt = min(_timed_solve(ksp, b, x) for _ in range(3))  # best-of-3 (jitter)
+    return dt, A_sp.nnz
+
+
+def _timed_solve(ksp, b, x):
     t0 = time.perf_counter()
     ksp.solve(b, x)
-    dt = time.perf_counter() - t0
-    return dt, A_sp.nnz
+    return time.perf_counter() - t0
+
+
+def measure_overlap(ndev, local_n, reps=20):
+    """Verify the halo/compute overlap claim (MatMult_MPIAIJ pattern,
+    mpiaij.c:1052-1065): time the sharded SpMV with the default schedule
+    (halo ppermutes and diag SpMV independent — XLA overlaps) vs with
+    PETSC_TPU_HALO_SEQUENTIAL=1 (optimization_barrier forces the diag
+    SpMV to wait on the halo). Returns (t_overlapped, t_sequential)."""
+    import os
+    import jax
+
+    def timed(seq):
+        os.environ["PETSC_TPU_HALO_SEQUENTIAL"] = "1" if seq else "0"
+        from petsc_tpu.parallel.mesh import make_comm
+        nz = local_n * ndev
+        A_sp = poisson3d_grid(nz, local_n, local_n)
+        A = pt.MatAIJ.from_scipy(A_sp, comm=make_comm(ndev))
+        # plain ELL mpiaij path (no stencil declaration -> generic binder)
+        op = A.op()
+        f = jax.jit(op.mult)
+        x = A.createVecRight(); x.set(1.0)
+        xa = x.getArray()
+        y = f(xa); y.block_until_ready()
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            y = f(xa)
+        y.block_until_ready()
+        os.environ["PETSC_TPU_HALO_SEQUENTIAL"] = "0"
+        return (time.perf_counter() - t0) / reps
+
+    return timed(False), timed(True)
 
 
 def main(argv=None):
@@ -64,8 +99,10 @@ def main(argv=None):
     opts = pt.options()
     local_n = opts.get_int("local_n", default=16)
     its = opts.get_int("its", default=50)
+    json_path = opts.get_string("json", default=None)
     ndevs = [d for d in (1, 2, 4, 8) if d <= len(jax.devices())]
     base = None
+    rows = []
     print(f"weak scaling: {local_n}^3 rows/device, {its} CG its, "
           f"backend={jax.default_backend()}")
     for nd in ndevs:
@@ -74,8 +111,49 @@ def main(argv=None):
         if base is None:
             base = rate
         eff = rate / (base * nd) if base else 0.0
+        # on the CPU stand-in one XLA device already multithreads across
+        # all physical cores, so per-device efficiency decays as 1/ndev by
+        # construction; aggregate-rate retention vs 1 device (fixed host
+        # compute, communication added) is the meaningful virtual metric
+        rows.append({"ndev": nd, "seconds": round(dt, 4), "nnz": int(nnz),
+                     "gnnz_its_per_s": round(rate, 3),
+                     "efficiency_per_device": round(eff, 3),
+                     "aggregate_retention_vs_1dev": round(rate / base, 3)})
         print(f"  ndev={nd}  {dt:.3f} s  {rate:.2f} Gnnz-its/s  "
-              f"efficiency={eff * 100:.0f}%")
+              f"per-device eff={eff * 100:.0f}%  "
+              f"retention={rate / base * 100:.0f}%")
+    nd_ov = ndevs[-1]
+    t_ov, t_seq = measure_overlap(nd_ov, local_n)
+    print(f"overlap check (ndev={nd_ov}): mult {t_ov * 1e3:.3f} ms "
+          f"overlapped vs {t_seq * 1e3:.3f} ms halo-sequential "
+          f"({(t_seq / t_ov - 1) * 100:+.0f}%)")
+    if json_path:
+        import json
+        import multiprocessing
+        out = {
+            "harness": "examples/scaling.py",
+            "backend": jax.default_backend(),
+            "physical_cpus": multiprocessing.cpu_count(),
+            "local_n": local_n, "its": its,
+            "caveat": ("virtual devices share physical cores and one XLA "
+                       "CPU device multithreads across all of them, so "
+                       "per-device efficiency decays ~1/ndev by construction;"
+                       " the meaningful virtual metric is aggregate-rate "
+                       "retention vs 1 device (fixed host compute, halo "
+                       "communication added). The overlap check is likewise "
+                       "a CPU stand-in: XLA-CPU collectives are synchronous "
+                       "host copies, so halo/compute overlap (an ICI "
+                       "property) cannot manifest — the sequential variant "
+                       "can even win by reducing scheduler pressure. On "
+                       "real multi-chip both numbers re-measure unchanged."),
+            "weak_scaling": rows,
+            "overlap_check": {"ndev": nd_ov,
+                              "mult_ms_overlapped": round(t_ov * 1e3, 4),
+                              "mult_ms_halo_sequential": round(t_seq * 1e3, 4)},
+        }
+        with open(json_path, "w") as f:
+            f.write(json.dumps(out, indent=1) + "\n")
+        print(f"wrote {json_path}")
 
 
 if __name__ == "__main__":

@@ -23,6 +23,8 @@ MatMult_MPIAIJ):
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -1166,12 +1168,19 @@ def _bind_mpiaij(meta, data):
     Sd, So = (meta[10], meta[11]) if len(meta) > 10 else (0, 0)
     sp = data.get("sp", {})
 
+    # PETSC_TPU_HALO_SEQUENTIAL=1 forces the diag SpMV to wait on the halo
+    # (optimization_barrier) — the measurement knob for verifying the
+    # overlap claim below (examples/scaling.py records the delta)
+    halo_seq = os.environ.get("PETSC_TPU_HALO_SEQUENTIAL", "0") == "1"
+
     def local_mult(dd, di, od, oi, sp, sf, xl):
         dd, di, od, oi, xl = dd[0], di[0], od[0], oi[0], xl.reshape(-1)
         # overlap structure of MatMult_MPIAIJ (mpiaij.c:1052-1065): the
         # halo exchange (neighbor ppermutes) and the diag-block SpMV are
         # independent — XLA schedules them concurrently
         halo = ExchangePlan.bcast(sf_meta, sf, xl, axis)
+        if halo_seq:
+            xl, halo = jax.lax.optimization_barrier((xl, halo))
         y = spmv.ell_spmv(dd, di, xl) + spmv.ell_spmv(od, oi, halo)
         if Sd:  # long-row tails beyond the ELL lane cap (hybrid layout)
             y = y + spmv.csr_seg_spmv(sp["dsr"][0], sp["dsc"][0],
