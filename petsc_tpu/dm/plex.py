@@ -263,11 +263,44 @@ class DMPlex(DM):
         base = self.ncells + self.nvertices
         return self.edges[edge_point - base] + self.ncells
 
-    def distribute(self, overlap=0):
-        """DMPlexDistribute: in the SPMD single-program model the mesh is
-        not re-owned per rank — cell partitioning (PetscPartitioner) maps
-        cells to shards and array sharding does the rest. Returns self."""
-        return self
+    def distribute(self, overlap=0, partitioner=None):
+        """DMPlexDistribute (plexdistribute.c:DMPlexDistribute): partition
+        cells, renumber cells and vertices grouped by owning shard (the
+        migration AO), build per-shard submeshes (owned cells + their
+        closure + `overlap` rings of vertex-adjacent ghost cells) and the
+        point SF over ghost vertices. Returns a NEW distributed DMPlex
+        whose `.distribution` carries the per-shard data; the original
+        mesh is untouched. With a 1-shard comm, returns self (the
+        mpiuni path)."""
+        nsh = self.comm.nshards if self.comm is not None else 1
+        if nsh <= 1:
+            return self
+        part = (partitioner or PetscPartitioner()).partition(self, nsh)
+        part = np.asarray(part, dtype=np.int64)
+        # vertex owner: lowest-part adjacent cell (the "lowest rank owns
+        # shared points" convention of DMPlexDistributeOwnership)
+        nv = self.nvertices
+        vowner = np.full(nv, nsh, dtype=np.int64)
+        for s in range(nsh - 1, -1, -1):
+            vowner[np.unique(self.cells[part == s])] = s
+        # migration permutations: group cells and vertices by owner,
+        # preserving original relative order (stable) within each shard
+        cperm = np.argsort(part, kind="stable")          # new -> old cell
+        vperm = np.argsort(vowner, kind="stable")        # new -> old vertex
+        vold2new = np.empty(nv, dtype=np.int64)
+        vold2new[vperm] = np.arange(nv)
+        p = DMPlex(self.comm)
+        p.dim = self.dim
+        p.cells = vold2new[self.cells[cperm]]
+        p.coords = self.coords[vperm]
+        p.distribution = PlexDistribution(
+            p, np.sort(part, kind="stable"), overlap=overlap)
+        p.migration = {"cell_perm": cperm, "vertex_perm": vperm,
+                       "vertex_old2new": vold2new}
+        return p
+
+    distribution = None
+    migration = None
 
     def markBoundaryVertices(self):
         """Vertex ids on the domain boundary (facets shared by one cell —
@@ -322,26 +355,21 @@ class DMPlex(DM):
 
     # ---- P1 FEM assembly (plexfem.c role, vectorized) ----
 
-    def p1_gradients(self):
+    def p1_gradients(self, cells=None):
         """Per-cell P1 basis gradients and volumes (affine simplices)."""
-        if self.cells.shape[1] != self.dim + 1:
+        cells = self.cells if cells is None else cells
+        if cells.shape[1] != self.dim + 1:
             raise Error("P1 assembly needs simplicial cells")
-        import math
-        v = self.coords[self.cells]                  # (nc, d+1, d)
-        J = v[:, 1:, :] - v[:, :1, :]                # (nc, d, d)
-        detJ = np.linalg.det(J)
-        vol = np.abs(detJ) / math.factorial(self.dim)
-        Jinv = np.linalg.inv(J)                      # (nc, d, d)
-        # reference gradients: phi_0 = 1-sum(xi) -> -1s; phi_i = xi_i
-        gref = np.concatenate([-np.ones((1, self.dim)),
-                               np.eye(self.dim)], axis=0)  # (d+1, d)
-        # d/dx_e phi_v = sum_d gref[v,d] * (J^{-T})[d,e] = gref @ Jinv^T
-        g = np.einsum("vd,ced->cve", gref, Jinv)     # (nc, d+1, d)
-        return g, vol
+        return _p1_cell_gradients(self.coords, cells, self.dim)
 
     def assemblePoissonP1(self, f=1.0, dirichlet_value=0.0):
         """(A, b): P1 stiffness for -Lap u = f with Dirichlet boundary rows
-        replaced by identity (the ex45-style BC convention)."""
+        replaced by identity (the ex45-style BC convention). On a
+        distributed plex (after distribute()) assembly runs per shard over
+        owned cells with an off-process row stash into a per-shard-block
+        MPIAIJ — no global CSR is formed."""
+        if self.distribution is not None:
+            return self._assemblePoissonP1_dist(f, dirichlet_value)
         import scipy.sparse as sp
         g, vol = self.p1_gradients()
         nvl = self.cells.shape[1]
@@ -374,9 +402,189 @@ class DMPlex(DM):
         M._dm = self
         return M, Vec.from_array(b, comm=self.comm)
 
+    def _assemblePoissonP1_dist(self, f=1.0, dirichlet_value=0.0):
+        """Per-shard P1 assembly into MPIAIJ (the parallel plexfem.c +
+        MatStash path, src/mat/utils/matstash.c): each shard computes
+        element matrices for ITS OWN cells only, entries whose row is
+        owned elsewhere are stashed and exchanged to the owner, and the
+        per-shard row blocks bind directly as a distributed operator via
+        ShardedCSR — no global CSR is ever formed (the round-2 contract)."""
+        import scipy.sparse as sp
+        from ..mat.aij import MatAIJ
+        from ..mat.shardcsr import ShardedCSR
+        d = self.distribution
+        nsh, vl = d.nshards, d.vertex_layout
+        blk, nv = vl.block, self.nvertices
+        nvl = self.cells.shape[1]
+        bnd = self.markBoundaryVertices()
+        isb = np.zeros(nv, dtype=bool)
+        isb[bnd] = True
+        # stash[t] collects (rows, cols, vals) destined for shard t;
+        # rhs_stash[t] likewise for load-vector contributions
+        stash = [[] for _ in range(nsh)]
+        rhs_stash = [[] for _ in range(nsh)]
+        for s in range(nsh):
+            cells = self.cells[d.own_cells[s]]
+            if len(cells) == 0:
+                continue
+            g, vol = _p1_cell_gradients(self.coords, cells, self.dim)
+            Ke = np.einsum("cve,cwe,c->cvw", g, g, vol)
+            rows = np.repeat(cells, nvl, axis=1).reshape(-1)
+            cols = np.tile(cells, (1, nvl)).reshape(-1)
+            vals = Ke.reshape(-1)
+            # Dirichlet semantics of the serial path: bc rows -> identity
+            # (added by the owner below), bc cols zeroed from interior rows
+            keep = ~isb[rows] & ~isb[cols]
+            rows, cols, vals = rows[keep], cols[keep], vals[keep]
+            brow = cells.reshape(-1)
+            bval = np.repeat(f * vol / nvl, nvl)
+            for t in range(nsh):
+                lo, hi = vl.range(t)
+                sel = (rows >= lo) & (rows < hi)
+                if sel.any():
+                    stash[t].append((rows[sel], cols[sel], vals[sel]))
+                rsel = (brow >= lo) & (brow < hi)
+                if rsel.any():
+                    rhs_stash[t].append((brow[rsel], bval[rsel]))
+        blocks, b_global = [], np.zeros(nv)
+        for s in range(nsh):
+            lo, hi = vl.range(s)
+            rr = [r - lo for r, _, _ in stash[s]]
+            cc = [c for _, c, _ in stash[s]]
+            vv = [v for _, _, v in stash[s]]
+            # owner adds the identity for its boundary rows
+            bmine = bnd[(bnd >= lo) & (bnd < hi)]
+            rr.append(bmine - lo)
+            cc.append(bmine)
+            vv.append(np.ones(len(bmine)))
+            rr, cc, vv = (np.concatenate(a) if a else
+                          np.zeros(0, dtype=np.int64) for a in (rr, cc, vv))
+            blocks.append(sp.csr_matrix(
+                (vv, (rr.astype(np.int64), cc.astype(np.int64))),
+                shape=(blk, vl.Npad)))
+            for r, v in rhs_stash[s]:
+                np.add.at(b_global, r, v)
+        b_global[bnd] = dirichlet_value
+        S = ShardedCSR(blocks, vl, vl)
+        M = MatAIJ.from_sharded(S, self.comm)
+        M._dm = self
+        return M, Vec.from_array(b_global, comm=self.comm)
+
     def view(self, viewer=None):
         print(f"DMPlex Object (lite): dim={self.dim} cells={self.ncells} "
               f"vertices={self.nvertices}")
+
+
+def _p1_cell_gradients(coords, cells, dim):
+    """Per-cell P1 basis gradients and volumes for a cell subset (the
+    vectorized plexfem.c geometry kernel: DMPlexComputeCellGeometryFEM)."""
+    import math
+    v = coords[cells]                            # (nc, d+1, d)
+    J = v[:, 1:, :] - v[:, :1, :]                # (nc, d, d)
+    detJ = np.linalg.det(J)
+    vol = np.abs(detJ) / math.factorial(dim)
+    Jinv = np.linalg.inv(J)                      # (nc, d, d)
+    # reference gradients: phi_0 = 1-sum(xi) -> -1s; phi_i = xi_i
+    gref = np.concatenate([-np.ones((1, dim)), np.eye(dim)], axis=0)
+    # d/dx_e phi_v = sum_d gref[v,d] * (J^{-T})[d,e] = gref @ Jinv^T
+    g = np.einsum("vd,ced->cve", gref, Jinv)     # (nc, d+1, d)
+    return g, vol
+
+
+class PlexDistribution:
+    """The products of DMPlexDistribute (plexdistribute.c:1-60): per-shard
+    submeshes (owned cells + closure + overlap rings) and the point SF
+    over ghost vertices.
+
+    TPU-native shape: the mesh TOPOLOGY stays host-replicated (symbolic
+    setup data, like every other host-symbolic structure in the
+    framework); what is distributed is the WORK (each shard assembles only
+    its own cells) and the DEVICE data (vertex dofs sharded by the uniform
+    Layout, ghost exchange compiled into an ExchangePlan of neighbor
+    ppermutes). Vertex ownership = the uniform Layout over the
+    owner-grouped renumbering, so matrix/vector layouts line up with the
+    partition without per-shard ragged bookkeeping."""
+
+    def __init__(self, plex, cell_part, overlap=0):
+        from ..parallel.layout import Layout
+        from ..parallel.sf import ExchangePlan
+        nsh = plex.comm.nshards
+        self.plex = plex
+        self.nshards = nsh
+        self.overlap = overlap
+        self.cell_part = np.asarray(cell_part, dtype=np.int64)
+        self.vertex_layout = Layout(plex.nvertices, nshards=nsh)
+        # owned cells: assembled exactly once, by their partition shard
+        self.own_cells = [np.nonzero(self.cell_part == s)[0]
+                          for s in range(nsh)]
+        # overlap rings: vertex-adjacent cells (DMPlexDistributeOverlap)
+        self.local_cells = []
+        for s in range(nsh):
+            cs = self.own_cells[s]
+            for _ in range(overlap):
+                vs = np.unique(plex.cells[cs])
+                cs = np.nonzero(np.isin(plex.cells, vs).any(axis=1))[0]
+            self.local_cells.append(cs)
+        # local vertex closure: owned block + ghosts, with local-to-global
+        self.ghosts, self.l2g = [], []
+        for s in range(nsh):
+            lo, hi = self.vertex_layout.range(s)
+            touched = np.unique(plex.cells[self.local_cells[s]])
+            gh = touched[(touched < lo) | (touched >= hi)]
+            self.ghosts.append(gh)
+            self.l2g.append(np.concatenate([np.arange(lo, hi), gh]))
+        self.point_sf = ExchangePlan(self.vertex_layout, self.ghosts,
+                                     axis=plex.comm.axis)
+        self._sf_dev = None
+
+    # ---- ghost exchange (DMGlobalToLocal / DMLocalToGlobal roles) ----
+
+    def _sf_tables(self):
+        if self._sf_dev is None:
+            self._sf_dev = self.point_sf.device_tables(self.plex.comm.mesh)
+        return self._sf_dev
+
+    def ghost_values(self, x_sharded):
+        """Owner -> ghost bcast: (P, H) stacked halo values per shard
+        (x padded to Npad and sharded over the comm axis)."""
+        import jax
+        import jax.numpy as jnp
+        from jax import shard_map
+        from jax.sharding import PartitionSpec as Pt
+        from ..parallel.sf import ExchangePlan
+        plan = self.point_sf
+        meta, axis = plan.meta(), plan.axis
+        tabs = self._sf_tables()
+
+        def f(tabs_l, xl):
+            h = ExchangePlan.bcast(meta, tabs_l, xl.reshape(-1), axis)
+            return h[None]
+
+        return shard_map(
+            f, mesh=self.plex.comm.mesh,
+            in_specs=({k: Pt(axis, None) for k in tabs}, Pt(axis)),
+            out_specs=Pt(axis, None))(tabs, x_sharded)
+
+    def ghost_reduce(self, leaf_vals, x_sharded):
+        """Ghost -> owner ADD (the DMLocalToGlobal ADD_VALUES path):
+        leaf_vals (P, H) accumulate into the owners of x (Npad, sharded)."""
+        import jax.numpy as jnp
+        from jax import shard_map
+        from jax.sharding import PartitionSpec as Pt
+        from ..parallel.sf import ExchangePlan
+        plan = self.point_sf
+        meta, axis, blk = plan.meta(), plan.axis, self.vertex_layout.block
+        tabs = self._sf_tables()
+
+        def f(tabs_l, lv_l, xl):
+            back = ExchangePlan.reduce_add(meta, tabs_l, lv_l[0], blk, axis)
+            return xl.reshape(-1) + back
+
+        return shard_map(
+            f, mesh=self.plex.comm.mesh,
+            in_specs=({k: Pt(axis, None) for k in tabs},
+                      Pt(axis, None), Pt(axis)),
+            out_specs=Pt(axis))(tabs, leaf_vals, x_sharded)
 
 
 class PetscPartitioner:
