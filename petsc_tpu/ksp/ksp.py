@@ -528,17 +528,12 @@ def _cheby_extras(ksp):
         vals = [float(t) for t in s.split(",")]
         tform = tuple(vals + [0.0] * (4 - len(vals)))[:4]
     if ev is None:
-        import numpy as _np
-        from ..pc.mg import _host_eig_bounds
+        # one compiled device program for the whole Arnoldi sweep — no
+        # per-matvec host round trips (cheby.c:74-115 esteig on-device)
+        from ..ops.esteig import eig_bounds_device
         A = ksp.mat
-        op = A.op()
-        d = _np.asarray(op.diag())
-        dinv = _np.where(d != 0, 1.0 / _np.where(d == 0, 1.0, d), 1.0)
-
-        def _mult(v):
-            return _np.asarray(op.mult(jnp.asarray(v)))
-
-        emin, emax = _host_eig_bounds(_mult, dinv, A.row_layout.Npad)
+        emin, emax = eig_bounds_device(A.meta, A.device_data(),
+                                       A.row_layout.Npad)
         ev = (tform[0] * emin + tform[1] * emax,
               tform[2] * emin + tform[3] * emax)
     return (float(ev[0]), float(ev[1]))

@@ -98,6 +98,36 @@ class ShardedCSR:
         return stacked[order] if not np.all(order == np.arange(len(order))) \
             else stacked
 
+    def submatrix(self, rows, cols):
+        """(rows x cols) sub-block as a NEW ShardedCSR over the same
+        shard count: each destination shard fetches only ITS slice of the
+        requested rows from their owners (fetch_rows — the distributed
+        MatCreateSubMatrix pattern, mpiov.c/MatCreateSubMatrix_MPIAIJ)
+        and compacts the columns; no shard ever holds the full operator."""
+        import scipy.sparse as sp
+        rows = np.asarray(rows, dtype=np.int64)
+        cols = np.asarray(cols, dtype=np.int64)
+        P = self.nshards
+        rl = Layout(len(rows), nshards=P)
+        cl = Layout(len(cols), nshards=P)
+        blocks = []
+        for s in range(P):
+            lo, hi = rl.range(s)
+            if hi > lo:
+                R = self.fetch_rows(rows[lo:hi])[:, cols]
+            else:
+                R = _empty_csr(0, len(cols))
+            R = sp.csr_matrix(R)
+            if R.shape != (rl.block, cl.Npad):
+                R = sp.csr_matrix(
+                    (R.data, R.indices,
+                     np.concatenate([R.indptr,
+                                     np.full(rl.block - R.shape[0],
+                                             R.indptr[-1])])),
+                    shape=(rl.block, cl.Npad))
+            blocks.append(R)
+        return ShardedCSR(blocks, rl, cl)
+
     # ---------------- algebra ----------------
 
     def diag_shards(self):

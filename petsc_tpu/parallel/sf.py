@@ -287,18 +287,68 @@ class ExchangePlan:
 
 class VecScatter:
     """Generalized vector gather/scatter (vscat.c): y[iy] = x[ix] across
-    layouts. Host-compiled to an ExchangePlan; single-shard fast path is a
-    pure gather."""
+    layouts. With a multi-shard comm the scatter is host-compiled to a
+    CROSS-LAYOUT ExchangePlan keyed by the destination layout: each
+    y-shard's leaves are the x global indices it reads, moved by the
+    plan's neighbor ppermutes inside shard_map and scattered into the
+    shard's own block (the distributed MPI plan of vscat.c:1294/SF).
+    Single-shard fast path stays a pure gather."""
 
-    def __init__(self, x_layout, ix, y_layout, iy):
+    def __init__(self, x_layout, ix, y_layout, iy, comm=None):
         self.ix = np.asarray(ix, dtype=np.int64)
         self.iy = np.asarray(iy, dtype=np.int64)
         self.x_layout = x_layout
         self.y_layout = y_layout
+        self.comm = comm
+        self.plan = None
+        P = y_layout.nshards
+        if comm is not None and P > 1 and x_layout.nshards == P:
+            blk_y = y_layout.block
+            owners = self.iy // blk_y
+            leaves, ypos = [], []
+            for s in range(P):
+                sel = owners == s
+                leaves.append(self.ix[sel])
+                ypos.append(self.iy[sel] - s * blk_y)
+            self.plan = ExchangePlan(x_layout, leaves, axis=comm.axis)
+            H = self.plan.H
+            yp = np.full((P, H), blk_y, dtype=np.int64)   # sentinel drop
+            for s in range(P):
+                yp[s, : len(ypos[s])] = ypos[s]
+            self._ypos = yp
+            self._dev = None
+
+    def _dist_apply(self, x, y, addv):
+        import jax
+        from jax import shard_map
+        from jax.sharding import NamedSharding, PartitionSpec as Pt
+        mesh, axis = self.comm.mesh, self.comm.axis
+        plan, meta = self.plan, self.plan.meta()
+        if self._dev is None:
+            sh = NamedSharding(mesh, Pt(axis, None))
+            self._dev = (plan.device_tables(mesh),
+                         jax.device_put(jnp.asarray(self._ypos), sh))
+        tabs, ypos = self._dev
+
+        def f(tabs_l, yp_l, xl, yl):
+            halo = ExchangePlan.bcast(meta, tabs_l, xl.reshape(-1), axis)
+            yl = yl.reshape(-1)
+            upd = yl.at[yp_l[0]]
+            return (upd.add(halo, mode="drop") if addv
+                    else upd.set(halo, mode="drop"))
+
+        y.array = shard_map(
+            f, mesh=mesh,
+            in_specs=({k: Pt(axis, None) for k in tabs},
+                      Pt(axis, None), Pt(axis), Pt(axis)),
+            out_specs=Pt(axis))(tabs, ypos, x.array, y.array)
+        return y
 
     def apply(self, x, y, addv=False):
-        """Single-program apply (device gather; across-shard movement is
-        handled by XLA resharding of the gather)."""
+        """Apply; multi-shard comms run the compiled ExchangePlan path,
+        single-shard is a device gather."""
+        if self.plan is not None:
+            return self._dist_apply(x, y, addv)
         xv = x.array
         vals = xv[jnp.asarray(self.ix)]
         if addv:

@@ -121,6 +121,12 @@ class _PCBJacobi:
 
     def setup(self):
         A = self.pc.pmat
+        nsh = getattr(A.comm, "nshards", 1)
+        if (nsh > 1 and self.nblocks in (None, nsh)
+                and self.sub_type in ("ilu", "icc")
+                and not getattr(self, "sub_ksp_type", None)
+                and hasattr(A, "shardcsr")):
+            return self._setup_dist(A)
         m = A.row_layout.N
         nb = self.nblocks or max(A.comm.nshards, 1)
         # contiguous near-equal blocks (PetscLayout-style split)
@@ -182,6 +188,94 @@ class _PCBJacobi:
             inv = np.pad(inv, (0, A.row_layout.pad))
             return ("pc_jacobi",), {"inv": jnp.asarray(inv, config.real_dtype())}
         raise Error(f"bjacobi: unsupported sub_pc_type {self.sub_type}")
+
+    def _setup_dist(self, A):
+        """Distributed bjacobi: one block per SHARD, factored from the
+        shard's OWN diagonal block of the ShardedCSR (no global-CSR
+        gather; the per-rank data path of bjacobi.c), with the per-shard
+        level-scheduled trisolves running inside shard_map — block solves
+        are embarrassingly parallel across the mesh axis."""
+        import scipy.sparse as sp
+        S = A.shardcsr()
+        rl = S.row_layout
+        blk, nsh = rl.block, rl.nshards
+        plans = []
+        for s in range(nsh):
+            lo = s * blk
+            sub = S.blocks[s][:, lo:lo + blk].tocsr()
+            nvalid = rl.local_size(s)
+            if nvalid < blk:       # identity on layout-padding rows
+                padd = np.zeros(blk)
+                padd[nvalid:] = 1.0
+                sub = (sub + sp.diags(padd)).tocsr()
+            L, U, dinv = factor.ilu0(sub.indptr.astype(np.int64),
+                                     sub.indices.astype(np.int64),
+                                     sub.data)
+            plans.append(trisolve.make_trisolve_plan(L, U, dinv))
+        nlevL = max(t[1] for t, _ in plans)
+        nlevU = max(t[2] for t, _ in plans)
+        data = _stack_trisolve_plans([d for _, d in plans], blk,
+                                     nlevL, nlevU, A.comm)
+        return ("pc_bjacobi_dist", blk, nlevL, nlevU,
+                A.comm.axis, A.comm.mesh), data
+
+
+def _stack_trisolve_plans(datas, m, nlevL, nlevU, comm):
+    """Pad per-shard trisolve tables to common shapes and stack to a
+    leading mesh-axis dim, sharded so each device holds only its own
+    block's factor."""
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as Pspec
+
+    def pad_to(a, shape, fill):
+        a = np.asarray(a)
+        out = np.full(shape, fill, dtype=a.dtype)
+        out[tuple(slice(0, n) for n in a.shape)] = a
+        return out
+
+    targets = {}
+    for k in datas[0]:
+        shp = np.max([np.asarray(d[k]).shape for d in datas], axis=0)
+        # level tables must cover the static loop trip count
+        if k == "tabL":
+            shp[0] = nlevL
+        elif k == "tabU":
+            shp[0] = nlevU
+        targets[k] = tuple(int(n) for n in shp)
+    out = {}
+    for k in datas[0]:
+        fill = m if k.startswith("tab") else 0
+        arr = np.stack([pad_to(d[k], targets[k], fill) for d in datas])
+        sh = NamedSharding(comm.mesh,
+                           Pspec(comm.axis, *([None] * (arr.ndim - 1))))
+        out[k] = jax.device_put(jnp.asarray(arr), sh)
+    return out
+
+
+def _bind_pc_bjacobi_dist(meta, data):
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as Pspec
+    _, blk, nlevL, nlevU, axis, mesh = meta
+    keys = ("Ld", "Lx", "Ud", "Ux", "tabL", "tabU", "dinv")
+
+    def local(tabs, xl):
+        core = {k: tabs[k][0] for k in keys}
+        return trisolve.trisolve_apply(core, xl.reshape(-1),
+                                       blk, nlevL, nlevU)
+
+    smap = shard_map(
+        local, mesh=mesh,
+        in_specs=({k: Pspec(axis, *([None] * (data[k].ndim - 1)))
+                   for k in keys}, Pspec(axis)),
+        out_specs=Pspec(axis))
+
+    def mult(x):
+        return smap({k: data[k] for k in keys}, x)
+
+    return operator.Op(mult=mult)
+
+
+operator.register_binder("pc_bjacobi_dist", _bind_pc_bjacobi_dist)
 
 
 def _bind_trisolve(meta, data):

@@ -169,6 +169,10 @@ class _PCASM:
     def setup(self):
         import scipy.sparse as sp
         A = self.pc.pmat
+        nsh = getattr(A.comm, "nshards", 1)
+        if (nsh > 1 and self.nblocks in (None, nsh)
+                and hasattr(A, "shardcsr")):
+            return self._setup_dist(A)
         m = A.row_layout.N
         S = A.to_scipy()
         doms = self._default_domains(S, m)
@@ -196,6 +200,117 @@ class _PCASM:
         data["sel_src"] = jnp.asarray(dsts)   # position in big solution
         data["sel_dst"] = jnp.asarray(srcs)   # global row it lands in
         return ("pc_asm",) + tail + (A.row_layout.Npad,), data
+
+
+    def _setup_dist(self, A):
+        """Distributed restricted ASM: one subdomain per SHARD — own rows
+        extended by `overlap` rounds of pattern adjacency, with the
+        overlap rows fetched owner-by-owner (ShardedCSR.fetch_rows — the
+        MatIncreaseOverlap/mpiov.c role; no global CSR gather). The apply
+        runs per shard inside shard_map: halo-bcast the ghost x values,
+        solve the subdomain ILU0, keep the OWNED part (PC_ASM_RESTRICT;
+        'basic' additionally reduce-adds the overlap part back)."""
+        import scipy.sparse as sp
+        from ..mat import factor
+        from ..parallel.sf import ExchangePlan
+        from .factor_pc import _stack_trisolve_plans
+        S = A.shardcsr()
+        rl = S.row_layout
+        blk, nsh = rl.block, rl.nshards
+        doms, ghosts = [], []
+        for s in range(nsh):
+            lo, hi = rl.range(s)
+            dom = np.arange(lo, hi)
+            for _ in range(self.overlap):
+                R = S.fetch_rows(dom)
+                cols = np.unique(R.indices)
+                dom = np.union1d(dom, cols[cols < rl.N])
+            doms.append(dom)
+            ghosts.append(dom[(dom < lo) | (dom >= hi)])
+        plan = ExchangePlan(rl, ghosts, axis=A.comm.axis)
+        Dm = max(max(len(d) for d in doms), 1)
+        plans, gidx, own_pos, ghost_pos, vmask = [], [], [], [], []
+        for s in range(nsh):
+            lo, hi = rl.range(s)
+            dom, gh = doms[s], ghosts[s]
+            ms = len(dom)
+            sub = S.fetch_rows(dom)[:, dom].tocsr()
+            if ms < Dm:            # identity tail so every shard solves Dm
+                sub = sp.block_diag([sub, sp.eye(Dm - ms)]).tocsr()
+            L, U, dinv = factor.ilu0(sub.indptr.astype(np.int64),
+                                     sub.indices.astype(np.int64),
+                                     sub.data)
+            plans.append(trisolve.make_trisolve_plan(L, U, dinv))
+            # rhs gather: dom position -> [x_local | halo | 0] index
+            gi = np.full(Dm, blk + plan.H, dtype=np.int64)   # sentinel -> 0
+            own = (dom >= lo) & (dom < hi)
+            gi[:ms][own] = dom[own] - lo
+            gpos = {int(g): i for i, g in enumerate(gh)}
+            gi[:ms][~own] = blk + np.asarray(
+                [gpos[int(g)] for g in dom[~own]], dtype=np.int64)
+            gidx.append(gi)
+            # owned-part scatter: position in dom of each local row
+            op_ = np.searchsorted(dom, np.arange(lo, hi))
+            own_pos.append(np.pad(op_, (0, blk - len(op_))))
+            # overlap-part positions (for asm_type == 'basic')
+            gp = np.searchsorted(dom, gh)
+            ghost_pos.append(np.pad(gp, (0, plan.H - len(gp))))
+            vm = np.zeros(blk)
+            vm[: hi - lo] = 1.0
+            vmask.append(vm)
+        nlevL = max(t[1] for t, _ in plans)
+        nlevU = max(t[2] for t, _ in plans)
+        data = _stack_trisolve_plans([d for _, d in plans], Dm,
+                                     nlevL, nlevU, A.comm)
+        import jax
+        from jax.sharding import NamedSharding, PartitionSpec as Pt
+        sh2 = NamedSharding(A.comm.mesh, Pt(A.comm.axis, None))
+        data["gidx"] = jax.device_put(jnp.asarray(np.stack(gidx)), sh2)
+        data["own_pos"] = jax.device_put(jnp.asarray(np.stack(own_pos)), sh2)
+        data["ghost_pos"] = jax.device_put(
+            jnp.asarray(np.stack(ghost_pos)), sh2)
+        data["vmask"] = jax.device_put(jnp.asarray(np.stack(vmask)), sh2)
+        data["sf"] = plan.device_tables(A.comm.mesh)
+        return ("pc_asm_dist", blk, Dm, nlevL, nlevU, plan.H, plan.meta(),
+                self.asm_type, A.comm.axis, A.comm.mesh), data
+
+
+def _bind_pc_asm_dist(meta, data):
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as Pt
+    from ..parallel.sf import ExchangePlan
+    _, blk, Dm, nlevL, nlevU, H, sf_meta, asm_type, axis, mesh = meta
+    keys = ("Ld", "Lx", "Ud", "Ux", "tabL", "tabU", "dinv")
+    tkeys = keys + ("gidx", "own_pos", "ghost_pos", "vmask")
+
+    def local(tabs, sf, xl):
+        core = {k: tabs[k][0] for k in keys}
+        xl = xl.reshape(-1)
+        halo = ExchangePlan.bcast(sf_meta, sf, xl, axis)
+        buf = jnp.concatenate([xl, halo, jnp.zeros((1,), xl.dtype)])
+        sol = trisolve.trisolve_apply(core, buf[tabs["gidx"][0]],
+                                      Dm, nlevL, nlevU)
+        y = sol[tabs["own_pos"][0]] * tabs["vmask"][0]
+        if asm_type == "basic":
+            back = ExchangePlan.reduce_add(
+                sf_meta, sf, sol[tabs["ghost_pos"][0]], blk, axis)
+            y = y + back * tabs["vmask"][0]
+        return y
+
+    smap = shard_map(
+        local, mesh=mesh,
+        in_specs=({k: Pt(axis, *([None] * (data[k].ndim - 1)))
+                   for k in tkeys},
+                  {k: Pt(axis, None) for k in data["sf"]}, Pt(axis)),
+        out_specs=Pt(axis))
+
+    def mult(x):
+        return smap({k: data[k] for k in tkeys}, data["sf"], x)
+
+    return operator.Op(mult=mult)
+
+
+operator.register_binder("pc_asm_dist", _bind_pc_asm_dist)
 
 
 def _bind_pc_asm(meta, data):
@@ -387,52 +502,86 @@ class _PCFieldSplit:
         if not self.fields:
             self._default_fields()
         A = self.pc.pmat
-        S = A.to_scipy()
         isets = [idx for _, idx in self.fields]
         nf = len(isets)
-        blocks = [[S[isets[i]][:, isets[j]].tocsr() for j in range(nf)]
-                  for i in range(nf)]
+        nsh = getattr(A.comm, "nshards", 1)
+        dist = nsh > 1 and hasattr(A, "shardcsr")
+        if dist:
+            # distributed split (round-2 contract): every sub-block is
+            # extracted per destination shard from the ShardedCSR
+            # (fetch_rows — MatCreateSubMatrix_MPIAIJ/mpiov.c role) and
+            # bound via from_sharded; no full-operator gather
+            Ssh = A.shardcsr()
+            bsh = [[Ssh.submatrix(isets[i], isets[j]) for j in range(nf)]
+                   for i in range(nf)]
+            Ms = [[MatAIJ.from_sharded(bsh[i][j], A.comm)
+                   for j in range(nf)] for i in range(nf)]
+        else:
+            S = A.to_scipy()
+            blocks = [[S[isets[i]][:, isets[j]].tocsr() for j in range(nf)]
+                      for i in range(nf)]
+            Ms = [[MatAIJ.from_scipy(blocks[i][j], comm=A.comm)
+                   for j in range(nf)] for i in range(nf)]
         sub_pcs = []
         for i in range(nf):
             p = PC(options=self.pc._options,
                    prefix=(self.pc.get_options_prefix() or "")
                    + f"fieldsplit_{self.fields[i][0]}_")
-            Mi = MatAIJ.from_scipy(blocks[i][i], comm=A.comm)
+            Mi = Ms[i][i]
             if self.ftype == "schur" and i == 1:
-                p._schur_ctx = (blocks[0][0], blocks[0][1],
-                                blocks[1][0], blocks[1][1])
-                if self.schur_pre == "selfp":
-                    d0 = blocks[0][0].diagonal()
-                    d0 = np.where(d0 == 0, 1.0, d0)
-                    import scipy.sparse as sp
-                    Sp = (blocks[1][1] - blocks[1][0]
-                          @ sp.diags(1.0 / d0) @ blocks[0][1]).tocsr()
-                    Mi = MatAIJ.from_scipy(Sp, comm=A.comm)
+                if dist:
+                    # LSC-style consumers factor on host; hand them the
+                    # (small) sub-blocks, not the full operator
+                    p._schur_ctx = tuple(
+                        bsh[a][b].to_global_csr()
+                        [: len(isets[a]), : len(isets[b])].tocsr()
+                        for a, b in ((0, 0), (0, 1), (1, 0), (1, 1)))
+                    if self.schur_pre == "selfp":
+                        # Sp = A11 - A10 D0^-1 A01, per-shard algebra
+                        # (the mpiptap.c-style distributed product)
+                        rl0 = bsh[0][0].row_layout
+                        d0 = np.concatenate(bsh[0][0].diag_shards())
+                        d0 = np.where(d0 == 0, 1.0, d0)
+                        vals = [1.0 / d0[s * rl0.block:(s + 1) * rl0.block]
+                                for s in range(nsh)]
+                        A01s = bsh[0][1].scale_rows(vals)
+                        Sp_sh = bsh[1][1].add(bsh[1][0].spmm(A01s) * -1.0)
+                        Mi = MatAIJ.from_sharded(Sp_sh, A.comm)
+                else:
+                    p._schur_ctx = (blocks[0][0], blocks[0][1],
+                                    blocks[1][0], blocks[1][1])
+                    if self.schur_pre == "selfp":
+                        d0 = blocks[0][0].diagonal()
+                        d0 = np.where(d0 == 0, 1.0, d0)
+                        import scipy.sparse as sp
+                        Sp = (blocks[1][1] - blocks[1][0]
+                              @ sp.diags(1.0 / d0) @ blocks[0][1]).tocsr()
+                        Mi = MatAIJ.from_scipy(Sp, comm=A.comm)
             p.setOperators(Mi, Mi)
             if self.fields[i][0] in self.sub_types:
                 p.setType(self.sub_types[self.fields[i][0]])
             p.setFromOptions()
             sub_pcs.append(p)
         self.sub_pcs = sub_pcs
-        rd = config.real_dtype()
         data = {
             "isets": tuple(jnp.asarray(ix) for ix in isets),
             "subs": tuple(p.device_data() for p in sub_pcs),
             "blocks": tuple(tuple(
-                MatAIJ.from_scipy(blocks[i][j], comm=A.comm).device_data()
+                Ms[i][j].device_data()
                 if i != j else None for j in range(nf)) for i in range(nf)),
         }
         bmetas = tuple(tuple(
-            MatAIJ.from_scipy(blocks[i][j], comm=A.comm).meta
+            Ms[i][j].meta
             if i != j else None for j in range(nf)) for i in range(nf))
+        pads = tuple(Ms[i][i].row_layout.Npad for i in range(nf))
         meta = ("pc_fieldsplit", self.ftype, self.schur_fact,
                 A.row_layout.Npad, tuple(p.meta for p in sub_pcs), bmetas,
-                tuple(len(ix) for ix in isets))
+                tuple(len(ix) for ix in isets), pads)
         return meta, data
 
 
 def _bind_pc_fieldsplit(meta, data):
-    _, ftype, sfact, npad, sub_metas, bmetas, sizes = meta
+    _, ftype, sfact, npad, sub_metas, bmetas, sizes, pads = meta
     nf = len(sizes)
     isets = data["isets"]
     subs = [operator.bind(m_, d_) for m_, d_ in zip(sub_metas, data["subs"])]
@@ -440,10 +589,12 @@ def _bind_pc_fieldsplit(meta, data):
             if i != j else None for j in range(nf)] for i in range(nf)]
 
     def scatter(y, idx, vals):
-        return y.at[idx].set(vals)
+        return y.at[idx].set(vals[: idx.shape[0]])
 
     def mult(x):
-        xs = [x[ix] for ix in isets]
+        # sub-vectors padded to each field's distributed layout
+        xs = [jnp.pad(x[ix], (0, pads[i] - ix.shape[0]))
+              for i, ix in enumerate(isets)]
         y = jnp.zeros_like(x)
         if ftype == "additive":
             for i in range(nf):

@@ -149,3 +149,25 @@ def test_two_level_mesh_solve():
     assert ksp.getConvergedReason().converged
     x.axpy(-1.0, u)
     assert float(x.norm()) < 1e-5
+
+
+def test_vecscatter_distributed_cross_layout():
+    """Cross-layout distributed scatter: y[iy] = x[ix] with both vectors
+    sharded over 4 devices — the ExchangePlan path (vscat.c MPI plan
+    role), including ADD_VALUES accumulate."""
+    rng = np.random.default_rng(5)
+    comm = make_comm(4)
+    xnp = rng.random(40)
+    x = pt.Vec.from_array(xnp, comm=comm)
+    y = pt.Vec.from_array(np.zeros(24), comm=comm)
+    ix = rng.permutation(40)[:24]
+    iy = rng.permutation(24)
+    sc = VecScatter(x.layout, ix, y.layout, iy, comm=comm)
+    assert sc.plan is not None           # distributed plan engaged
+    sc.apply(x, y)
+    expect = np.zeros(24)
+    expect[iy] = xnp[ix]
+    np.testing.assert_allclose(np.asarray(y.getArray())[:24], expect)
+    # accumulate on top
+    sc.apply(x, y, addv=True)
+    np.testing.assert_allclose(np.asarray(y.getArray())[:24], 2 * expect)
