@@ -45,6 +45,12 @@ def __getattr__(name):
     if name == "KSP":
         from .ksp.ksp import KSP
         return KSP
+    if name == "MatColoring":
+        from .mat.coloring import MatColoring
+        return MatColoring
+    if name == "MatFDColoring":
+        from .mat.fdcoloring import MatFDColoring
+        return MatFDColoring
     if name == "PC":
         from .pc.pc import PC
         return PC

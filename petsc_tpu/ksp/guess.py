@@ -21,16 +21,33 @@ class KSPGuess:
         self.ksp = ksp
         self.kind = kind
         self.size = size
-        self._Q = []       # orthonormalized A x basis
-        self._X = []       # matched solution combinations
+        self._Q = []       # fischer: orthonormalized A x basis
+        self._X = []       # fischer: matched solution combinations
+        self._snaps = []   # pod: solution snapshot window
+        self._phi = None   # pod: POD basis (n, k)
+        self._red = None   # pod: reduced operator Phi^T A Phi (k, k)
 
     def reset(self):
         self._Q.clear()
         self._X.clear()
+        self._snaps.clear()
+        self._phi = None
+        self._red = None
 
     def formGuess(self, b):
         """x0 from the stored subspace."""
         b = np.asarray(b)
+        if self.kind == "pod":
+            if self._phi is None:
+                return None
+            # Galerkin projection onto the POD basis (pod.c KSPGuessFormGuess):
+            # solve (Phi^T A Phi) y = Phi^T b, x0 = Phi y
+            rhs = self._phi.T @ b[: self._phi.shape[0]]
+            try:
+                y = np.linalg.solve(self._red, rhs)
+            except np.linalg.LinAlgError:
+                y, *_ = np.linalg.lstsq(self._red, rhs, rcond=None)
+            return self._phi @ y
         if not self._Q:
             return None
         x0 = np.zeros_like(b)
@@ -38,12 +55,34 @@ class KSPGuess:
             x0 += np.dot(q, b) * xh
         return x0
 
+    def _apply_A(self, v):
+        from ..vec.vec import Vec
+        A = self.ksp.mat
+        return np.asarray(A.op().mult(Vec.from_array(v).array))[: len(v)]
+
+    def _pod_recompute(self):
+        """SVD-compress the snapshot window into a POD basis and build
+        the reduced operator (pod.c KSPGuessUpdate_POD: correlation-matrix
+        eigendecomposition; the thin SVD of the snapshot matrix is the
+        same subspace, computed directly)."""
+        X = np.stack(self._snaps, axis=1)              # (n, m)
+        U, s, _ = np.linalg.svd(X, full_matrices=False)
+        k = max(int(np.sum(s > 1e-10 * max(s[0], 1e-300))), 1)
+        self._phi = U[:, :k]
+        aphi = np.stack([self._apply_A(self._phi[:, j])
+                         for j in range(k)], axis=1)   # (n, k)
+        self._red = self._phi.T @ aphi                 # Phi^T A Phi
+
     def update(self, x, b):
         """Store a converged pair (KSPGuessUpdate)."""
         x = np.asarray(x, dtype=np.float64).copy()
-        A = self.ksp.mat
-        from ..vec.vec import Vec
-        ax = np.asarray(A.op().mult(Vec.from_array(x).array))[: len(x)]
+        if self.kind == "pod":
+            self._snaps.append(x)
+            if len(self._snaps) > self.size:
+                self._snaps.pop(0)
+            self._pod_recompute()
+            return
+        ax = self._apply_A(x)
         # orthonormalize ax against stored basis (modified GS)
         xh = x.copy()
         q = ax.copy()

@@ -10,24 +10,21 @@ from .aij import MatAIJ
 
 
 class MatFDColoring:
-    def __init__(self, pattern: MatAIJ):
+    def __init__(self, pattern: MatAIJ, ctype="greedy"):
         import scipy.sparse as sp
         S = pattern.to_scipy()
         self._S = sp.csr_matrix(
             (np.ones_like(S.data), S.indices, S.indptr), shape=S.shape)
-        C = (self._S.T @ self._S).tocsr()
-        from .. import native
-        colors = native.greedy_color(C.indptr.astype(np.int64),
-                                     C.indices.astype(np.int64))
+        colors = None
+        if ctype == "greedy":
+            C = (self._S.T @ self._S).tocsr()
+            from .. import native
+            colors = native.greedy_color(C.indptr.astype(np.int64),
+                                         C.indices.astype(np.int64))
         if colors is None:
-            colors = np.zeros(S.shape[1], dtype=np.int64)
-            for j in range(S.shape[1]):
-                nbr = C.indices[C.indptr[j]:C.indptr[j + 1]]
-                used = set(colors[nbr[nbr < j]].tolist())
-                c = 0
-                while c in used:
-                    c += 1
-                colors[j] = c
+            from .coloring import MatColoring
+            mc = MatColoring(pattern, ctype)
+            colors = mc.apply()
         self.colors = colors
         self.ncolors = int(colors.max()) + 1
 

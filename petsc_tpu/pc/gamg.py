@@ -274,6 +274,9 @@ class _PCGAMG(_PCMG):
         self.coarsen_type = "mis"      # mis | hem
         self.hem_rounds = 3
         self.strength_index = None
+        self.gamg_type = "agg"         # agg | classical (classical.c)
+        self.classical_type = "direct"  # direct | standard
+        self.classical_nsmooths = 0
 
     def set_from_options(self):
         super().set_from_options()
@@ -302,6 +305,15 @@ class _PCGAMG(_PCMG):
         t = o("get_string", "pc_gamg_mat_coarsen_strength_index", None)
         if t:
             self.strength_index = [int(x) for x in t.split(",")]
+        t = o("get_string", "pc_gamg_type", None)
+        if t:
+            self.gamg_type = t
+        t = o("get_string", "pc_gamg_classical_type", None)
+        if t:
+            self.classical_type = t
+        n = o("get_int", "pc_gamg_classical_nsmooths", None)
+        if n is not None:
+            self.classical_nsmooths = n
 
     def _threshold(self, level):
         if level < len(self.threshold):
@@ -383,7 +395,8 @@ class _PCGAMG(_PCMG):
             (np.asarray(Bn.vectors if hasattr(Bn, "vectors") else Bn)
              .reshape(A.row_layout.N, -1).shape[1])
         if (A.comm.nshards > 1 and bs == 1 and nvec == 1
-                and self.coarsen_type == "mis"):
+                and self.coarsen_type == "mis"
+                and self.gamg_type == "agg"):
             A_sp, Bn, level = self._dist_levels(A, levels)
             # continue serially on the replicated tail
         else:
@@ -398,6 +411,40 @@ class _PCGAMG(_PCMG):
         cur_bs = bs
         while (cur.shape[0] > self.coarse_eq_limit
                and level < self.max_levels - 1):
+            if self.gamg_type == "classical":
+                # Ruge-Stüben path (classical.c): classical strength, MIS
+                # coarse points, ±-split direct/standard interpolation,
+                # unsmoothed by default (cls->nsmooths = 0)
+                from .gamg_classical import (classical_strength,
+                                             classical_direct_prolongator,
+                                             classical_standard_prolongator)
+                theta = max(self._threshold(level), 0.0)
+                G = classical_strength(cur, theta)
+                agg, nagg, roots = mis_aggregate(G)
+                if nagg == 0 or len(roots) >= cur.shape[0]:
+                    break
+                mk = (classical_standard_prolongator
+                      if self.classical_type == "standard"
+                      else classical_direct_prolongator)
+                P = mk(cur, roots, theta)
+                d = cur.diagonal()
+                dinv = np.where(d != 0, 1.0 / np.where(d == 0, 1.0, d), 1.0)
+                emax = _host_emax(cur, dinv)
+                for _ in range(self.classical_nsmooths):
+                    # OptProlongator_Classical_Jacobi (classical.c:794)
+                    P = (P - (1.4 / emax) * sp.diags(dinv)
+                         @ (cur @ P)).tocsr()
+                levels[-1].emin, levels[-1].emax = self.eig_bounds(emax)
+                levels[-1].agg = np.asarray(agg)
+                levels[-1].agg_bs = 1
+                levels[-1].P = MatAIJ.from_scipy(P, comm=coarse_comm)
+                Ac = (P.T @ cur @ P).tocsr()
+                Ac.eliminate_zeros()
+                levels.append(MGLevelSpec(
+                    MatAIJ.from_scipy(Ac, comm=coarse_comm)))
+                cur = Ac
+                level += 1
+                continue
             G = strength_graph(cur, bs=cur_bs,
                                threshold=self._threshold(level),
                                index=self.strength_index)
