@@ -59,6 +59,184 @@ def gauss_quadrature(dim, npoints_1d, cell="simplex"):
     raise NotImplementedError(f"quadrature dim={dim} cell={cell}")
 
 
+def stroud_conical_quadrature(dim, degree):
+    """Simplex quadrature exact to `degree` by the Stroud conical product
+    (PetscDTStroudConicalQuadrature, dt.c): 1-D Gauss-Jacobi rules with
+    weights (1-x)^a collapsed through the Duffy map. Works for any dim
+    and degree (unlike the tabulated Dunavant special cases)."""
+    from scipy.special import roots_jacobi
+    n = degree // 2 + 1
+
+    def rule(alpha):
+        x, w = roots_jacobi(n, alpha, 0.0)
+        # map [-1,1] with weight (1-x)^alpha to [0,1] with (1-t)^alpha
+        t = 0.5 * (x + 1.0)
+        wt = w * 0.5 ** (alpha + 1)
+        return t, wt
+
+    axes = [rule(dim - 1 - i) for i in range(dim)]
+    pts = np.zeros((n ** dim, dim))
+    wts = np.ones(n ** dim)
+    idx = np.stack(np.meshgrid(*[np.arange(n)] * dim,
+                               indexing="ij"), axis=-1).reshape(-1, dim)
+    for k, ii in enumerate(idx):
+        rem = 1.0
+        for d in range(dim):
+            t, wt = axes[d]
+            pts[k, d] = rem * t[ii[d]]
+            rem *= (1.0 - t[ii[d]])
+            wts[k] *= wt[ii[d]]
+    return pts, wts
+
+
+# ---------------------------------------------------------------------
+# PetscSpace / PetscDualSpace / tabulation (Lagrange family)
+# ---------------------------------------------------------------------
+
+def _p_monomials(dim, k):
+    """Exponent multi-indices of P_k (total degree <= k)."""
+    out = []
+
+    def rec(prefix, left, d):
+        if d == dim:
+            out.append(tuple(prefix))
+            return
+        for e in range(left + 1):
+            rec(prefix + [e], left - e, d + 1)
+
+    rec([], k, 0)
+    return np.asarray(sorted(out), dtype=np.int64)
+
+
+def _q_monomials(dim, k):
+    """Exponent multi-indices of Q_k (max degree <= k per axis)."""
+    grids = np.meshgrid(*[np.arange(k + 1)] * dim, indexing="ij")
+    return np.stack(grids, axis=-1).reshape(-1, dim)
+
+
+def _eval_monomials(expo, pts):
+    """(npts, nb) monomial values and (npts, nb, dim) gradients."""
+    npts, dim = pts.shape
+    nb = len(expo)
+    V = np.ones((npts, nb))
+    G = np.zeros((npts, nb, dim))
+    for j, e in enumerate(expo):
+        for d in range(dim):
+            V[:, j] *= pts[:, d] ** e[d]
+        for d in range(dim):
+            g = (e[d] * pts[:, d] ** max(e[d] - 1, 0)
+                 if e[d] > 0 else np.zeros(npts))
+            for dd in range(dim):
+                if dd != d:
+                    g = g * pts[:, dd] ** e[dd]
+            G[:, j, d] = g
+    return V, G
+
+
+def _lagrange_nodes(dim, k, cell):
+    """PetscDualSpace Lagrange: nodal points on the reference cell, with
+    each node classified by the sub-entity it lives on:
+    ('vertex', v) | ('edge', (a, b), pos) | ('face', (a, b, c)) |
+    ('interior',). Simplex nodes are the barycentric lattice i/k."""
+    if cell == "tensor":
+        if dim == 3 and k > 1:
+            raise NotImplementedError("tensor 3-D Lagrange: Q1 only "
+                                      "(hex-face dof orientation deferred)")
+        ax = np.linspace(0.0, 1.0, k + 1)
+        grids = np.meshgrid(*[ax] * dim, indexing="ij")
+        pts = np.stack(grids, axis=-1).reshape(-1, dim)
+        kinds = []
+        for p in pts:
+            on0 = [abs(c) < 1e-12 for c in p]
+            on1 = [abs(c - 1) < 1e-12 for c in p]
+            onb = [a or b for a, b in zip(on0, on1)]
+            if all(onb):
+                kinds.append(("vertex", _tensor_corner(p, dim)))
+            elif dim == 2 and any(onb):
+                # quad edge nodes: corners ccw 0=00,1=10,2=11,3=01; the
+                # local (a, b) pair fixes the direction pos counts along
+                x, y = p
+                if on0[1]:
+                    kinds.append(("edge", (0, 1), int(round(x * k))))
+                elif on1[0]:
+                    kinds.append(("edge", (1, 2), int(round(y * k))))
+                elif on1[1]:
+                    kinds.append(("edge", (3, 2), int(round(x * k))))
+                else:
+                    kinds.append(("edge", (0, 3), int(round(y * k))))
+            else:
+                kinds.append(("interior",))
+        return pts, kinds
+    # simplex barycentric lattice: multi-indices (b0..bd) summing to k;
+    # slot i <-> vertex i (vertex 0 at the origin), coords = (b1..bd)/k
+    out = []
+
+    def rec(prefix, left, d):
+        if d == dim:
+            out.append(prefix + [left])
+            return
+        for e in range(left + 1):
+            rec(prefix + [e], left - e, d + 1)
+
+    rec([], k, 0)
+    bary = np.asarray(out, dtype=np.int64)       # (nb, dim+1)
+    pts = bary[:, 1:] / max(k, 1)                # coords = (b1..bd)/k
+    kinds = []
+    for bb in bary:
+        nz = np.nonzero(bb)[0]
+        if len(nz) == 1:
+            kinds.append(("vertex", int(nz[0])))
+        elif len(nz) == 2:
+            a, b = int(nz[0]), int(nz[1])
+            # position along the edge a->b (1..k-1)
+            kinds.append(("edge", (a, b), int(bb[b])))
+        elif len(nz) == 3 and dim == 3:
+            kinds.append(("face", tuple(int(v) for v in nz)))
+        else:
+            kinds.append(("interior",))
+    return pts, kinds
+
+
+def _tensor_corner(p, dim):
+    """Map a tensor-cell corner coordinate to the plex corner number
+    (2-D quads: 00,10,11,01 counter-clockwise; 3-D hexes: the
+    createBoxMesh ordering)."""
+    bits = tuple(int(abs(c - 1) < 1e-12) for c in p)
+    if dim == 2:
+        return {(0, 0): 0, (1, 0): 1, (1, 1): 2, (0, 1): 3}[bits]
+    order = [(0, 0, 0), (1, 0, 0), (1, 1, 0), (0, 1, 0),
+             (0, 0, 1), (1, 0, 1), (1, 1, 1), (0, 1, 1)]
+    return order.index(bits)
+
+
+def lagrange_fe(dim, k, cell="simplex", qdeg=None, ncomp=1):
+    """PetscFECreateLagrange role: nodal Lagrange element of order k on a
+    simplex or tensor reference cell, any dim — PetscSpace (monomials) x
+    PetscDualSpace (lattice nodes) inverted through the generalized
+    Vandermonde, tabulated at a quadrature exact for degree 2k."""
+    qdeg = qdeg if qdeg is not None else 2 * k
+    if cell == "tensor":
+        qp, qw = gauss_quadrature(dim, qdeg // 2 + 1, cell="tensor")
+        expo = _q_monomials(dim, k)
+    else:
+        qp, qw = stroud_conical_quadrature(dim, qdeg)
+        expo = _p_monomials(dim, k)
+    nodes, kinds = _lagrange_nodes(dim, k, cell)
+    Vn, _ = _eval_monomials(expo, nodes)
+    C = np.linalg.inv(Vn)                         # coeffs: nodal basis
+    Vq, Gq = _eval_monomials(expo, qp)
+    B = Vq @ C                                    # (nq, nb)
+    D = np.einsum("qmd,mb->qbd", Gq, C)           # (nq, nb, dim)
+    fe = FE(f"{'q' if cell == 'tensor' else 'p'}{k}", dim, len(nodes),
+            (qp, qw), B, D, "lagrange")
+    fe.order = k
+    fe.cell = cell
+    fe.nodes = nodes
+    fe.node_kinds = kinds
+    fe.ncomp = ncomp
+    return fe
+
+
 # ---------------------------------------------------------------------
 # tabulated spaces (PetscSpace/PetscFE role)
 # ---------------------------------------------------------------------
@@ -138,6 +316,118 @@ def build_edges(cells):
     return edges, c2e
 
 
+def _entity_maps(cells, kinds):
+    """Number the edge/face sub-entities a Lagrange element's nodes live
+    on (the PetscSection-over-strata role): returns (edge dict
+    {sorted global pair -> id}, face dict {sorted global triple -> id})."""
+    edge_locals = sorted({kk[1] for kk in kinds if kk[0] == "edge"})
+    face_locals = sorted({kk[1] for kk in kinds if kk[0] == "face"})
+    emap, fmap = {}, {}
+    for cell in cells:
+        for a, b in edge_locals:
+            key = tuple(sorted((int(cell[a]), int(cell[b]))))
+            if key not in emap:
+                emap[key] = len(emap)
+        for tri in face_locals:
+            key = tuple(sorted(int(cell[v]) for v in tri))
+            if key not in fmap:
+                fmap[key] = len(fmap)
+    return emap, fmap
+
+
+def build_dof_layout(cells, coords, fe):
+    """Global continuous dof numbering for a Lagrange FE: vertex dofs
+    first, then (k-1) per edge (positions oriented from the LOWER global
+    vertex so neighbors agree), then one per face (3-D P3 centroid),
+    then per-cell interior dofs. Returns (conn (nc, nb), ndof,
+    dof_coords (ndof, dim)) — the PetscDualSpace/PetscSection closure
+    numbering of plexfem.c, vectorized per local node over all cells."""
+    cells = np.asarray(cells, dtype=np.int64)
+    nc = len(cells)
+    nv = int(cells.max()) + 1 if nc else 0
+    k = fe.order
+    kinds = fe.node_kinds
+    emap, fmap = _entity_maps(cells, kinds)
+    ne, nf = len(emap), len(fmap)
+    per_edge = k - 1
+    n_int = sum(1 for kk in kinds if kk[0] == "interior")
+    base_e = nv
+    base_f = base_e + ne * per_edge
+    base_i = base_f + nf
+    ndof = base_i + nc * n_int
+    conn = np.zeros((nc, fe.nb), dtype=np.int64)
+    eid = np.zeros(nc, dtype=np.int64)
+    int_count = 0
+    for j, kk in enumerate(kinds):
+        if kk[0] == "vertex":
+            conn[:, j] = cells[:, kk[1]]
+        elif kk[0] == "edge":
+            (a, b), pos = kk[1], kk[2]
+            ga, gb = cells[:, a], cells[:, b]
+            lo = np.minimum(ga, gb)
+            hi = np.maximum(ga, gb)
+            for c in range(nc):
+                eid[c] = emap[(int(lo[c]), int(hi[c]))]
+            p = np.where(ga <= gb, pos, k - pos)       # orient low -> high
+            conn[:, j] = base_e + eid * per_edge + (p - 1)
+        elif kk[0] == "face":
+            tri = kk[1]
+            for c in range(nc):
+                key = tuple(sorted(int(cells[c, v]) for v in tri))
+                conn[c, j] = base_f + fmap[key]
+        else:
+            conn[:, j] = base_i + np.arange(nc) * n_int + int_count
+            int_count += 1
+    # physical node coordinates (affine simplex / multilinear tensor map)
+    dof_coords = np.zeros((ndof, coords.shape[1]))
+    phys = _map_nodes(coords, cells, fe)
+    dof_coords[conn.reshape(-1)] = phys.reshape(-1, coords.shape[1])
+    return conn, ndof, dof_coords
+
+
+def _map_nodes(coords, cells, fe):
+    """Reference nodes -> physical coords per cell, (nc, nb, dim)."""
+    xe = coords[cells]
+    if fe.cell == "simplex":
+        lam0 = 1.0 - fe.nodes.sum(axis=1, keepdims=True)
+        lam = np.concatenate([lam0, fe.nodes], axis=1)   # (nb, d+1)
+        return np.einsum("bv,cvd->cbd", lam, xe[:, : fe.dim + 1])
+    # multilinear corner map
+    Bg, _ = _geom_tabulation(fe.dim, fe.nodes)
+    return np.einsum("bv,cvd->cbd", Bg, xe)
+
+
+def _geom_tabulation(dim, pts):
+    """Q1 corner geometry basis values/gradients at `pts` (isoparametric
+    map for tensor cells), corners in the plex ordering."""
+    x = pts[:, 0]
+    if dim == 2:
+        y = pts[:, 1]
+        B = np.stack([(1 - x) * (1 - y), x * (1 - y),
+                      x * y, (1 - x) * y], axis=1)
+        D = np.stack([
+            np.stack([-(1 - y), -(1 - x)], axis=1),
+            np.stack([(1 - y), -x], axis=1),
+            np.stack([y, x], axis=1),
+            np.stack([-y, (1 - x)], axis=1)], axis=1)
+        return B, D
+    y, z = pts[:, 1], pts[:, 2]
+    corners = [(0, 0, 0), (1, 0, 0), (1, 1, 0), (0, 1, 0),
+               (0, 0, 1), (1, 0, 1), (1, 1, 1), (0, 1, 1)]
+    B = np.stack([
+        (x if cx else 1 - x) * (y if cy else 1 - y) * (z if cz else 1 - z)
+        for cx, cy, cz in corners], axis=1)
+    D = np.zeros((len(pts), 8, 3))
+    for v, (cx, cy, cz) in enumerate(corners):
+        fx, gx = (x, np.ones_like(x)) if cx else (1 - x, -np.ones_like(x))
+        fy, gy = (y, np.ones_like(y)) if cy else (1 - y, -np.ones_like(y))
+        fz, gz = (z, np.ones_like(z)) if cz else (1 - z, -np.ones_like(z))
+        D[:, v, 0] = gx * fy * fz
+        D[:, v, 1] = fx * gy * fz
+        D[:, v, 2] = fx * fy * gz
+    return B, D
+
+
 class DS:
     """PetscDS role: assemble residual/Jacobian from pointwise weak forms
 
@@ -151,10 +441,24 @@ class DS:
         self.fe = fe
         self.cells = np.asarray(plex.cells, dtype=np.int64)
         self.coords = np.asarray(plex.coords, dtype=np.float64)
+        self.ncomp = getattr(fe, "ncomp", 1)
         nv = len(self.coords)
-        if fe.dof_kind == "vertex+edge":
+        if getattr(fe, "order", None) is not None:
+            # generic Lagrange path (any order/dim/cell, vector fields)
+            conn, nn, dof_xy = build_dof_layout(self.cells, self.coords, fe)
+            self.node_conn = conn
+            self.ndof = nn * self.ncomp
+            self.dof_coords = dof_xy
+            if self.ncomp == 1:
+                self.conn = conn
+            else:
+                nc = self.ncomp
+                self.conn = (conn[:, :, None] * nc
+                             + np.arange(nc)).reshape(len(conn), -1)
+        elif fe.dof_kind == "vertex+edge":
             self.edges, c2e = build_edges(self.cells)
             self.conn = np.concatenate([self.cells, nv + c2e], axis=1)
+            self.node_conn = self.conn
             self.ndof = nv + len(self.edges)
             # P2 node coordinates (vertices + midpoints) for BC detection
             mids = 0.5 * (self.coords[self.edges[:, 0]]
@@ -162,6 +466,7 @@ class DS:
             self.dof_coords = np.vstack([self.coords, mids])
         else:
             self.conn = self.cells
+            self.node_conn = self.cells
             self.ndof = nv
             self.dof_coords = self.coords
         self.f0 = None
@@ -175,33 +480,61 @@ class DS:
 
     def _element_kernel(self):
         fe = self.fe
+        dim = fe.dim
+        nc = self.ncomp
         B = jnp.asarray(fe.B)
         Dref = jnp.asarray(fe.D)
         qw = jnp.asarray(fe.qw)
-        f0 = self.f0 or (lambda u, gu, x: 0.0)
-        f1 = self.f1 or (lambda u, gu, x: jnp.zeros(fe.dim))
-        vtx = self.cells.shape[1]
+        qp = np.asarray(fe.qp)
+        nq = len(qp)
+        simplex = getattr(fe, "cell", "simplex") == "simplex"
+        if nc == 1:
+            f0 = self.f0 or (lambda u, gu, x: 0.0)
+            f1 = self.f1 or (lambda u, gu, x: jnp.zeros(dim))
+        else:
+            f0 = self.f0 or (lambda u, gu, x: jnp.zeros(nc))
+            f1 = self.f1 or (lambda u, gu, x: jnp.zeros((nc, dim)))
+        if simplex:
+            lam = np.concatenate(
+                [1 - qp.sum(axis=1, keepdims=True), qp], axis=1)
+            lam = jnp.asarray(lam)                       # (nq, d+1)
+        else:
+            Bg, Dg = _geom_tabulation(dim, qp)
+            Bg, Dg = jnp.asarray(Bg), jnp.asarray(Dg)
 
         def element(ue, xe):
-            # affine simplex map from the vertex coords (first vtx rows)
-            J = jnp.stack([xe[1] - xe[0], xe[2] - xe[0]], axis=1) \
-                if vtx == 3 else None
-            detJ = jnp.abs(jnp.linalg.det(J))
-            Jinv = jnp.linalg.inv(J)
-            gD = jnp.einsum("qbd,de->qbe", Dref, Jinv)   # phys gradients
-            uq = B @ ue                                  # (nq,)
-            guq = jnp.einsum("qbe,b->qe", gD, ue)        # (nq, dim)
-            # quadrature-point physical coords via the P1 vertex map
-            lam = jnp.concatenate(
-                [1 - jnp.asarray(fe.qp).sum(axis=1, keepdims=True),
-                 jnp.asarray(fe.qp)], axis=1)
-            xq = lam @ xe
-            f0q = jax.vmap(f0)(uq, guq, xq)              # (nq,)
-            f1q = jax.vmap(f1)(uq, guq, xq)              # (nq, dim)
+            # geometry: affine (simplex, constant J) or isoparametric
+            # multilinear (tensor cells, per-quadrature-point J)
+            if simplex:
+                J = jnp.stack([xe[i + 1] - xe[0] for i in range(dim)],
+                              axis=1)
+                detJ = jnp.broadcast_to(jnp.abs(jnp.linalg.det(J)), (nq,))
+                Jinv = jnp.broadcast_to(jnp.linalg.inv(J), (nq, dim, dim))
+                xq = lam @ xe[: dim + 1]
+            else:
+                # J[q,e,d] = dx_e/dxi_d = sum_v Dg[q,v,d] xe[v,e]
+                J = jnp.einsum("qvd,ve->qed", Dg, xe)
+                detJ = jnp.abs(jnp.linalg.det(J))
+                Jinv = jnp.linalg.inv(J)                 # (q, d, e)
+                xq = Bg @ xe
+            gD = jnp.einsum("qbd,qde->qbe", Dref, Jinv)  # phys gradients
+            if nc == 1:
+                uq = B @ ue                              # (nq,)
+                guq = jnp.einsum("qbe,b->qe", gD, ue)    # (nq, dim)
+            else:
+                un = ue.reshape(fe.nb, nc)
+                uq = B @ un                              # (nq, nc)
+                guq = jnp.einsum("qbe,bc->qce", gD, un)  # (nq, nc, dim)
+            f0q = jax.vmap(f0)(uq, guq, xq)
+            f1q = jax.vmap(f1)(uq, guq, xq)
             wdet = qw * detJ
-            Fv = jnp.einsum("q,qv->v", wdet * f0q, B) \
-                + jnp.einsum("q,qe,qve->v", wdet, f1q, gD)
-            return Fv
+            if nc == 1:
+                Fv = jnp.einsum("q,qv->v", wdet * f0q, B) \
+                    + jnp.einsum("q,qe,qve->v", wdet, f1q, gD)
+                return Fv
+            Fv = jnp.einsum("q,qc,qv->vc", wdet, f0q, B) \
+                + jnp.einsum("q,qce,qve->vc", wdet, f1q, gD)
+            return Fv.reshape(-1)
 
         return element
 
@@ -224,7 +557,7 @@ class DS:
         xe_all = jnp.asarray(self.coords)[jnp.asarray(self.cells)]
         ue_all = jnp.asarray(u)[jnp.asarray(conn)]
         Ke = np.asarray(jax.vmap(jax.jacfwd(element))(ue_all, xe_all))
-        nb = self.fe.nb
+        nb = conn.shape[1]
         rows = np.repeat(conn, nb, axis=1).reshape(-1)
         cols = np.tile(conn, (1, nb)).reshape(-1)
         A = sp.csr_matrix((Ke.reshape(-1), (rows, cols)),
@@ -232,8 +565,14 @@ class DS:
         A.sum_duplicates()
         return A
 
-    def boundary_dofs(self, predicate):
-        """Dof ids whose coordinates satisfy predicate(x) (DMAddBoundary
-        essential-BC role)."""
+    def boundary_dofs(self, predicate, comp=None):
+        """Dof ids whose node coordinates satisfy predicate(x)
+        (DMAddBoundary essential-BC role). For vector fields, restrict to
+        component(s) `comp` (default: all components of matching nodes)."""
         mask = np.asarray([bool(predicate(x)) for x in self.dof_coords])
-        return np.where(mask)[0]
+        nodes = np.where(mask)[0]
+        if self.ncomp == 1:
+            return nodes
+        comps = (np.arange(self.ncomp) if comp is None
+                 else np.atleast_1d(comp))
+        return (nodes[:, None] * self.ncomp + comps).reshape(-1)
