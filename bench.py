@@ -113,10 +113,13 @@ def _triad_roofline():
     bvec = jnp.full((n,), 2.0, jnp.float64)
 
     def loop_triad(K):
+        # K is a TRACED loop bound: one compile serves every K (the
+        # tunnel charges ~30 s per compile; static_argnums cost 6x that)
         return jnp.sum(jax.lax.fori_loop(
             0, K, lambda i, y: bvec + 1.999 * y, x))
 
-    f = jax.jit(loop_triad, static_argnums=0)
+    jf = jax.jit(loop_triad)
+    f = lambda K: jf(np.int32(K))  # noqa: E731
     rate, quality = _timed_rate(f, n * 3 * 8, k_pairs=((4, 104),), reps=3)
     return rate, quality                          # "Gnnz/s" of bytes == GB/s
 
@@ -142,13 +145,14 @@ def _spmv_tier(n, check=False):
     def loopmult(data, xv, K):
         # data passed as an ARGUMENT: closing over device arrays would
         # embed them as constants in the compile payload (HTTP 413 on the
-        # tunnel at 128^3)
+        # tunnel at 128^3). K is a TRACED bound: one compile per tier
+        # serves every K-differencing point (6 compiles -> 1).
         op = operator.bind(meta, data)
         return jnp.sum(jax.lax.fori_loop(
             0, K, lambda i, v: op.mult(v) * 1e-2, xv))
 
-    jf = jax.jit(loopmult, static_argnums=2)
-    f = lambda K: jf(data, xv, K)  # noqa: E731
+    jf = jax.jit(loopmult)
+    f = lambda K: jf(data, xv, np.int32(K))  # noqa: E731
     return _timed_rate(f, nnz)
 
 

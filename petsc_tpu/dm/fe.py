@@ -428,6 +428,52 @@ def _geom_tabulation(dim, pts):
     return B, D
 
 
+def _det_small(J):
+    """Closed-form determinant for (..., d, d), d in {1,2,3} — TPU's
+    LuDecomposition has no f64 path, and the adjugate form fuses better
+    anyway (no lax.linalg custom call)."""
+    d = J.shape[-1]
+    if d == 1:
+        return J[..., 0, 0]
+    if d == 2:
+        return (J[..., 0, 0] * J[..., 1, 1]
+                - J[..., 0, 1] * J[..., 1, 0])
+    return (J[..., 0, 0] * (J[..., 1, 1] * J[..., 2, 2]
+                            - J[..., 1, 2] * J[..., 2, 1])
+            - J[..., 0, 1] * (J[..., 1, 0] * J[..., 2, 2]
+                              - J[..., 1, 2] * J[..., 2, 0])
+            + J[..., 0, 2] * (J[..., 1, 0] * J[..., 2, 1]
+                              - J[..., 1, 1] * J[..., 2, 0]))
+
+
+def _inv_small(J, det=None):
+    """Adjugate inverse for (..., d, d), d in {1,2,3}."""
+    d = J.shape[-1]
+    det = _det_small(J) if det is None else det
+    if d == 1:
+        return (1.0 / det)[..., None, None]
+    if d == 2:
+        adj = jnp.stack([
+            jnp.stack([J[..., 1, 1], -J[..., 0, 1]], axis=-1),
+            jnp.stack([-J[..., 1, 0], J[..., 0, 0]], axis=-1)], axis=-2)
+        return adj / det[..., None, None]
+    c = jnp.stack
+    adj = c([
+        c([J[..., 1, 1] * J[..., 2, 2] - J[..., 1, 2] * J[..., 2, 1],
+           J[..., 0, 2] * J[..., 2, 1] - J[..., 0, 1] * J[..., 2, 2],
+           J[..., 0, 1] * J[..., 1, 2] - J[..., 0, 2] * J[..., 1, 1]],
+          axis=-1),
+        c([J[..., 1, 2] * J[..., 2, 0] - J[..., 1, 0] * J[..., 2, 2],
+           J[..., 0, 0] * J[..., 2, 2] - J[..., 0, 2] * J[..., 2, 0],
+           J[..., 0, 2] * J[..., 1, 0] - J[..., 0, 0] * J[..., 1, 2]],
+          axis=-1),
+        c([J[..., 1, 0] * J[..., 2, 1] - J[..., 1, 1] * J[..., 2, 0],
+           J[..., 0, 1] * J[..., 2, 0] - J[..., 0, 0] * J[..., 2, 1],
+           J[..., 0, 0] * J[..., 1, 1] - J[..., 0, 1] * J[..., 1, 0]],
+          axis=-1)], axis=-2)
+    return adj / det[..., None, None]
+
+
 class DS:
     """PetscDS role: assemble residual/Jacobian from pointwise weak forms
 
@@ -508,14 +554,16 @@ class DS:
             if simplex:
                 J = jnp.stack([xe[i + 1] - xe[0] for i in range(dim)],
                               axis=1)
-                detJ = jnp.broadcast_to(jnp.abs(jnp.linalg.det(J)), (nq,))
-                Jinv = jnp.broadcast_to(jnp.linalg.inv(J), (nq, dim, dim))
+                dj = _det_small(J)
+                detJ = jnp.broadcast_to(jnp.abs(dj), (nq,))
+                Jinv = jnp.broadcast_to(_inv_small(J, dj), (nq, dim, dim))
                 xq = lam @ xe[: dim + 1]
             else:
                 # J[q,e,d] = dx_e/dxi_d = sum_v Dg[q,v,d] xe[v,e]
                 J = jnp.einsum("qvd,ve->qed", Dg, xe)
-                detJ = jnp.abs(jnp.linalg.det(J))
-                Jinv = jnp.linalg.inv(J)                 # (q, d, e)
+                dj = _det_small(J)
+                detJ = jnp.abs(dj)
+                Jinv = _inv_small(J, dj)                 # (q, d, e)
                 xq = Bg @ xe
             gD = jnp.einsum("qbd,qde->qbe", Dref, Jinv)  # phys gradients
             if nc == 1:

@@ -25,3 +25,24 @@ def test_ex19_driven_cavity_parity(capsys):
     X = np.asarray(x.getArray())[: my * mx * 4].reshape(my, mx, 4)
     assert np.allclose(X[-1, 1:-1, 0], 0.0016, atol=1e-10)  # lid (corners owned by side walls)
     assert np.all(np.isfinite(X))
+
+
+def test_ex12_fem_nonlinear_poisson():
+    """SNES ex12 analog: nonlinear FEM Poisson via DMPlex + PetscDS weak
+    forms, P2 Lagrange, autodiff-manufactured forcing (src/snes/tutorials/
+    ex12.c role)."""
+    sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+    import petsc_tpu as pt
+    pt.init(args=["-fe_order", "2", "-faces", "8"])
+    import examples.ex12 as ex12
+    err, snes = ex12.main(["-fe_order", "2", "-faces", "8"])
+    assert snes.getIterationNumber() <= 8
+    assert err < 5e-4
+
+
+def test_ex12_p3_more_accurate_than_p1():
+    sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+    import examples.ex12 as ex12
+    e1, _ = ex12.main(["-fe_order", "1", "-faces", "8"])
+    e3, _ = ex12.main(["-fe_order", "3", "-faces", "8"])
+    assert e3 < e1 / 50
