@@ -37,7 +37,7 @@ T0 = time.perf_counter()
 BUDGET = float(os.environ.get("PETSC_TPU_BENCH_BUDGET", "520"))
 
 _best = {"metric": "spmv_27pt_poisson_f64", "value": 0.0, "unit": "Gnnz/s",
-         "vs_baseline": 0.0}
+         "vs_baseline": 0.0, "layout": "dnd_const_stencil"}
 _emitted = False
 REF_GNNZ = 1.277 / 2.0          # reference per-core anchor (BASELINE.md)
 
@@ -188,13 +188,10 @@ def main():
 
     # 1. headline tier n=64 FIRST and unconditionally — whatever else the
     #    tunnel does to the budget, a real measured number gets recorded
-    last_cost = None
-    t_tier = time.perf_counter()
     try:
         gnnz, quality = _spmv_tier(
             64, check=os.environ.get("PETSC_TPU_BENCH_CHECK", "1") == "1")
         _record(gnnz, 64, quality)
-        last_cost = time.perf_counter() - t_tier
     except Exception:
         import traceback
         traceback.print_exc(file=sys.stderr)
@@ -214,10 +211,12 @@ def main():
     # 3. larger tiers while the budget holds (bandwidth-bound kernels rate
     #    higher until x falls out of VMEM; best tier wins)
     for n in (96, 128):
-        est = 2.2 * last_cost if last_cost is not None else 240.0
-        if _elapsed() + est > BUDGET:
+        # the first tier pays backend init + first-compile (~2 min on the
+        # tunnel); later tiers measured ~20 s each (one compile, dynamic
+        # K). A flat 90 s estimate is safe, and the SIGALRM best-so-far
+        # emit backstops an overrun anyway.
+        if _elapsed() + 90.0 > BUDGET:
             break
-        t_tier = time.perf_counter()
         try:
             gnnz, quality = _spmv_tier(n, check=False)
         except Exception:
@@ -225,7 +224,6 @@ def main():
             traceback.print_exc(file=sys.stderr)
             break
         _record(gnnz, n, quality)
-        last_cost = time.perf_counter() - t_tier
 
     if bw > 0 and _best["value"] > 0:
         _best["pct_csr_roofline"] = round(

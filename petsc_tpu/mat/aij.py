@@ -935,9 +935,23 @@ def _bind_aij_ell(meta, data):
 
 
 def _bind_aij_dnd(meta, data):
-    _, shape, offs, lpad, rpad, ncols = meta
+    _, shape, offs, lpad, rpad, ncols = meta[:6]
+    # optional per-offset CONSTANT coefficients (meta[6]): a scalar stands
+    # in for the whole (shape,) plane — correct because the mult's zero
+    # padding already supplies the boundary clip (stencil_build.build_dnd)
+    cvals = meta[6] if len(meta) > 6 else (None,) * len(offs)
     coef = data["coef"]
     nd = len(shape)
+    var_idx = {}
+    ci = 0
+    for k, c in enumerate(cvals):
+        if c is None:
+            var_idx[k] = ci
+            ci += 1
+
+    def _coef(k, dtype):
+        c = cvals[k]
+        return coef[var_idx[k]] if c is None else jnp.asarray(c, dtype)
 
     def mult(x):
         v = x[: int(np.prod(shape))].reshape(shape)
@@ -945,7 +959,8 @@ def _bind_aij_dnd(meta, data):
         acc = jnp.zeros(shape, dtype=x.dtype)
         for k, off in enumerate(offs):
             start = tuple(lpad[ax] + off[ax] for ax in range(nd))
-            acc = acc + coef[k] * jax.lax.dynamic_slice(vp, start, shape)
+            acc = acc + _coef(k, x.dtype) \
+                * jax.lax.dynamic_slice(vp, start, shape)
         y = acc.reshape(-1)
         if x.shape[0] > y.shape[0]:
             y = jnp.pad(y, (0, x.shape[0] - y.shape[0]))
@@ -958,7 +973,8 @@ def _bind_aij_dnd(meta, data):
         for k, off in enumerate(offs):
             start = tuple(lpad[ax] + off[ax] for ax in range(nd))
             seg = jax.lax.dynamic_slice(acc, start, shape)
-            acc = jax.lax.dynamic_update_slice(acc, seg + coef[k] * v, start)
+            acc = jax.lax.dynamic_update_slice(
+                acc, seg + _coef(k, x.dtype) * v, start)
         sl = tuple(slice(lpad[ax], lpad[ax] + shape[ax]) for ax in range(nd))
         y = acc[sl].reshape(-1)
         if x.shape[0] > y.shape[0]:

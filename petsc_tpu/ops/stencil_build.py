@@ -75,24 +75,25 @@ def build_dnd(shape, offsets=None, diag_coef=None, off_coef=-1.0,
         diag_coef = float(len(offsets) - 1)
 
     @jax.jit
-    def gen(dval, oval, one):
-        coefs = []
-        for off in offsets:
-            if not any(off):
-                coefs.append(jnp.broadcast_to(dval, shape))
-            else:
-                coefs.append(oval * _valid_mask(shape, off, one))
-        coef = jnp.stack(coefs)
+    def gen(dval):
         diag = jnp.broadcast_to(dval, (int(np.prod(shape)),))
-        return coef, diag
+        return diag
 
-    coef, diag = gen(jnp.asarray(diag_coef, dt), jnp.asarray(off_coef, dt),
-                     jnp.asarray(1.0, dt))
+    diag = gen(jnp.asarray(diag_coef, dt))
     uniq = np.asarray(offsets)
     lpad = tuple(int(max(0, -uniq[:, ax].min())) for ax in range(len(shape)))
     rpad = tuple(int(max(0, uniq[:, ax].max())) for ax in range(len(shape)))
+    # every plane of a constant-coefficient stencil folds to a SCALAR:
+    # the boundary-clip mask is redundant with the mult's zero padding
+    # (clipped neighbors read zeros from the pad), so no (K, *shape)
+    # coefficient array is stored at all — SpMV traffic drops from
+    # ~(K+2) streams to x + y (the MATDIA constant-diagonal idea taken
+    # to its TPU conclusion)
+    cvals = tuple(float(diag_coef) if not any(o) else float(off_coef)
+                  for o in offsets)
+    coef = jnp.zeros((0,) + shape, dtype=dt)
     meta = ("aij_dnd", shape, tuple(offsets), lpad, rpad,
-            int(np.prod(shape)))
+            int(np.prod(shape)), cvals)
     return meta, {"coef": coef, "diag": diag}
 
 

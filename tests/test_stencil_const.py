@@ -1,0 +1,58 @@
+"""Constant-coefficient stencil folding (stencil_build.build_dnd →
+aij_dnd binder with per-offset scalars in meta). The fold is legal
+because the mult's zero padding already supplies the boundary clip;
+mult and mult_t must match the assembled CSR exactly."""
+
+import numpy as np
+
+import petsc_tpu as pt
+from petsc_tpu.ops import operator, stencil_build
+
+
+def _poisson3d_27pt(n):
+    import scipy.sparse as sp
+    offs = [(dx, dy, dz) for dz in (-1, 0, 1) for dy in (-1, 0, 1)
+            for dx in (-1, 0, 1) if (dx, dy, dz) != (0, 0, 0)]
+    N = n ** 3
+    idx = np.arange(N)
+    z, r = divmod(idx, n * n)
+    y, x = divmod(r, n)
+    rows, cols, vals = [idx], [idx], [np.full(N, 26.0)]
+    for dx, dy, dz in offs:
+        xx, yy, zz = x + dx, y + dy, z + dz
+        ok = ((xx >= 0) & (xx < n) & (yy >= 0) & (yy < n)
+              & (zz >= 0) & (zz < n))
+        rows.append(idx[ok])
+        cols.append((zz * n * n + yy * n + xx)[ok])
+        vals.append(np.full(ok.sum(), -1.0))
+    return sp.csr_matrix(
+        (np.concatenate(vals), (np.concatenate(rows), np.concatenate(cols))),
+        shape=(N, N))
+
+
+def test_const_folded_box_matches_csr():
+    n = 10
+    meta, data = stencil_build.build_dnd((n, n, n), kind="box")
+    # all 27 planes folded to scalars; no coefficient array stored
+    assert len(meta) == 7 and all(c is not None for c in meta[6])
+    assert data["coef"].shape[0] == 0
+    op = operator.bind(meta, data)
+    A = _poisson3d_27pt(n)
+    x = np.random.default_rng(0).random(n ** 3)
+    np.testing.assert_allclose(np.asarray(op.mult(x)), A @ x,
+                               rtol=1e-13, atol=1e-11)
+    np.testing.assert_allclose(np.asarray(op.mult_t(x)), A.T @ x,
+                               rtol=1e-13, atol=1e-11)
+
+
+def test_const_folded_star_diag():
+    n = 8
+    meta, data = stencil_build.build_dnd((n, n, n), kind="star")
+    op = operator.bind(meta, data)
+    d = np.asarray(op.diag())
+    np.testing.assert_allclose(d, np.full(n ** 3, 6.0))
+    # row sums: interior rows 0, face rows 1..3 missing neighbors
+    y = np.asarray(op.mult(np.ones(n ** 3)))
+    assert abs(y.reshape(n, n, n)[4, 4, 4]) < 1e-13
+    assert abs(y.reshape(n, n, n)[0, 4, 4] - 1.0) < 1e-13
+    assert abs(y.reshape(n, n, n)[0, 0, 0] - 3.0) < 1e-13
