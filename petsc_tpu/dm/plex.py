@@ -158,29 +158,84 @@ class DMPlex(DM):
 
     @classmethod
     def createFromGmsh(cls, path, comm=None):
-        """Read a Gmsh ASCII v2.2 .msh file (DMPlexCreateGmsh role,
-        plexgmsh.c): highest-dimensional elements become cells; physical
-        tags are kept as labels (DMLabel-lite dict name -> cell ids)."""
+        """Read a Gmsh ASCII .msh file, format v2.2 OR v4.1
+        (DMPlexCreateGmsh role, plexgmsh.c): highest-dimensional elements
+        become cells; physical tags are kept as labels (DMLabel-lite dict
+        name -> cell ids). v4.1 entity-block physical tags come from the
+        $Entities section."""
         nodes = {}
         elems = []           # (etype, tag, [verts])
         with open(path) as f:
-            lines = iter(f.read().splitlines())
-            for line in lines:
-                if line.startswith("$Nodes"):
-                    nn = int(next(lines))
-                    for _ in range(nn):
+            text = f.read()
+        version = 2.2
+        lines = iter(text.splitlines())
+        for line in lines:
+            if line.startswith("$MeshFormat"):
+                version = float(next(lines).split()[0])
+                break
+        if version >= 4.0:
+            nodes, elems = cls._parse_gmsh41(text)
+            return cls._gmsh_finish(nodes, elems, comm)
+        lines = iter(text.splitlines())
+        for line in lines:
+            if line.startswith("$Nodes"):
+                nn = int(next(lines))
+                for _ in range(nn):
+                    parts = next(lines).split()
+                    nodes[int(parts[0])] = [float(v) for v in parts[1:4]]
+            elif line.startswith("$Elements"):
+                ne = int(next(lines))
+                for _ in range(ne):
+                    parts = [int(v) for v in next(lines).split()]
+                    etype = parts[1]
+                    ntags = parts[2]
+                    tag = parts[3] if ntags else 0
+                    verts = parts[3 + ntags:]
+                    elems.append((etype, tag, verts))
+        return cls._gmsh_finish(nodes, elems, comm)
+
+    @staticmethod
+    def _parse_gmsh41(text):
+        """MSH 4.1 ASCII: $Entities (dim/tag -> physical tag),
+        block-structured $Nodes and $Elements (gmsh.info MSH 4.1 spec;
+        plexgmsh.c GmshReadMSH4*)."""
+        lines = iter(text.splitlines())
+        ent_phys = {}        # (dim, entity_tag) -> physical tag
+        nodes = {}
+        elems = []
+        for line in lines:
+            if line.startswith("$Entities"):
+                np_, nc_, ns_, nv_ = (int(v) for v in next(lines).split())
+                for dim, cnt in ((0, np_), (1, nc_), (2, ns_), (3, nv_)):
+                    for _ in range(cnt):
                         parts = next(lines).split()
-                        nodes[int(parts[0])] = [float(v)
-                                                for v in parts[1:4]]
-                elif line.startswith("$Elements"):
-                    ne = int(next(lines))
+                        tag = int(parts[0])
+                        # points: tag x y z nphys [phys...]; higher dims:
+                        # tag 6-bbox nphys [phys...] nbound [...]
+                        base = 4 if dim == 0 else 7
+                        nphys = int(parts[base])
+                        phys = (int(parts[base + 1]) if nphys else 0)
+                        ent_phys[(dim, tag)] = phys
+            elif line.startswith("$Nodes"):
+                nblocks, _, _, _ = (int(v) for v in next(lines).split())
+                for _ in range(nblocks):
+                    _, _, _, nn = (int(v) for v in next(lines).split())
+                    tags = [int(next(lines)) for _ in range(nn)]
+                    for t in tags:
+                        nodes[t] = [float(v) for v in next(lines).split()[:3]]
+            elif line.startswith("$Elements"):
+                nblocks, _, _, _ = (int(v) for v in next(lines).split())
+                for _ in range(nblocks):
+                    edim, etag, etype, ne = (int(v)
+                                             for v in next(lines).split())
+                    phys = ent_phys.get((edim, etag), 0)
                     for _ in range(ne):
                         parts = [int(v) for v in next(lines).split()]
-                        etype = parts[1]
-                        ntags = parts[2]
-                        tag = parts[3] if ntags else 0
-                        verts = parts[3 + ntags:]
-                        elems.append((etype, tag, verts))
+                        elems.append((etype, phys, parts[1:]))
+        return nodes, elems
+
+    @classmethod
+    def _gmsh_finish(cls, nodes, elems, comm):
         # element types: 2 tri, 3 quad, 4 tet, 5 hex (gmsh numbering)
         dim_of = {2: 2, 3: 2, 4: 3, 5: 3}
         present = [e for e in elems if e[0] in dim_of]
@@ -237,25 +292,66 @@ class DMPlex(DM):
         return np.concatenate([[cell], self.getCone(cell)])
 
     def interpolate(self):
-        """DMPlexInterpolate (plexinterpolate.c): generate the EDGE
-        stratum (2-D simplex meshes) so the chart becomes
-        cells -> edges -> vertices with cones through edges. Returns self;
-        edge data lands in .edges (ne, 2 vertex ids), .cell2edge
-        (ncell, 3), and cone/support queries see the new points (edge
-        point ids start at ncells + nvertices)."""
+        """DMPlexInterpolate (plexinterpolate.c): generate the
+        intermediate strata so the chart becomes a full CW-complex DAG.
+        2-D simplex: cells -> edges -> vertices (.edges (ne,2),
+        .cell2edge (nc,3)); 3-D tets additionally get the FACE stratum
+        (.faces (nf,3), .cell2face (nc,4), .face2edge (nf,3)) so cones
+        run cells -> faces -> edges -> vertices. Edge points start at
+        ncells + nvertices; face points follow the edges."""
+        if self.dim == 3 and self.cells.shape[1] == 4:
+            pairs = [(0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3)]
+            emap = {}
+            c2e = np.zeros((self.ncells, 6), dtype=np.int64)
+            for c, cell in enumerate(self.cells):
+                for k, (a, b) in enumerate(pairs):
+                    key = tuple(sorted((int(cell[a]), int(cell[b]))))
+                    c2e[c, k] = emap.setdefault(key, len(emap))
+            self.edges = np.asarray(sorted(emap, key=emap.get),
+                                    dtype=np.int64)
+            self.cell2edge = c2e
+            triples = [(0, 1, 2), (0, 1, 3), (0, 2, 3), (1, 2, 3)]
+            fmap = {}
+            c2f = np.zeros((self.ncells, 4), dtype=np.int64)
+            for c, cell in enumerate(self.cells):
+                for k, tri in enumerate(triples):
+                    key = tuple(sorted(int(cell[v]) for v in tri))
+                    c2f[c, k] = fmap.setdefault(key, len(fmap))
+            self.faces = np.asarray(sorted(fmap, key=fmap.get),
+                                    dtype=np.int64)
+            self.cell2face = c2f
+            f2e = np.zeros((len(self.faces), 3), dtype=np.int64)
+            for fi, (a, b, c_) in enumerate(self.faces):
+                f2e[fi] = [emap[(int(a), int(b))], emap[(int(b), int(c_))],
+                           emap[(int(a), int(c_))]]
+            self.face2edge = f2e
+            self._interpolated = True
+            return self
         from .fe import build_edges
         self.edges, self.cell2edge = build_edges(self.cells)
         self._interpolated = True
         return self
 
     def getDepth(self):
-        return 2 if getattr(self, "_interpolated", False) else 1
+        if not getattr(self, "_interpolated", False):
+            return 1
+        return 3 if self.dim == 3 else 2
+
+    def getFaceCone(self, face_point):
+        """Cone of a face point (3-D interpolated): its three edge
+        points."""
+        base_f = self.ncells + self.nvertices + len(self.edges)
+        base_e = self.ncells + self.nvertices
+        return self.face2edge[face_point - base_f] + base_e
 
     def getConeInterpolated(self, cell):
-        """Cone of a cell AFTER interpolate(): its three edge points."""
+        """Cone of a cell AFTER interpolate(): 2-D its three edge points,
+        3-D its four face points."""
         if not getattr(self, "_interpolated", False):
             raise Error("call interpolate() first")
         base = self.ncells + self.nvertices
+        if self.dim == 3:
+            return self.cell2face[cell] + base + len(self.edges)
         return self.cell2edge[cell] + base
 
     def getEdgeCone(self, edge_point):

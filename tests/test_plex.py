@@ -129,3 +129,71 @@ def test_section_fields_constraints():
     assert s.getFieldOffset(2, 1) == 8
     assert s.getChart() == (0, 5)
     assert s.getNumFields() == 2
+
+
+def test_gmsh41_reader(tmp_path):
+    """MSH 4.1 block format (plexgmsh.c GmshReadMSH4*): entities carry
+    the physical tags, nodes and elements come in entity blocks."""
+    msh = tmp_path / "square41.msh"
+    msh.write_text("""$MeshFormat
+4.1 0 8
+$EndMeshFormat
+$Entities
+0 0 1 0
+1 0 0 0 1 1 0 1 7 0
+$EndEntities
+$Nodes
+1 4 1 4
+2 1 0 4
+1
+2
+3
+4
+0 0 0
+1 0 0
+1 1 0
+0 1 0
+$EndNodes
+$Elements
+1 2 1 2
+2 1 2 2
+1 1 2 3
+2 1 3 4
+$EndElements
+""")
+    p = DMPlex.createFromGmsh(str(msh))
+    assert p.dim == 2
+    assert p.ncells == 2
+    assert p.nvertices == 4
+    np.testing.assert_allclose(p.coords[1], [1.0, 0.0])
+    assert set(p.labels) == {"physical_7"}
+    assert len(p.labels["physical_7"]) == 2
+    # the mesh assembles and solves
+    A, b = p.assemblePoissonP1()
+    assert A.getSize() == (4, 4)
+
+
+def test_interpolate_3d_tet_strata():
+    """3-D interpolation (plexinterpolate.c): face + edge strata with
+    cones cells -> faces -> edges -> vertices; Euler characteristic of a
+    ball V - E + F - C = 1."""
+    p = DMPlex.createBoxMesh((2, 2, 2), simplex=True).interpolate()
+    assert p.getDepth() == 3
+    V, E, F, C = p.nvertices, len(p.edges), len(p.faces), p.ncells
+    assert V - E + F - C == 1
+    # cone chain types
+    fcone = p.getConeInterpolated(0)
+    assert len(fcone) == 4
+    econe = p.getFaceCone(int(fcone[0]))
+    assert len(econe) == 3
+    vcone = p.getEdgeCone(int(econe[0]))
+    assert len(vcone) == 2
+    base_v = p.ncells
+    assert all(base_v <= v < base_v + V for v in vcone)
+    # each face's edges connect exactly its three vertices
+    f0 = p.faces[0]
+    verts = set()
+    base_f = p.ncells + p.nvertices + E
+    for ep in p.getFaceCone(base_f):
+        verts.update((p.getEdgeCone(int(ep)) - p.ncells).tolist())
+    assert verts == set(int(v) for v in f0)
