@@ -485,6 +485,7 @@ class DS:
 
     def __init__(self, plex, fe: FE):
         self.fe = fe
+        self._plex = plex
         self.cells = np.asarray(plex.cells, dtype=np.int64)
         self.coords = np.asarray(plex.coords, dtype=np.float64)
         self.ncomp = getattr(fe, "ncomp", 1)
@@ -612,6 +613,99 @@ class DS:
                           shape=(self.ndof, self.ndof))
         A.sum_duplicates()
         return A
+
+    def assembleJacobianDistributed(self, u, comm, bnd=None):
+        """Per-shard weak-form Jacobian assembly into a ShardedCSR-backed
+        MPIAIJ (the parallel plexfem.c + MatStash path, matching the P1
+        route in plex._assemblePoissonP1_dist): each shard's own cell
+        batch runs the vmapped autodiff element kernel, entries whose row
+        is owned elsewhere are stashed to the owner, and the per-shard
+        row blocks bind as a distributed operator — no global CSR. `bnd`
+        (Dirichlet dof ids) rows/cols are eliminated with identity at the
+        owner. Requires the DS to have been built on a DISTRIBUTED plex
+        (DMPlex.distribute), whose cell ownership drives the batches."""
+        import scipy.sparse as sp
+        from ..mat.aij import MatAIJ
+        from ..mat.shardcsr import ShardedCSR
+        from ..parallel.layout import Layout
+        d = self._dist()
+        nsh = d.nshards
+        vl = Layout(self.ndof, nshards=nsh)
+        blk = vl.block
+        isb = np.zeros(self.ndof, dtype=bool)
+        bnd = np.zeros(0, dtype=np.int64) if bnd is None else \
+            np.asarray(bnd, dtype=np.int64)
+        isb[bnd] = True
+        element = self._element_kernel()
+        conn = self.conn
+        stash = [[] for _ in range(nsh)]
+        for s in range(nsh):
+            cs = d.own_cells[s]
+            if len(cs) == 0:
+                continue
+            xe = jnp.asarray(self.coords)[jnp.asarray(self.cells[cs])]
+            ue = jnp.asarray(u)[jnp.asarray(conn[cs])]
+            Ke = np.asarray(jax.vmap(jax.jacfwd(element))(ue, xe))
+            nb = conn.shape[1]
+            rows = np.repeat(conn[cs], nb, axis=1).reshape(-1)
+            cols = np.tile(conn[cs], (1, nb)).reshape(-1)
+            vals = Ke.reshape(-1)
+            keep = ~isb[rows] & ~isb[cols]
+            rows, cols, vals = rows[keep], cols[keep], vals[keep]
+            owner = rows // blk
+            for t in np.unique(owner):
+                sel = owner == t
+                stash[int(t)].append((rows[sel], cols[sel], vals[sel]))
+        blocks = []
+        for s in range(nsh):
+            lo, hi = vl.range(s)
+            rr = [r - lo for r, _, _ in stash[s]]
+            cc = [c for _, c, _ in stash[s]]
+            vv = [v for _, _, v in stash[s]]
+            bmine = bnd[(bnd >= lo) & (bnd < hi)]
+            rr.append(bmine - lo)
+            cc.append(bmine)
+            vv.append(np.ones(len(bmine)))
+            rr, cc, vv = (np.concatenate(a) if a else
+                          np.zeros(0, dtype=np.int64) for a in (rr, cc, vv))
+            blocks.append(sp.csr_matrix(
+                (vv, (rr.astype(np.int64), cc.astype(np.int64))),
+                shape=(blk, vl.Npad)))
+        return MatAIJ.from_sharded(ShardedCSR(blocks, vl, vl), comm)
+
+    def assembleResidualDistributed(self, u, comm, bnd=None,
+                                    bnd_values=0.0):
+        """Per-shard residual with owner-bucketed accumulation; `bnd`
+        rows are replaced by u - bnd_values (the essential-BC residual
+        convention). Returns a Vec on `comm`."""
+        from ..vec.vec import Vec as _Vec
+        from ..parallel.layout import Layout
+        d = self._dist()
+        nsh = d.nshards
+        vl = Layout(self.ndof, nshards=nsh)
+        element = self._element_kernel()
+        conn = self.conn
+        F = np.zeros(self.ndof)
+        for s in range(nsh):
+            cs = d.own_cells[s]
+            if len(cs) == 0:
+                continue
+            xe = jnp.asarray(self.coords)[jnp.asarray(self.cells[cs])]
+            ue = jnp.asarray(u)[jnp.asarray(conn[cs])]
+            Fe = np.asarray(jax.vmap(element)(ue, xe))
+            np.add.at(F, conn[cs].reshape(-1), Fe.reshape(-1))
+        if bnd is not None:
+            bnd = np.asarray(bnd, dtype=np.int64)
+            F[bnd] = np.asarray(u)[bnd] - bnd_values
+        return _Vec.from_array(F, comm=comm)
+
+    def _dist(self):
+        dist = getattr(getattr(self, "_plex", None), "distribution", None)
+        if dist is None:
+            from ..sys.error import Error
+            raise Error("DS: distributed assembly needs a DS built on a "
+                        "distributed plex (DMPlex.distribute)")
+        return dist
 
     def boundary_dofs(self, predicate, comp=None):
         """Dof ids whose node coordinates satisfy predicate(x)
