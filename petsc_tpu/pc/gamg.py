@@ -411,22 +411,36 @@ class _PCGAMG(_PCMG):
         cur_bs = bs
         while (cur.shape[0] > self.coarse_eq_limit
                and level < self.max_levels - 1):
-            if self.gamg_type == "classical":
+            if self.gamg_type in ("classical", "geo"):
                 # Ruge-Stüben path (classical.c): classical strength, MIS
                 # coarse points, ±-split direct/standard interpolation,
-                # unsmoothed by default (cls->nsmooths = 0)
+                # unsmoothed by default (cls->nsmooths = 0). The "geo"
+                # variant (geo.c) swaps in linearly-exact geometric
+                # interpolation from PCSetCoordinates, coarsening the
+                # coordinates by injection at the coarse points.
                 from .gamg_classical import (classical_strength,
                                              classical_direct_prolongator,
-                                             classical_standard_prolongator)
+                                             classical_standard_prolongator,
+                                             geometric_prolongator)
+                if self.gamg_type == "geo" and level == 0:
+                    self._geo_coords = getattr(self.pc, "_coords", None)
+                    if self._geo_coords is None:
+                        raise Error("gamg geo needs PCSetCoordinates "
+                                    "(PCGAMGGeo contract, geo.c)")
                 theta = max(self._threshold(level), 0.0)
                 G = classical_strength(cur, theta)
                 agg, nagg, roots = mis_aggregate(G)
                 if nagg == 0 or len(roots) >= cur.shape[0]:
                     break
-                mk = (classical_standard_prolongator
-                      if self.classical_type == "standard"
-                      else classical_direct_prolongator)
-                P = mk(cur, roots, theta)
+                if self.gamg_type == "geo":
+                    P = geometric_prolongator(cur, roots,
+                                              self._geo_coords, theta)
+                    self._geo_coords = self._geo_coords[roots]
+                else:
+                    mk = (classical_standard_prolongator
+                          if self.classical_type == "standard"
+                          else classical_direct_prolongator)
+                    P = mk(cur, roots, theta)
                 d = cur.diagonal()
                 dinv = np.where(d != 0, 1.0 / np.where(d == 0, 1.0, d), 1.0)
                 emax = _host_emax(cur, dinv)

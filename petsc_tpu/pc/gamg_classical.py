@@ -78,6 +78,54 @@ def classical_direct_prolongator(A_sp, coarse, theta):
     return sp.csr_matrix((vals, (rows, cols)), shape=(n, len(coarse)))
 
 
+def geometric_prolongator(A_sp, coarse, coords, theta):
+    """Geometric (linearly exact) interpolation — the PCGAMGGeo role
+    (src/ksp/pc/impls/gamg/geo.c): each fine point interpolates from its
+    strong coarse neighbors with the minimum-norm weights satisfying
+    sum w = 1 and sum w (x_c - x_i) = 0, so every linear function is
+    reproduced exactly (geo.c's defining property, here by a small
+    per-point least-squares instead of a Delaunay triangulation).
+    Degenerate neighbor sets (too few / collinear coarse points) fall
+    back to the classical direct ±-split row."""
+    A = A_sp.tocsr()
+    n = A.shape[0]
+    coords = np.asarray(coords, dtype=np.float64)
+    dim = coords.shape[1]
+    lcid = np.full(n, -1, dtype=np.int64)
+    lcid[coarse] = np.arange(len(coarse))
+    Pd = classical_direct_prolongator(A, coarse, theta).tolil()
+    coo = A.tocoo()
+    off = coo.row != coo.col
+    pos = coo.data > 0.0
+    amax_pos = np.zeros(n)
+    amax_neg = np.zeros(n)
+    np.maximum.at(amax_pos, coo.row[off & pos], coo.data[off & pos])
+    np.maximum.at(amax_neg, coo.row[off & ~pos], -coo.data[off & ~pos])
+    for i in range(n):
+        if lcid[i] >= 0:
+            continue
+        sl = slice(A.indptr[i], A.indptr[i + 1])
+        cols = A.indices[sl]
+        vals = A.data[sl]
+        strong = ((vals > theta * amax_pos[i])
+                  | (-vals > theta * amax_neg[i])) & (lcid[cols] >= 0) \
+            & (cols != i)
+        nbrs = cols[strong]
+        m = len(nbrs)
+        if m < dim + 1:
+            continue                      # keep the direct fallback row
+        M = np.vstack([np.ones((1, m)),
+                       (coords[nbrs] - coords[i]).T])   # (d+1, m)
+        rhs = np.zeros(dim + 1)
+        rhs[0] = 1.0
+        w, res, rank, _ = np.linalg.lstsq(M, rhs, rcond=None)
+        if rank < dim + 1 or np.abs(M @ w - rhs).max() > 1e-10:
+            continue                      # degenerate: fallback
+        Pd.rows[i] = [int(c) for c in lcid[nbrs]]
+        Pd.data[i] = [float(v) for v in w]
+    return Pd.tocsr()
+
+
 def classical_standard_prolongator(A_sp, coarse, theta):
     """Standard interpolation (classical.c:549): extend the stencil of a
     fine point through its strong F-neighbors (one distance-2 hop of the

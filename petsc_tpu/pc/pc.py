@@ -116,6 +116,13 @@ class PC(PObject):
             self._setup_state = self.pmat.state
         return self
 
+    def setCoordinates(self, coords):
+        """PCSetCoordinates (gamg.c): attach nodal coordinates — used by
+        GAMG's geometric variant and rigid-body near-nullspace builders."""
+        import numpy as _np
+        self._coords = _np.asarray(coords, dtype=_np.float64)
+        return self
+
     # ---------------- contract ----------------
 
     @property

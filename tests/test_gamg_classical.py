@@ -73,3 +73,47 @@ def test_classical_amg_poisson3d_smoothed():
     assert ksp.getIterationNumber() <= 20
     r = A_sp @ x - 1.0
     assert np.linalg.norm(r) / np.linalg.norm(np.ones(len(x))) < 1e-6
+
+
+def test_geometric_prolongator_linear_exactness():
+    """geo.c's defining property: P reproduces linear functions at fine
+    points that got geometric weights."""
+    from petsc_tpu.pc.gamg import mis_aggregate
+    from petsc_tpu.pc.gamg_classical import geometric_prolongator
+    n = 16
+    A = poisson2d(n)
+    xy = np.stack(np.meshgrid(np.arange(n), np.arange(n),
+                              indexing="ij"), axis=-1).reshape(-1, 2) * 1.0
+    G = classical_strength(A, 0.0)
+    agg, nagg, roots = mis_aggregate(G)
+    P = geometric_prolongator(A, roots, xy, 0.0)
+    lin = 2.0 * xy[:, 0] - 3.0 * xy[:, 1] + 1.0
+    interp = P @ lin[roots]
+    # rows that achieved the geometric weights are exact; direct-fallback
+    # rows (boundary-degenerate) are not counted
+    ok = np.abs(interp - lin) < 1e-9
+    assert ok[roots].all()
+    assert ok.mean() > 0.5          # most fine points get exact rows
+
+
+def test_geo_amg_poisson2d_converges():
+    n = 32
+    A_sp = poisson2d(n)
+    xy = np.stack(np.meshgrid(np.arange(n), np.arange(n),
+                              indexing="ij"), axis=-1).reshape(-1, 2) * 1.0
+    pt.init(args=["-pc_type", "gamg", "-pc_gamg_type", "geo",
+                  "-ksp_type", "cg"])
+    A = pt.MatAIJ.from_scipy(A_sp)
+    ksp = pt.KSP().create()
+    ksp.setOperators(A)
+    ksp.setTolerances(rtol=1e-8)
+    ksp.getPC().setCoordinates(xy)
+    ksp.setFromOptions()
+    b = A.createVecLeft()
+    b.set(1.0)
+    x = A.createVecRight()
+    ksp.solve(b, x)
+    assert ksp.getConvergedReason() > 0
+    assert ksp.getIterationNumber() <= 25
+    r = A_sp @ np.asarray(x.getArray())[: A_sp.shape[0]] - 1.0
+    assert np.linalg.norm(r) / n < 1e-6
