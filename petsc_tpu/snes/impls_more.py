@@ -430,6 +430,103 @@ def solve_nasm(snes: SNES, x_np, x):
     _finish(snes, x, x_np, it, fnorm, reason)
 
 
+def _patch_subdomains(snes, n):
+    """Vertex-star patches (SNESPATCH role, src/snes/impls/patch —
+    nonlinear analog of PCPATCH): one patch per dof, spanning its
+    Jacobian-pattern neighbors. The pattern comes from the SNES's P
+    matrix (setJacobian) or an explicit `snes.patch_pattern`; without a
+    pattern, falls back to size-`patch_size` windows with overlap 1."""
+    A = getattr(snes, "patch_pattern", None) or \
+        getattr(snes, "_jac_pmat", None)
+    if A is not None and hasattr(A, "to_scipy"):
+        S = A.to_scipy().tocsr()
+        doms = []
+        for i in range(n):
+            nbr = np.unique(np.concatenate(
+                [[i], S.indices[S.indptr[i]:S.indptr[i + 1]]]))
+            doms.append((np.asarray([i]), nbr[nbr < n]))
+        return doms
+    ps = getattr(snes, "patch_size", 4)
+    starts = np.arange(0, n, ps)
+    doms = []
+    for s in starts:
+        own = np.arange(s, min(s + ps, n))
+        dom = np.arange(max(0, s - 1), min(n, s + ps + 1))
+        doms.append((own, dom))
+    return doms
+
+
+def _patch_correction_batched(snes, x_np, doms, sub_its):
+    """All patches of one size solve as ONE vmapped Newton (the TPU
+    reading of SNESPatch: per-patch work is data-parallel, so the patch
+    loop becomes a batch dimension instead of a host loop). Patches are
+    padded to their size-group; each contributes only its CENTER dof
+    (partition-of-unity ownership). Needs a pure residual
+    (setFunction with a jax function)."""
+    import jax as _jax
+    fp = snes._func_pure
+    if fp is None:
+        raise Error("SNES patch: set a pure jax residual (setFunction)")
+    base = jnp.asarray(x_np)
+    d_total = np.zeros_like(x_np)
+    groups = {}
+    for own, dom in doms:
+        groups.setdefault(len(dom), []).append((int(own[0]), dom))
+    for sz, g in groups.items():
+        D = jnp.asarray(np.stack([dom for _, dom in g]))
+        centers = np.asarray([c for c, _ in g])
+        cpos = jnp.asarray(np.stack(
+            [np.searchsorted(dom, c) for c, dom in g]))
+
+        def one(dom, cp):
+            z0 = base[dom]
+
+            def res(z):
+                return fp(base.at[dom].set(z))[dom]
+
+            def step(z, _):
+                r = res(z)
+                Jl = _jax.jacfwd(res)(z)
+                dz = jnp.linalg.solve(
+                    Jl + 1e-14 * jnp.eye(sz, dtype=z.dtype), r)
+                return z - dz, None
+
+            z, _ = _jax.lax.scan(step, z0, None, length=sub_its)
+            return (z - z0)[cp]
+
+        corr = np.asarray(_jax.vmap(one)(D, cpos))
+        d_total[centers] += corr
+    return d_total
+
+
+def solve_patch(snes: SNES, x_np, x):
+    """SNESPATCH: nonlinear additive patch relaxation — a NASM sweep
+    over vertex-star patches, batched per patch size (each patch updates
+    only its center dof)."""
+    doms = _patch_subdomains(snes, len(x_np))
+    damping = getattr(snes, "patch_damping", 1.0)
+    sub_its = getattr(snes, "patch_sub_its", 3)
+    F = snes._func_np(x_np)
+    fnorm = float(np.linalg.norm(F))
+    snes._fnorm0 = fnorm
+    snes._ttol = snes.rtol * fnorm
+    snes._monitor(0, fnorm)
+    reason = snes._converged(0, 0.0, 0.0, fnorm)
+    it = 0
+    while reason == SR.ITERATING and it < snes.max_it:
+        d = _patch_correction_batched(snes, x_np, doms, sub_its)
+        x_np = x_np + damping * d
+        F = snes._func_np(x_np)
+        fnorm = float(np.linalg.norm(F))
+        it += 1
+        snes._monitor(it, fnorm)
+        reason = snes._converged(it, float(np.linalg.norm(x_np)),
+                                 damping * float(np.linalg.norm(d)), fnorm)
+    if reason == SR.ITERATING:
+        reason = SR.DIVERGED_MAX_IT
+    _finish(snes, x, x_np, it, fnorm, reason)
+
+
 def solve_aspin(snes: SNES, x_np, x):
     """ASPIN (impls/nasm with SNESSetNPCSide / aspin.c role): line-searched
     outer iteration on the additive-Schwarz-preconditioned direction."""
@@ -506,6 +603,7 @@ def solve_ms(snes: SNES, x_np, x):
 SNES._impls.update({
     "ms": solve_ms,
     "nasm": solve_nasm,
+    "patch": solve_patch,
     "aspin": solve_aspin,
     "ngs": solve_ngs,
     "fas": solve_fas,

@@ -141,3 +141,27 @@ def test_ms_smoother():
     x = da.createGlobalVector()
     snes.solve(None, x)
     assert snes.getConvergedReason().converged
+
+
+def test_snes_patch_vertex_star():
+    """SNESPATCH (src/snes/impls/patch role): nonlinear vertex-star patch
+    relaxation; patches span Jacobian-pattern neighbors."""
+    import scipy.sparse as sp
+    n = 24
+    T = sp.diags([2.0 * np.ones(n), -np.ones(n - 1), -np.ones(n - 1)],
+                 [0, 1, -1]).tocsr()
+
+    def fun(x):
+        return jnp.asarray(T.toarray()) @ x + 0.1 * x ** 3 - 1.0
+
+    snes = pt.SNES().create()
+    snes.setType("patch")
+    snes.setFunction(fun)
+    snes.patch_pattern = pt.MatAIJ.from_scipy(T)
+    snes.setTolerances(rtol=1e-8, max_it=200)
+    x = pt.Vec.from_array(np.zeros(n))
+    snes.solve(None, x)
+    assert snes.getConvergedReason() > 0
+    xs = np.asarray(x.getArray())[:n]
+    r = T @ xs + 0.1 * xs ** 3 - 1.0
+    assert np.linalg.norm(r) < 1e-6
