@@ -1,0 +1,72 @@
+"""512^3 scale demonstration on ONE chip (VERDICT row 63, the 64-bit
+scale path): 7-point (or 27-point) Poisson with the constant-folded
+device-generated stencil operator -- no host assembly, no index arrays
+at all (the 27-pt case has 3.6e9 LOGICAL nnz, past int32, which the dnd
+layout never materializes). CG+Jacobi entirely on device; reports
+residual reduction and sustained Gnnz/s.
+
+Run on chip:  python examples/poisson512.py -n 512 -its 50
+"""
+
+import sys
+import time
+
+import os as _os
+import sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
+import numpy as np
+
+import petsc_tpu as pt
+
+
+def main(argv=None):
+    pt.init(args=argv if argv is not None else sys.argv[1:])
+    import jax
+    import jax.numpy as jnp
+    opts = pt.options()
+    n = opts.get_int("n", default=512)
+    its = opts.get_int("its", default=50)
+    kind = opts.get_string("stencil", default="star")
+    from petsc_tpu.ops import stencil_build
+    meta, data = stencil_build.build_dnd((n, n, n), kind=kind)
+    nnz = stencil_build.nnz_of((n, n, n), meta[2])
+    N = n ** 3
+    # first-class Mat wrapper: device arrays are jit ARGUMENTS, not
+    # closure constants (a MatShell lambda would bake the 1 GB diagonal
+    # into the executable payload)
+    A = stencil_build.as_mat(meta, data)
+    ksp = pt.KSP().create()
+    ksp.setOperators(A)
+    ksp.setType("cg")
+    ksp.getPC().setType("jacobi")
+    ksp.setTolerances(rtol=1e-30, max_it=its)
+    ksp.converged_maxits = True
+    b = pt.Vec.from_array(jnp.ones(N))
+
+    def timed_solve(k):
+        ksp.setTolerances(rtol=1e-30, max_it=k)
+        x = pt.Vec.from_array(jnp.zeros(N))
+        ksp.solve(b, x)                      # warm/compile this max_it
+        x.set(0.0)
+        t0 = time.perf_counter()
+        ksp.solve(b, x)
+        jax.block_until_ready(x.array)
+        return time.perf_counter() - t0, float(ksp.getResidualNorm())
+
+    # iteration-differencing cancels the tunnel's per-solve dispatch
+    # latency (same reasoning as bench.py's K-differencing)
+    t1, _ = timed_solve(its)
+    t2, rnorm = timed_solve(3 * its)
+    rate = nnz * (2 * its) / max(t2 - t1, 1e-9) / 1e9
+    r0 = float(ksp._rnorm0)          # same (preconditioned) norm as rnorm
+    print(f"n={n}^3 rows={N:,} logical nnz={nnz:,} "
+          f"({'>int32' if nnz > 2**31 else 'int32-ok'})")
+    print(f"CG+Jacobi: {its}->{3*its} its {t1:.2f}->{t2:.2f} s, "
+          f"{rate:.1f} Gnnz/s per-iteration, relres {rnorm / r0:.3e} "
+          f"at {3*its} its")
+    return t2, nnz
+
+
+if __name__ == "__main__":
+    main()

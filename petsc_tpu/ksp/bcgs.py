@@ -10,6 +10,8 @@ carry KSP_DIVERGED_BREAKDOWN; the t=0, s=0 corner converges with x += a p.
 from __future__ import annotations
 
 import jax.numpy as jnp
+
+from ..ops.reduce import fdot
 from jax import lax
 
 from ..sys.error import KSPConvergedReason as KR
@@ -42,18 +44,18 @@ def solve_bcgs(A, B, b, x0, rtol, abstol, divtol, cfg: KSPConfig):
         return (s["reason"] == 0) & (s["its"] < cfg.max_it)
 
     def body(s):
-        rho = jnp.vdot(s["r"], s["rp"])
+        rho = fdot(s["r"], s["rp"])
         beta = (rho / _nz(s["rhoold"])) * (s["alpha"] / _nz(s["omegaold"]))
         p = s["r"] - s["omegaold"] * beta * s["v"] + beta * s["p"]
         v = B.mult(A.mult(p))
-        d1 = jnp.vdot(v, s["rp"])
+        d1 = fdot(v, s["rp"])
         brk = jnp.where(d1 == 0, int(KR.DIVERGED_BREAKDOWN), 0)
         alpha = rho / _nz(d1)
         sv = s["r"] - alpha * v
         t = B.mult(A.mult(sv))
-        st = jnp.vdot(sv, t)
-        tt = jnp.vdot(t, t)
-        ss_ = jnp.vdot(sv, sv)
+        st = fdot(sv, t)
+        tt = fdot(t, t)
+        ss_ = fdot(sv, sv)
         # t == 0 corner (bcgs.c:92-113)
         t_zero = (tt == 0) & (brk == 0)
         brk = jnp.where(t_zero & (ss_ != 0), int(KR.DIVERGED_BREAKDOWN), brk)
@@ -119,8 +121,8 @@ def solve_ibcgs(A, B, b, x0, rtol, abstol, divtol, cfg: KSPConfig):
     z0_ = jnp.zeros((), dt)
 
     state = dict(x=x_init, r=r0, u=u0, z=zero, v=zero, q=zero,
-                 sig2=z0_, sig1=jnp.vdot(r0, u0), pi1=z0_,
-                 phi1=jnp.vdot(r0, r0), tau1=z0_, alpha1=one, omega1=one,
+                 sig2=z0_, sig1=fdot(r0, u0), pi1=z0_,
+                 phi1=fdot(r0, r0), tau1=z0_, alpha1=one, omega1=one,
                  its=jnp.array(0), rnorm=dp0,
                  reason=jnp.zeros((), jnp.int32), hist=hist)
 
@@ -143,12 +145,12 @@ def solve_ibcgs(A, B, b, x0, rtol, abstol, divtol, cfg: KSPConfig):
         qn = opBA(vn)
         tn = s["u"] - alpha * qn
         # the six dots — one fused pass / one psum (the ibcgs point)
-        phi = jnp.vdot(r0, sn)
-        pi_ = jnp.vdot(r0, qn)
-        gamma = jnp.vdot(f0, sn)
-        eta = jnp.vdot(f0, tn)
-        theta = jnp.vdot(sn, tn)
-        kappa = jnp.vdot(tn, tn)
+        phi = fdot(r0, sn)
+        pi_ = fdot(r0, qn)
+        gamma = fdot(f0, sn)
+        eta = fdot(f0, tn)
+        theta = fdot(sn, tn)
+        kappa = fdot(tn, tn)
         brk = jnp.where((kappa == 0) | (theta == 0),
                         int(KR.DIVERGED_BREAKDOWN), brk)
         omega = theta / _nz(kappa)

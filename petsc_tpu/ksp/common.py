@@ -18,6 +18,8 @@ from typing import NamedTuple
 
 import jax.numpy as jnp
 
+from ..ops.reduce import fdot
+
 from ..sys.error import KSPConvergedReason as KR
 
 # norm types (string-static at trace time)
@@ -47,7 +49,7 @@ class KSPConfig:
 
 
 def norm2(v):
-    return jnp.sqrt(jnp.vdot(v, v))
+    return jnp.sqrt(fdot(v, v))
 
 
 def check_converged(dp, ttol, abstol, dtol_bound):

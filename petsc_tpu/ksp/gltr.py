@@ -24,6 +24,8 @@ of the same A/B applications. No host round-trips.
 from __future__ import annotations
 
 import jax.numpy as jnp
+
+from ..ops.reduce import fdot
 from jax import lax
 
 from ..sys.error import KSPConvergedReason as KR
@@ -171,7 +173,7 @@ def _solve_tridiag_tr(d, e, t_size, TMAX, rnorm0, Delta, dt):
     shift = -(lmin - 1e-8 * jnp.maximum(jnp.abs(lmin), 1.0))
     _, v1, _, _ = _ldl_sweep(d, e, shift, t_size, TMAX, 1.0)
     v = v1 / _nz(norm2(v1))
-    hv = jnp.vdot(h, v)
+    hv = fdot(h, v)
     disc = jnp.maximum(hv * hv + (Delta * Delta - hn * hn), 0.0)
     tau = -hv + jnp.sqrt(disc)
     h = jnp.where(hard & ~interior_ok, h + tau * v, h)
@@ -190,7 +192,7 @@ def solve_gltr(A, B, b, x0, rtol, abstol, divtol, cfg: KSPConfig):
     r0 = initial_residual(A, b, x0, cfg)
     x = jnp.zeros_like(b)                   # TR solves start from 0
     z0 = B.mult(r0)
-    rz0 = jnp.vdot(r0, z0)
+    rz0 = fdot(r0, z0)
     dp0 = _dp(cfg.normtype, r0, z0)
     hist = empty_history(cfg, dt).at[0].set(dp0)
     ttol = jnp.maximum(rtol * dp0, abstol)
@@ -204,7 +206,7 @@ def solve_gltr(A, B, b, x0, rtol, abstol, divtol, cfg: KSPConfig):
         (x, r, z, p, rz, xMx, xMp, pMp, alphas, betas, k, its, boundary,
          lanczos_left, rnorm, reason, hist) = s
         Ap = A.mult(p)
-        kappa = jnp.vdot(p, Ap)
+        kappa = fdot(p, Ap)
         alpha = rz / _nz(kappa)
         xMx_new = xMx + 2 * alpha * xMp + alpha ** 2 * pMp
         hit_now = (~jnp.asarray(big)) & ((kappa <= 0)
@@ -215,7 +217,7 @@ def solve_gltr(A, B, b, x0, rtol, abstol, divtol, cfg: KSPConfig):
         x2 = jnp.where(upd, x + alpha * p, x)
         r2 = r - alpha * Ap                 # Lanczos continues regardless
         z2 = B.mult(r2)
-        rz2 = jnp.vdot(r2, z2)
+        rz2 = fdot(r2, z2)
         beta = rz2 / _nz(rz)
         p2 = z2 + beta * p
         alphas2 = alphas.at[k].set(alpha)
@@ -277,7 +279,7 @@ def solve_gltr(A, B, b, x0, rtol, abstol, divtol, cfg: KSPConfig):
         alpha = alphas[jnp.minimum(i, TMAX - 1)]
         r2 = r - alpha * Ap
         z2 = B.mult(r2)
-        rz2 = jnp.vdot(r2, z2)
+        rz2 = fdot(r2, z2)
         beta = betas[jnp.minimum(i, TMAX - 1)]
         p2 = z2 + beta * p
         return (xh, r2, z2, p2, rz2)

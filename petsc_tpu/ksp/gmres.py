@@ -15,6 +15,8 @@ cfg.extra = (restart, refine)  with refine in {0: never, 1: ifneeded,
 from __future__ import annotations
 
 import jax.numpy as jnp
+
+from ..ops.reduce import fgemv, fgemvT
 from jax import lax
 
 from ..sys.error import KSPConvergedReason as KR
@@ -41,17 +43,17 @@ def solve_gmres(A, B, b, x0, rtol, abstol, divtol, cfg: KSPConfig):
 
     def orthogonalize(V, w, it):
         """CGS: one tall matmul; V rows > it are zero so they contribute 0."""
-        h = V @ w                      # (m+1,)
-        w = w - h @ V                  # w -= sum h_i V_i
+        h = fgemv(V, w)                      # (m+1,)
+        w = w - fgemvT(h, V)                  # w -= sum h_i V_i
         if refine == 2:
-            h2 = V @ w
-            w = w - h2 @ V
+            h2 = fgemv(V, w)
+            w = w - fgemvT(h2, V)
             h = h + h2
         elif refine == 1:
             # refine if ||h_correction|| large relative to ||w|| (hhes test)
-            h2 = V @ w
+            h2 = fgemv(V, w)
             do = norm2(h2) > 1e-8 * norm2(h)  # practical ifneeded criterion
-            w = jnp.where(do, w - h2 @ V, w)
+            w = jnp.where(do, w - fgemvT(h2, V), w)
             h = jnp.where(do, h + h2, h)
         return h, w
 
@@ -126,7 +128,7 @@ def solve_gmres(A, B, b, x0, rtol, abstol, divtol, cfg: KSPConfig):
             return y.at[i].set(jnp.where(i >= 0, yi, 0.0))
 
         y = lax.fori_loop(0, k, back_body, jnp.zeros((m,), dtype=dt))
-        x = x + y @ V[:m]
+        x = x + fgemvT(y, V[:m])
         return x, its, res, reason, hist, res0
 
     # iteration 0 history entry
@@ -168,16 +170,16 @@ def solve_fgmres(A, B, b, x0, rtol, abstol, divtol, cfg: KSPConfig):
     x_init = x0 if cfg.guess_nonzero else jnp.zeros_like(b)
 
     def orthogonalize(V, w):
-        h = V @ w
-        w = w - h @ V
+        h = fgemv(V, w)
+        w = w - fgemvT(h, V)
         if refine == 2:
-            h2 = V @ w
-            w = w - h2 @ V
+            h2 = fgemv(V, w)
+            w = w - fgemvT(h2, V)
             h = h + h2
         elif refine == 1:
-            h2 = V @ w
+            h2 = fgemv(V, w)
             do = norm2(h2) > 1e-8 * norm2(h)
-            w = jnp.where(do, w - h2 @ V, w)
+            w = jnp.where(do, w - fgemvT(h2, V), w)
             h = jnp.where(do, h + h2, h)
         return h, w
 
@@ -250,7 +252,7 @@ def solve_fgmres(A, B, b, x0, rtol, abstol, divtol, cfg: KSPConfig):
             return y.at[i].set(jnp.where(i >= 0, yi, 0.0))
 
         y = lax.fori_loop(0, k, back_body, jnp.zeros((m,), dtype=dt))
-        x = x + y @ Z
+        x = x + fgemvT(y, Z)
         return x, its, res, reason, hist, res0
 
     r0 = b - A.mult(x_init) if cfg.guess_nonzero else b

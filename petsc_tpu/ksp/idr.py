@@ -17,6 +17,8 @@ from __future__ import annotations
 
 import numpy as np
 import jax.numpy as jnp
+
+from ..ops.reduce import fdot, fgemvT
 from jax import lax
 
 from .common import (KSPConfig, NONE, SolveResult, check_converged,
@@ -59,13 +61,13 @@ def solve_idr(A, B, b, x0, rtol, abstol, divtol, cfg: KSPConfig):
             Mk = M[k:, k:]
             c = jnp.linalg.solve(
                 Mk + 1e-300 * jnp.eye(s - k, dtype=dt), f[k:])
-            v = r - c @ G[k:]
+            v = r - fgemvT(c, G[k:])
             v = B.mult(v)
-            uk = c @ U[k:] + om * v
+            uk = fgemvT(c, U[k:]) + om * v
             gk = A.mult(uk)
             # biorthogonalize against P[:k]
             for i in range(k):
-                alpha = jnp.vdot(P[i], gk) / jnp.where(M[i, i] == 0, 1.0,
+                alpha = fdot(P[i], gk) / jnp.where(M[i, i] == 0, 1.0,
                                                        M[i, i])
                 gk = gk - alpha * G[i]
                 uk = uk - alpha * U[i]
@@ -81,8 +83,8 @@ def solve_idr(A, B, b, x0, rtol, abstol, divtol, cfg: KSPConfig):
         # move to the next Sonneveld space
         v = B.mult(r)
         t = A.mult(v)
-        tt = jnp.vdot(t, t)
-        om = jnp.vdot(t, r) / jnp.where(tt == 0, 1.0, tt)
+        tt = fdot(t, t)
+        om = fdot(t, r) / jnp.where(tt == 0, 1.0, tt)
         x = x + om * v
         r = r - om * t
         dp = norm2(r)

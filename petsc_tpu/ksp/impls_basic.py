@@ -11,6 +11,8 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+
+from ..ops.reduce import fdot
 from jax import lax
 
 from ..sys.error import KSPConvergedReason as KR
@@ -36,7 +38,7 @@ def _dp(normtype, r, z):
     if normtype == UNPRECONDITIONED:
         return norm2(r)
     if normtype == NATURAL:
-        return jnp.sqrt(jnp.abs(jnp.vdot(z, r)))
+        return jnp.sqrt(jnp.abs(fdot(z, r)))
     return jnp.zeros((), r.dtype)
 
 
@@ -86,7 +88,7 @@ def solve_cg(A, B, b, x0, rtol, abstol, divtol, cfg: KSPConfig):
     x0v = x0 if cfg.guess_nonzero else jnp.zeros_like(b)
 
     z0 = B.mult(r0)
-    beta0 = jnp.vdot(z0, r0)
+    beta0 = fdot(z0, r0)
     dp0 = _dp(nt, r0, z0)
     hist = empty_history(cfg, b.dtype).at[0].set(dp0)
     ttol = jnp.maximum(rtol * dp0, abstol)
@@ -106,7 +108,7 @@ def solve_cg(A, B, b, x0, rtol, abstol, divtol, cfg: KSPConfig):
         bcoef = jnp.where(i == 0, 0.0, beta / jnp.where(betaold == 0, 1.0, betaold))
         p_new = z + bcoef * p
         w = A.mult(p_new)
-        dpi = jnp.vdot(p_new, w)
+        dpi = fdot(p_new, w)
         brk = jnp.where((brk == 0) & (dpi <= 0),
                         int(KR.DIVERGED_INDEFINITE_MAT), brk)
         ok = brk == 0
@@ -114,7 +116,7 @@ def solve_cg(A, B, b, x0, rtol, abstol, divtol, cfg: KSPConfig):
         x_new = x + a * p_new
         r_new = r - a * w
         z_new = B.mult(r_new)
-        beta_new = jnp.vdot(z_new, r_new)
+        beta_new = fdot(z_new, r_new)
         dp = _dp(nt, r_new, z_new)
         its_new = i + 1
         conv = check_converged(dp, ttol, abstol, dtol_bound) \
@@ -144,7 +146,7 @@ def solve_minres(A, B, b, x0, rtol, abstol, divtol, cfg: KSPConfig):
     r0 = initial_residual(A, b, x0, cfg)
     x0v = x0 if cfg.guess_nonzero else jnp.zeros_like(b)
     z0 = B.mult(r0)
-    dp0 = jnp.sqrt(jnp.abs(jnp.vdot(z0, r0)))   # natural norm drives MINRES
+    dp0 = jnp.sqrt(jnp.abs(fdot(z0, r0)))   # natural norm drives MINRES
     mon0 = _dp(cfg.normtype, r0, z0)
     hist = empty_history(cfg, b.dtype).at[0].set(mon0)
     ttol = jnp.maximum(rtol * mon0, abstol)
@@ -167,10 +169,10 @@ def solve_minres(A, B, b, x0, rtol, abstol, divtol, cfg: KSPConfig):
         beta = s["beta"]
         v_hat = s["z"] / beta
         Av = A.mult(v_hat)
-        alpha = jnp.vdot(v_hat, Av)
+        alpha = fdot(v_hat, Av)
         v_new = Av - (alpha / beta) * s["v"] - (beta / s["beta_old"]) * s["v_old"]
         z_new = B.mult(v_new)
-        beta_new = jnp.sqrt(jnp.abs(jnp.vdot(z_new, v_new)))
+        beta_new = jnp.sqrt(jnp.abs(fdot(z_new, v_new)))
         # Givens
         d0 = s["c"] * alpha - s["c_old"] * s["s"] * beta
         d1 = jnp.sqrt(d0 * d0 + beta_new * beta_new)

@@ -16,6 +16,8 @@ comb.c); under XLA the fused dot-pairs compile to a single collective.
 from __future__ import annotations
 
 import jax.numpy as jnp
+
+from ..ops.reduce import fdot, fgemv, fgemvT
 from jax import lax
 
 from ..sys.error import KSPConvergedReason as KR
@@ -57,13 +59,13 @@ def solve_cgs(A, B, b, x0, rtol, abstol, divtol, cfg: KSPConfig):
 
     def body(s):
         x, r, u, p, q, rho_old, rnorm, its, reason, hist = s
-        rho = jnp.vdot(rt, r)
+        rho = fdot(rt, r)
         beta = rho / jnp.where(rho_old == 0, 1.0, rho_old)
         first = its == 0
         u_ = jnp.where(first, r, r + beta * q)
         p_ = jnp.where(first, r, u_ + beta * (q + beta * p))
         v = B.mult(A.mult(p_))
-        sig = jnp.vdot(rt, v)
+        sig = fdot(rt, v)
         alpha = rho / jnp.where(sig == 0, 1.0, sig)
         q_ = u_ - alpha * v
         x_ = x + alpha * (u_ + q_)
@@ -104,14 +106,14 @@ def solve_tfqmr(A, B, b, x0, rtol, abstol, divtol, cfg: KSPConfig):
     tau = dp0
     theta = jnp.zeros((), b.dtype)
     eta = jnp.zeros((), b.dtype)
-    rho = jnp.vdot(rt, r)
+    rho = fdot(rt, r)
 
     def cond(s):
         return (s[-2] == 0) & (s[-3] < cfg.max_it)
 
     def body(s):
         (x, w, y, v, d, tau, theta, eta, rho, its, reason, hist) = s
-        sigma = jnp.vdot(rt, v)
+        sigma = fdot(rt, v)
         alpha = rho / jnp.where(sigma == 0, 1.0, sigma)
         y2 = y - alpha * v
         # first half-step
@@ -130,7 +132,7 @@ def solve_tfqmr(A, B, b, x0, rtol, abstol, divtol, cfg: KSPConfig):
         eta2 = c2 ** 2 * alpha
         d2 = y2 + (theta1 ** 2 * eta1 / jnp.where(alpha == 0, 1.0, alpha)) * d1
         x2 = x1 + eta2 * d2
-        rho1 = jnp.vdot(rt, w2)
+        rho1 = fdot(rt, w2)
         beta = rho1 / jnp.where(rho == 0, 1.0, rho)
         y_next = w2 + beta * y2
         v_next = B.mult(A.mult(y_next)) + beta * (B.mult(A.mult(y2))
@@ -161,7 +163,7 @@ def solve_cr(A, B, b, x0, rtol, abstol, divtol, cfg: KSPConfig):
     p = r
     Ar = A.mult(r)
     Ap = Ar
-    rAr = jnp.vdot(r, Ar)
+    rAr = fdot(r, Ar)
     dp0 = _dp(cfg.normtype, r0, r)
     hist = empty_history(cfg, b.dtype).at[0].set(dp0)
     ttol = jnp.maximum(rtol * dp0, abstol)
@@ -173,12 +175,12 @@ def solve_cr(A, B, b, x0, rtol, abstol, divtol, cfg: KSPConfig):
     def body(s):
         x, r, p, Ap, rAr, rnorm, its, reason, hist = s
         BAp = B.mult(Ap)
-        denom = jnp.vdot(Ap, BAp)
+        denom = fdot(Ap, BAp)
         alpha = rAr / jnp.where(denom == 0, 1.0, denom)
         x_ = x + alpha * p
         r_ = r - alpha * BAp
         Ar_ = A.mult(r_)
-        rAr_ = jnp.vdot(r_, Ar_)
+        rAr_ = fdot(r_, Ar_)
         beta = rAr_ / jnp.where(rAr == 0, 1.0, rAr)
         p_ = r_ + beta * p
         Ap_ = Ar_ + beta * Ap
@@ -225,13 +227,13 @@ def solve_gcr(A, B, b, x0, rtol, abstol, divtol, cfg: KSPConfig):
             sk = B.mult(r)
             vk = A.mult(sk)
             # orthogonalize vk against previous v's (classical GS)
-            h = V @ vk
-            vk = vk - h @ V
-            sk = sk - h @ S
+            h = fgemv(V, vk)
+            vk = vk - fgemvT(h, V)
+            sk = sk - fgemvT(h, S)
             nv = norm2(vk)
             nv_s = jnp.where(nv == 0, 1.0, nv)
             vk, sk = vk / nv_s, sk / nv_s
-            alpha = jnp.vdot(vk, r)
+            alpha = fdot(vk, r)
             x_ = x + alpha * sk
             r_ = r - alpha * vk
             S = S.at[k].set(sk)
@@ -333,7 +335,7 @@ def solve_symmlq(A, B, b, x0, rtol, abstol, divtol, cfg: KSPConfig):
     x_init = x0 if cfg.guess_nonzero else jnp.zeros_like(b)
     r0 = b - A.mult(x_init) if cfg.guess_nonzero else b
     z0 = B.mult(r0)
-    dp_ = jnp.vdot(r0, z0)
+    dp_ = fdot(r0, z0)
     indef0 = dp_ < 0
     beta1 = jnp.sqrt(jnp.abs(dp_))
     v0 = r0 / nz(beta1)
@@ -372,12 +374,12 @@ def solve_symmlq(A, B, b, x0, rtol, abstol, divtol, cfg: KSPConfig):
         ceta_old = jnp.where(first, s["ceta_old"], s["ceta"])
         # Lanczos step
         r = A.mult(u)
-        alpha = jnp.vdot(u, r)
+        alpha = fdot(u, r)
         z = B.mult(r)
         r = r - alpha * v - s["beta"] * vold
         z = z - alpha * u - s["beta"] * uold
         betaold = s["beta"]
-        dp = jnp.vdot(r, z)
+        dp = fdot(r, z)
         happy = jnp.abs(dp) < haptol
         indef = (dp < 0) & ~happy
         dp = jnp.where(happy, 0.0, dp)
@@ -425,7 +427,7 @@ def solve_cgne(A, B, b, x0, rtol, abstol, divtol, cfg: KSPConfig):
     x = x0 if cfg.guess_nonzero else jnp.zeros_like(bt)
     r = bt - At(A.mult(x)) if cfg.guess_nonzero else bt
     z = B.mult(r)
-    beta = jnp.vdot(z, r)
+    beta = fdot(z, r)
     dp0 = jnp.sqrt(jnp.abs(beta))
     hist = empty_history(cfg, b.dtype).at[0].set(dp0)
     ttol = jnp.maximum(rtol * dp0, abstol)
@@ -436,17 +438,17 @@ def solve_cgne(A, B, b, x0, rtol, abstol, divtol, cfg: KSPConfig):
 
     def body(s):
         x, r, z, p, beta_old, its, rnorm, reason, hist = s
-        beta = jnp.vdot(z, r)
+        beta = fdot(z, r)
         bcoef = jnp.where(its == 0, 0.0,
                           beta / jnp.where(beta_old == 0, 1.0, beta_old))
         p = z + bcoef * p
         Ap = At(A.mult(p))
-        dpi = jnp.vdot(p, Ap)
+        dpi = fdot(p, Ap)
         a = beta / jnp.where(dpi == 0, 1.0, dpi)
         x = x + a * p
         r = r - a * Ap
         z = B.mult(r)
-        dp = jnp.sqrt(jnp.abs(jnp.vdot(z, r)))
+        dp = jnp.sqrt(jnp.abs(fdot(z, r)))
         its = its + 1
         hist = hist.at[its].set(dp)
         conv = check_converged(dp, ttol, abstol, dtol_bound) \
@@ -487,13 +489,13 @@ def solve_fcg(A, B, b, x0, rtol, abstol, divtol, cfg: KSPConfig):
         x, r, Pst, Qst, den, its, rnorm, reason, hist = s
         z = B.mult(r)
         # orthogonalize z against stored directions in the A-inner product
-        coeffs = (Qst @ z) / den           # (m,)
+        coeffs = fgemv(Qst, z) / den           # (m,)
         slot_mask = jnp.arange(m) < jnp.minimum(its, m)
         coeffs = jnp.where(slot_mask, coeffs, 0.0)
-        p = z - coeffs @ Pst
+        p = z - fgemvT(coeffs, Pst)
         Ap = A.mult(p)
-        pAp = jnp.vdot(p, Ap)
-        a = jnp.vdot(p, r) / jnp.where(pAp == 0, 1.0, pAp)
+        pAp = fdot(p, Ap)
+        a = fdot(p, r) / jnp.where(pAp == 0, 1.0, pAp)
         x = x + a * p
         r = r - a * Ap
         slot = jnp.mod(its, m)
@@ -539,8 +541,8 @@ def solve_pipecg(A, B, b, x0, rtol, abstol, divtol, cfg: KSPConfig):
         (x, r, u, w, z, q, p, sv, m_, alpha_old, gamma_old, its, rnorm,
          reason, hist) = s
         # fused reductions: gamma = (r,u), delta = (w,u); XLA emits ONE psum
-        gamma = jnp.vdot(r, u)
-        delta = jnp.vdot(w, u)
+        gamma = fdot(r, u)
+        delta = fdot(w, u)
         m2 = B.mult(w)
         n2 = A.mult(m2)
         first = its == 0

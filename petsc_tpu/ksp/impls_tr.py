@@ -16,6 +16,8 @@ step is one tiny dense solve the MXU handles inline.
 from __future__ import annotations
 
 import jax.numpy as jnp
+
+from ..ops.reduce import fdot
 from jax import lax
 
 from ..sys.error import KSPConvergedReason as KR
@@ -46,7 +48,7 @@ def solve_stcg(A, B, b, x0, rtol, abstol, divtol, cfg: KSPConfig):
     r = r0
     z = B.mult(r)
     p = z
-    rz = jnp.vdot(r, z)
+    rz = fdot(r, z)
     dp0 = _dp(cfg.normtype, r0, z)
     hist = empty_history(cfg, b.dtype).at[0].set(dp0)
     ttol = jnp.maximum(rtol * dp0, abstol)
@@ -64,7 +66,7 @@ def solve_stcg(A, B, b, x0, rtol, abstol, divtol, cfg: KSPConfig):
     def body(s):
         x, r, z, p, rz, xMx, xMp, pMp, rnorm, its, reason, hist = s
         Ap = A.mult(p)
-        kappa = jnp.vdot(p, Ap)
+        kappa = fdot(p, Ap)
         alpha_cg = rz / jnp.where(kappa == 0, 1.0, kappa)
         # step that would be taken; boundary / negative-curvature handling
         xMx_new = xMx + 2 * alpha_cg * xMp + alpha_cg ** 2 * pMp
@@ -75,7 +77,7 @@ def solve_stcg(A, B, b, x0, rtol, abstol, divtol, cfg: KSPConfig):
         x_ = x + alpha * p
         r_ = r - alpha * Ap
         z_ = B.mult(r_)
-        rz_ = jnp.vdot(r_, z_)
+        rz_ = fdot(r_, z_)
         beta = rz_ / jnp.where(rz == 0, 1.0, rz)
         p_ = z_ + beta * p
         xMx_ = xMx + 2 * alpha * xMp + alpha ** 2 * pMp
@@ -132,12 +134,12 @@ def solve_bcgsl(A, B, b, x0, rtol, abstol, divtol, cfg: KSPConfig):
         rho0 = -omega * rho0
         # ---- BiCG part (unrolled over static ell) ----
         for j in range(ell):
-            rho1 = jnp.vdot(rt, R[j])
+            rho1 = fdot(rt, R[j])
             beta = alpha * rho1 / jnp.where(rho0 == 0, 1.0, rho0)
             rho0 = rho1
             U = U.at[: j + 1].set(R[: j + 1] - beta * U[: j + 1])
             U = U.at[j + 1].set(K(U[j]))
-            gamma = jnp.vdot(rt, U[j + 1])
+            gamma = fdot(rt, U[j + 1])
             alpha = rho0 / jnp.where(gamma == 0, 1.0, gamma)
             R = R.at[: j + 1].set(R[: j + 1] - alpha * U[1: j + 2])
             R = R.at[j + 1].set(K(R[j]))
@@ -203,12 +205,12 @@ def solve_lcd(A, B, b, x0, rtol, abstol, divtol, cfg: KSPConfig):
         x, r, p0, rnorm, its, reason = st
         P = jnp.zeros((k + 1, n), dt).at[0].set(p0)
         Q = jnp.zeros((k + 1, n), dt).at[0].set(B.mult(A.mult(p0)))
-        pq = jnp.ones((k + 1,), dt).at[0].set(jnp.vdot(P[0], Q[0]))
+        pq = jnp.ones((k + 1,), dt).at[0].set(fdot(P[0], Q[0]))
 
         def inner(it, s):
             x, r, P, Q, pq, rnorm, its, reason = s
             live = reason == 0
-            num = jnp.vdot(P[it], r)
+            num = fdot(P[it], r)
             den = jnp.where(pq[it] == 0, 1.0, pq[it])
             alfa = jnp.where(live, num / den, 0.0)
             x = x + alfa * P[it]
@@ -227,7 +229,7 @@ def solve_lcd(A, B, b, x0, rtol, abstol, divtol, cfg: KSPConfig):
             qn = qn - coeffs @ Q
             P = P.at[it + 1].set(jnp.where(live, pn, P[it + 1]))
             Q = Q.at[it + 1].set(jnp.where(live, qn, Q[it + 1]))
-            pq = pq.at[it + 1].set(jnp.where(live, jnp.vdot(pn, qn),
+            pq = pq.at[it + 1].set(jnp.where(live, fdot(pn, qn),
                                              pq[it + 1]))
             rnorm = jnp.where(live, dp, rnorm)
             return (x, r, P, Q, pq, rnorm, its, reason)

@@ -19,6 +19,8 @@ with no host branching. cfg.extra = (restart, refine, aug_dim).
 from __future__ import annotations
 
 import jax.numpy as jnp
+
+from ..ops.reduce import fgemv, fgemvT
 from jax import lax
 
 from ..sys.error import KSPConvergedReason as KR
@@ -48,16 +50,16 @@ def solve_lgmres(A, B, b, x0, rtol, abstol, divtol, cfg: KSPConfig):
         return B.mult(r)
 
     def orthogonalize(V, w):
-        h = V @ w
-        w = w - h @ V
+        h = fgemv(V, w)
+        w = w - fgemvT(h, V)
         if refine == 2:
-            h2 = V @ w
-            w = w - h2 @ V
+            h2 = fgemv(V, w)
+            w = w - fgemvT(h2, V)
             h = h + h2
         elif refine == 1:
-            h2 = V @ w
+            h2 = fgemv(V, w)
             do = norm2(h2) > 1e-8 * norm2(h)
-            w = jnp.where(do, w - h2 @ V, w)
+            w = jnp.where(do, w - fgemvT(h2, V), w)
             h = jnp.where(do, h + h2, h)
         return h, w
 

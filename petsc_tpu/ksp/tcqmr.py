@@ -12,6 +12,8 @@ single trace.
 from __future__ import annotations
 
 import jax.numpy as jnp
+
+from ..ops.reduce import fdot
 from jax import lax
 
 from .common import (KSPConfig, NONE, SolveResult, check_converged,
@@ -53,12 +55,12 @@ def solve_tcqmr(A, B, b, x0, rtol, abstol, divtol, cfg: KSPConfig):
     def body(s):
         its = s["its"] + 1
         y = BA(s["u"])
-        dp11 = jnp.vdot(y, v0)
-        dp2 = jnp.vdot(s["u"], v0)
+        dp11 = fdot(y, v0)
+        dp2 = fdot(s["u"], v0)
         alpha = sdiv(dp11, dp2)
         deltmp = alpha
         zv = y - alpha * s["u"]
-        rho = jnp.vdot(s["u"], v0)
+        rho = fdot(s["u"], v0)
         beta = sdiv(rho, s["f"] * s["rhom1"])
         rhom1 = rho
         utmp = zv - 2.0 * beta * s["p"]

@@ -16,6 +16,8 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from .reduce import fgemv, fgemvT
+
 from . import operator
 
 _prog_cache: dict = {}
@@ -38,10 +40,10 @@ def _arnoldi_prog(A_meta, n, m, seed):
             mask = (jnp.arange(m + 1) <= j).astype(w.dtype)
             # CGS2: two rounds of classical Gram-Schmidt (full-width
             # masked matvecs; numerically ~MGS for Ritz-bound purposes)
-            h1 = mask * (V @ w)
-            w = w - V.T @ h1
-            h2 = mask * (V @ w)
-            w = w - V.T @ h2
+            h1 = mask * fgemv(V, w)
+            w = w - fgemvT(h1, V)
+            h2 = mask * fgemv(V, w)
+            w = w - fgemvT(h2, V)
             beta = jnp.linalg.norm(w)
             h = h1 + h2
             H = jax.lax.dynamic_update_slice(H, h[:, None], (0, j))

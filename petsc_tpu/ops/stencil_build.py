@@ -97,6 +97,36 @@ def build_dnd(shape, offsets=None, diag_coef=None, off_coef=-1.0,
     return meta, {"coef": coef, "diag": diag}
 
 
+def as_mat(meta, data, comm=None):
+    """Wrap a (meta, data) stencil operator as a first-class Mat so the
+    device arrays ride the jit contract as ARGUMENTS. (A MatShell closure
+    would embed them as compile-time CONSTANTS — at 512^3 that bakes a
+    1 GB diagonal into the executable payload, which a dev tunnel cannot
+    upload and XLA constant-folds at glacial speed.)"""
+    from ..mat.mat import Mat
+
+    class _StencilMat(Mat):
+        @property
+        def meta(self):
+            return self._meta_val
+
+        def device_data(self):
+            return self._data_val
+
+        def nnz(self):
+            return nnz_of(self._shape_val, self._offsets_val)
+
+    M = _StencilMat(comm)
+    N = int(meta[5])
+    M.setSizes((N, N))
+    M._meta_val = meta
+    M._data_val = data
+    M._shape_val = meta[1]
+    M._offsets_val = meta[2]
+    M._assembled = True
+    return M
+
+
 def nnz_of(shape, offsets):
     """Exact nonzero count of the masked stencil (for nnz/s metrics)."""
     shape = np.asarray(shape)

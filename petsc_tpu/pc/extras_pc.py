@@ -14,6 +14,8 @@ from __future__ import annotations
 import numpy as np
 import jax.numpy as jnp
 
+from ..ops.reduce import fdot
+
 from .. import config
 from ..ops import operator
 from ..sys.error import Error
@@ -630,12 +632,12 @@ def _bind_lmvm(meta, data):
         q = g
         alphas = []
         for i in range(k - 1, -1, -1):
-            a = rho[i] * jnp.vdot(S[i], q)
+            a = rho[i] * fdot(S[i], q)
             alphas.append((i, a))
             q = q - a * Y[i]
         q = gamma * q
         for i, a in reversed(alphas):
-            b = rho[i] * jnp.vdot(Y[i], q)
+            b = rho[i] * fdot(Y[i], q)
             q = q + (a - b) * S[i]
         return q
 

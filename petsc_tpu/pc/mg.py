@@ -23,6 +23,8 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from ..ops.reduce import fdot
+
 from .. import config
 from ..ksp.cheby import cheby_smooth, cheby_smooth4
 from ..ops import operator
@@ -402,7 +404,7 @@ def _bind_pc_mg(meta, data):
             dinv = cd["dinv"]
             r0 = b
             z0 = dinv * r0
-            rz0 = jnp.vdot(r0, z0)
+            rz0 = fdot(r0, z0)
             atol2 = 1e-10 * jnp.abs(rz0)
 
             def cond(s):
@@ -412,11 +414,11 @@ def _bind_pc_mg(meta, data):
             def body(s):
                 x, r, z, p, rz, it = s
                 Ap = Aop.mult(p)
-                alpha = rz / jnp.vdot(p, Ap)
+                alpha = rz / fdot(p, Ap)
                 x = x + alpha * p
                 r = r - alpha * Ap
                 z = dinv * r
-                rz2 = jnp.vdot(r, z)
+                rz2 = fdot(r, z)
                 p = z + (rz2 / rz) * p
                 return x, r, z, p, rz2, it + 1
 

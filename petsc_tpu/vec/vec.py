@@ -22,6 +22,8 @@ from enum import IntEnum
 
 import jax
 import jax.numpy as jnp
+
+from ..ops.reduce import fdot
 import numpy as np
 
 from .. import config
@@ -261,22 +263,22 @@ class Vec(PObject):
         """x'y; zero tail makes padding harmless (VecDot_MPI pvec2.c:7 — the
         psum is emitted by XLA for sharded arrays)."""
         config.log().log_flops("VecDot", 2 * self.layout.N)
-        return float(jnp.vdot(self.array, y.array))
+        return float(fdot(self.array, y.array))
 
     def tDot(self, y: "Vec"):
-        return float(jnp.dot(self.array, y.array))
+        return float(fdot(self.array, y.array))
 
     def norm(self, norm_type=NormType.NORM_2):
         a = self.array
         if norm_type == NormType.NORM_2 or norm_type == NormType.NORM_FROBENIUS:
             config.log().log_flops("VecNorm", 2 * self.layout.N)
-            return float(jnp.sqrt(jnp.vdot(a, a)))
+            return float(jnp.sqrt(fdot(a, a)))
         if norm_type == NormType.NORM_1:
             return float(jnp.sum(jnp.abs(a)))
         if norm_type == NormType.NORM_INFINITY:
             return float(jnp.max(jnp.abs(a)))
         if norm_type == NormType.NORM_1_AND_2:
-            return (float(jnp.sum(jnp.abs(a))), float(jnp.sqrt(jnp.vdot(a, a))))
+            return (float(jnp.sum(jnp.abs(a))), float(jnp.sqrt(fdot(a, a))))
         raise ValueError(norm_type)
 
     def normalize(self):
@@ -388,7 +390,7 @@ class Vec(PObject):
         import jax.numpy as jnp
         a = self.array
         b = other.array
-        return (float(jnp.vdot(b, a).real), float(jnp.vdot(b, b).real))
+        return (float(fdot(b, a).real), float(fdot(b, b).real))
 
     def getSubVector(self, iset):
         """VecGetSubVector: gathered copy at the index set (restore with
@@ -474,9 +476,9 @@ def fused_reductions(pairs):
     for p in pairs:
         kind = p[0]
         if kind == "dot":
-            parts.append(jnp.vdot(p[1].array, p[2].array))
+            parts.append(fdot(p[1].array, p[2].array))
         elif kind == "norm2":
-            parts.append(jnp.vdot(p[1].array, p[1].array))
+            parts.append(fdot(p[1].array, p[1].array))
         elif kind == "norm1":
             parts.append(jnp.sum(jnp.abs(p[1].array)))
         elif kind == "norminf":

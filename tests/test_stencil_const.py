@@ -56,3 +56,24 @@ def test_const_folded_star_diag():
     assert abs(y.reshape(n, n, n)[4, 4, 4]) < 1e-13
     assert abs(y.reshape(n, n, n)[0, 4, 4] - 1.0) < 1e-13
     assert abs(y.reshape(n, n, n)[0, 0, 0] - 3.0) < 1e-13
+
+
+def test_as_mat_ksp_solve():
+    """stencil_build.as_mat wraps (meta, data) as a first-class Mat whose
+    arrays ride the jit contract as arguments (examples/poisson512.py)."""
+    n = 12
+    meta, data = stencil_build.build_dnd((n, n, n), kind="star")
+    A = stencil_build.as_mat(meta, data)
+    assert A.nnz() == stencil_build.nnz_of((n, n, n), meta[2])
+    ksp = pt.KSP().create()
+    ksp.setOperators(A)
+    ksp.setType("cg")
+    ksp.getPC().setType("jacobi")
+    ksp.setTolerances(rtol=1e-8)
+    b = A.createVecLeft()
+    b.set(1.0)
+    x = A.createVecRight()
+    ksp.solve(b, x)
+    assert ksp.getConvergedReason() > 0
+    y = np.asarray(pt.Vec.from_array(np.asarray(A.op().mult(x.array))).getArray())
+    np.testing.assert_allclose(y[: n ** 3], np.ones(n ** 3), atol=1e-6)
