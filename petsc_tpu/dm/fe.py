@@ -167,6 +167,11 @@ def _lagrange_nodes(dim, k, cell):
             else:
                 kinds.append(("interior",))
         return pts, kinds
+    if dim == 3 and k >= 4:
+        raise NotImplementedError(
+            "3-D simplex Lagrange: P1-P3 only (P4+ has multiple "
+            "face-interior nodes per face, needing oriented face-dof "
+            "numbering — same deferral as hex faces)")
     # simplex barycentric lattice: multi-indices (b0..bd) summing to k;
     # slot i <-> vertex i (vertex 0 at the origin), coords = (b1..bd)/k
     out = []

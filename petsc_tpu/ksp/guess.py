@@ -24,6 +24,7 @@ class KSPGuess:
         self._Q = []       # fischer: orthonormalized A x basis
         self._X = []       # fischer: matched solution combinations
         self._snaps = []   # pod: solution snapshot window
+        self._asnaps = []  # pod: cached A @ snapshot (one matvec/update)
         self._phi = None   # pod: POD basis (n, k)
         self._red = None   # pod: reduced operator Phi^T A Phi (k, k)
 
@@ -31,46 +32,62 @@ class KSPGuess:
         self._Q.clear()
         self._X.clear()
         self._snaps.clear()
+        self._asnaps.clear()
         self._phi = None
         self._red = None
 
     def formGuess(self, b):
-        """x0 from the stored subspace."""
+        """x0 from the stored subspace (padded to b's layout length)."""
         b = np.asarray(b)
         if self.kind == "pod":
             if self._phi is None:
                 return None
             # Galerkin projection onto the POD basis (pod.c KSPGuessFormGuess):
             # solve (Phi^T A Phi) y = Phi^T b, x0 = Phi y
-            rhs = self._phi.T @ b[: self._phi.shape[0]]
+            n = self._phi.shape[0]
+            rhs = self._phi.T @ b[:n]
             try:
                 y = np.linalg.solve(self._red, rhs)
             except np.linalg.LinAlgError:
                 y, *_ = np.linalg.lstsq(self._red, rhs, rcond=None)
-            return self._phi @ y
+            return np.pad(self._phi @ y, (0, len(b) - n))
         if not self._Q:
             return None
         x0 = np.zeros_like(b)
+        n = len(self._X[0])
         for q, xh in zip(self._Q, self._X):
-            x0 += np.dot(q, b) * xh
+            x0[:n] += np.dot(q, b[:n]) * xh
         return x0
 
     def _apply_A(self, v):
-        from ..vec.vec import Vec
+        """A @ v honoring the operator's padded, possibly sharded layout
+        (a plain Vec.from_array would be single-shard/unpadded and break
+        mpiaij shard_map operators)."""
+        import jax
+        import jax.numpy as jnp
         A = self.ksp.mat
-        return np.asarray(A.op().mult(Vec.from_array(v).array))[: len(v)]
+        npad = A.row_layout.Npad
+        vv = np.zeros(npad)
+        vv[: len(v)] = v
+        arr = jnp.asarray(vv)
+        comm = getattr(A, "comm", None)
+        if comm is not None and getattr(comm, "nshards", 1) > 1:
+            arr = jax.device_put(arr, comm.row_sharding())
+        return np.asarray(A.op().mult(arr))[: len(v)]
 
     def _pod_recompute(self):
         """SVD-compress the snapshot window into a POD basis and build
         the reduced operator (pod.c KSPGuessUpdate_POD: correlation-matrix
         eigendecomposition; the thin SVD of the snapshot matrix is the
-        same subspace, computed directly)."""
+        same subspace). A@Phi comes from the CACHED per-snapshot matvecs:
+        Phi = X V diag(1/s) so A Phi = (A X) V diag(1/s) — one new matvec
+        per update, not k per rebuild."""
         X = np.stack(self._snaps, axis=1)              # (n, m)
-        U, s, _ = np.linalg.svd(X, full_matrices=False)
+        AX = np.stack(self._asnaps, axis=1)            # (n, m)
+        U, s, Vt = np.linalg.svd(X, full_matrices=False)
         k = max(int(np.sum(s > 1e-10 * max(s[0], 1e-300))), 1)
         self._phi = U[:, :k]
-        aphi = np.stack([self._apply_A(self._phi[:, j])
-                         for j in range(k)], axis=1)   # (n, k)
+        aphi = AX @ (Vt.T[:, :k] / s[:k])              # A X V S^-1
         self._red = self._phi.T @ aphi                 # Phi^T A Phi
 
     def update(self, x, b):
@@ -78,8 +95,10 @@ class KSPGuess:
         x = np.asarray(x, dtype=np.float64).copy()
         if self.kind == "pod":
             self._snaps.append(x)
+            self._asnaps.append(self._apply_A(x))
             if len(self._snaps) > self.size:
                 self._snaps.pop(0)
+                self._asnaps.pop(0)
             self._pod_recompute()
             return
         ax = self._apply_A(x)

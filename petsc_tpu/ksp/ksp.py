@@ -315,7 +315,7 @@ class KSP(PObject):
         if guess is not None and not self.guess_nonzero:
             g = guess.formGuess(np.asarray(b.array))
             if g is not None:
-                x.setArray(g)
+                x.setArray(g[: self.mat.row_layout.N])
                 self.guess_nonzero = True
         cfg = self._static_cfg()
         mixed = getattr(self, "_mixed", None)

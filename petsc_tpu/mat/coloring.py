@@ -125,7 +125,7 @@ class MatColoring:
             return np.arange(S.shape[1], dtype=np.int64)
         if self.ctype == "power":
             return greedy_color(power_graph(S, self.power_k))
-        C = _column_graph(S) if self.dist == 2 else S
+        C = _column_graph(S) if self.dist == 2 else _strip_diag(S)
         if self.ctype == "jp":
             return jp_color(C)
         deg = np.diff(C.indptr)
@@ -141,9 +141,19 @@ class MatColoring:
         """No two adjacent (distance-dist) columns share a color."""
         A = mat if mat is not None else self.mat
         S = A.to_scipy().tocsr()
-        C = _column_graph(S) if self.dist == 2 else S
+        C = _column_graph(S) if self.dist == 2 else _strip_diag(S)
         rows = np.repeat(np.arange(C.shape[0]), np.diff(C.indptr))
         return bool(np.all(colors[rows] != colors[C.indices]))
+
+
+def _strip_diag(S):
+    """Distance-1 adjacency: the matrix pattern without self-loops (a
+    diagonal entry would make every vertex adjacent to itself, breaking
+    both JP's local-max test and validate)."""
+    C = sp.csr_matrix(S, copy=True)
+    C.setdiag(0)
+    C.eliminate_zeros()
+    return C
 
 
 def _smallest_last_order(C):

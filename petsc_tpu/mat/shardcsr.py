@@ -114,7 +114,13 @@ class ShardedCSR:
         for s in range(P):
             lo, hi = rl.range(s)
             if hi > lo:
-                R = self.fetch_rows(rows[lo:hi])[:, cols]
+                rsel = rows[lo:hi]
+                # fetch_rows needs sorted input and returns sorted rows —
+                # restore the CALLER's order (field ISes are arbitrary)
+                order = np.argsort(rsel, kind="stable")
+                inv = np.empty_like(order)
+                inv[order] = np.arange(len(order))
+                R = self.fetch_rows(rsel[order])[inv][:, cols]
             else:
                 R = _empty_csr(0, len(cols))
             R = sp.csr_matrix(R)

@@ -446,13 +446,14 @@ def _patch_subdomains(snes, n):
                 [[i], S.indices[S.indptr[i]:S.indptr[i + 1]]]))
             doms.append((np.asarray([i]), nbr[nbr < n]))
         return doms
-    ps = getattr(snes, "patch_size", 4)
-    starts = np.arange(0, n, ps)
+    # no pattern: one patch per dof over a +-patch_size window (every dof
+    # is some patch's CENTER, since the batched solver applies only the
+    # center correction)
+    ps = getattr(snes, "patch_size", 2)
     doms = []
-    for s in starts:
-        own = np.arange(s, min(s + ps, n))
-        dom = np.arange(max(0, s - 1), min(n, s + ps + 1))
-        doms.append((own, dom))
+    for i in range(n):
+        dom = np.arange(max(0, i - ps), min(n, i + ps + 1))
+        doms.append((np.asarray([i]), dom))
     return doms
 
 

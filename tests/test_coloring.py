@@ -53,3 +53,13 @@ def test_fdcoloring_with_jp_reconstructs_jacobian():
 
     J = fdc.apply(fn, np.zeros(64))
     assert np.allclose(J.to_scipy().toarray(), A_sp.toarray(), atol=1e-6)
+
+
+def test_jp_distance1_no_selfloop():
+    """Distance-1 coloring must strip the diagonal (a self-loop would
+    defeat JP's local-max test and validate())."""
+    A = pt.MatAIJ.from_scipy(poisson2d(10))
+    mc = MatColoring.create(A).setType("jp").setDistance(1)
+    colors = mc.apply()
+    assert mc.validate(colors)
+    assert colors.max() + 1 <= 6

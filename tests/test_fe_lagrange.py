@@ -149,3 +149,10 @@ def test_p3_edge_orientation_continuity():
     keep = np.ones(ds.ndof, bool)
     keep[bnd] = False
     assert np.abs(F[keep]).max() < 1e-10
+
+
+def test_p4_tet_raises():
+    """P4+ on tets is explicitly unsupported (multiple face-interior
+    nodes need oriented face numbering) — must raise, not corrupt."""
+    with pytest.raises(NotImplementedError):
+        lagrange_fe(3, 4)

@@ -137,3 +137,68 @@ def test_fieldsplit_dist_multiplicative_matches_serial():
     xs = run(None)
     xd = run(make_comm(4))
     np.testing.assert_allclose(xd, xs, rtol=1e-6, atol=1e-9)
+
+
+def test_fieldsplit_dist_unsorted_is_matches_serial():
+    """An UNSORTED field IS must produce the same preconditioner
+    distributed as serial (ShardedCSR.submatrix restores caller order
+    after the sorted fetch)."""
+    A_sp = poisson2d(12)
+    rng = np.random.default_rng(7)
+    ix0 = rng.permutation(np.arange(0, 144, 2))     # unsorted even dofs
+    ix1 = rng.permutation(np.arange(1, 144, 2))
+
+    def run(comm):
+        pt.init(args=["-pc_type", "fieldsplit",
+                      "-pc_fieldsplit_type", "multiplicative",
+                      "-ksp_type", "gmres"])
+        A = pt.MatAIJ.from_scipy(A_sp, comm=comm)
+        ksp = pt.KSP().create()
+        ksp.setOperators(A)
+        ksp.setTolerances(rtol=1e-9)
+        ksp.setFromOptions()
+        ksp.getPC()._impl.setIS("0", ix0)
+        ksp.getPC()._impl.setIS("1", ix1)
+        b = A.createVecLeft()
+        b.set(1.0)
+        x = A.createVecRight()
+        ksp.solve(b, x)
+        assert ksp.getConvergedReason() > 0
+        return ksp.getIterationNumber(), np.asarray(x.getArray())[:144]
+
+    # extraction-order invariant: the distributed sub-block equals the
+    # serial scipy slice for the UNSORTED IS (fetch_rows sorts; submatrix
+    # must restore caller order)
+    from petsc_tpu.mat.shardcsr import ShardedCSR
+    S = ShardedCSR.from_global_csr(A_sp.tocsr(), 4)
+    blk = S.submatrix(ix0, ix1).to_global_csr()[: len(ix0), : len(ix1)]
+    ref = A_sp.tocsr()[ix0][:, ix1]
+    assert abs(blk - ref).max() < 1e-14
+    # solutions agree (iteration counts may differ: the serial sub-PC is
+    # one ILU block, the distributed default is per-shard bjacobi)
+    _, xs = run(None)
+    _, xd = run(make_comm(4))
+    np.testing.assert_allclose(xd, xs, rtol=1e-6, atol=1e-9)
+
+
+def test_pod_guess_multishard():
+    """KSPGuess POD on a sharded operator (padded, shard_map mult)."""
+    A_sp = poisson2d(17)          # N=289: layout padding on 4 shards
+    pt.init(args=[])
+    A = pt.MatAIJ.from_scipy(A_sp, comm=make_comm(4))
+    ksp = pt.KSP().create()
+    ksp.setOperators(A)
+    ksp.setType("cg")
+    ksp.getPC().setType("jacobi")
+    ksp.setTolerances(rtol=1e-30, atol=1e-8, max_it=800)
+    ksp.setGuessType("pod", size=5)
+    t = np.linspace(0, 1, 289)
+    its = []
+    for k in range(4):
+        b = pt.Vec.from_array(np.sin(2 * np.pi * (t + 0.02 * k)),
+                              comm=A.comm)
+        x = A.createVecRight()
+        ksp.solve(b, x)
+        assert ksp.getConvergedReason() > 0
+        its.append(ksp.getIterationNumber())
+    assert its[-1] < its[0]

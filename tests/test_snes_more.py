@@ -165,3 +165,21 @@ def test_snes_patch_vertex_star():
     xs = np.asarray(x.getArray())[:n]
     r = T @ xs + 0.1 * xs ** 3 - 1.0
     assert np.linalg.norm(r) < 1e-6
+
+
+def test_snes_patch_without_pattern():
+    """Fallback windows (no Jacobian pattern): every dof is some patch's
+    center, so the sweep must still converge."""
+    n = 16
+
+    def fun(x):
+        lap = 2 * x - jnp.roll(x, 1) - jnp.roll(x, -1)
+        return lap + 0.2 * x ** 3 - 1.0
+
+    snes = pt.SNES().create()
+    snes.setType("patch")
+    snes.setFunction(fun)
+    snes.setTolerances(rtol=1e-8, max_it=300)
+    x = pt.Vec.from_array(np.zeros(n))
+    snes.solve(None, x)
+    assert snes.getConvergedReason() > 0
