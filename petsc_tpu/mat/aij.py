@@ -122,9 +122,12 @@ class MatAIJ(Mat):
             self._indptr = np.zeros(m + 1, dtype=np.int64)
             self._indices = np.zeros(0, dtype=np.int64)
             self._vals = np.zeros(0, dtype=np.float64)
-        self._build_device()
+        if not getattr(self, "host_only", False):
+            self._build_device()
         from ..sys.info import info
-        info(self, f"assembled: kind={self._meta[0]} nnz={self.nnz()}")
+        info(self, f"assembled: kind="
+                   f"{self._meta[0] if self._meta else 'host_only'} "
+                   f"nnz={self.nnz()}")
         self._assembled = True
         self.increase_state()
         return self
@@ -217,9 +220,15 @@ class MatAIJ(Mat):
         return sp.csr_matrix((self._vals, self._indices, self._indptr), shape=(m, n))
 
     @classmethod
-    def from_scipy(cls, A, comm=None):
+    def from_scipy(cls, A, comm=None, host_only=False):
+        """host_only=True keeps the matrix a HOST object (setup data for
+        preconditioner construction — the Pmat role when the Amat is a
+        device-generated operator) and defers any device build until
+        meta/device_data is actually requested: at 512^3 the device
+        coefficient upload is GBs the dev tunnel cannot move."""
         A = A.tocsr()
         M = cls(comm)
+        M.host_only = bool(host_only)
         M.setSizes(A.shape)
         M.setValuesCSR(A.indptr, A.indices, A.data)
         return M.assemble()
@@ -572,9 +581,15 @@ class MatAIJ(Mat):
 
     @property
     def meta(self):
+        if self._meta is None and getattr(self, "host_only", False) \
+                and self._indptr is not None:
+            self._build_device()      # lazy escape hatch for host_only
         return self._meta
 
     def device_data(self):
+        if self._dev is None and getattr(self, "host_only", False) \
+                and self._indptr is not None:
+            self._build_device()
         return self._dev
 
     # ================= distributed build =================

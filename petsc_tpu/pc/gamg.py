@@ -389,7 +389,11 @@ class _PCGAMG(_PCMG):
         coarse_comm = A.comm if A.comm.nshards == 1 else comm_self()
         bs = A.row_layout.bs or 1
         Bn = getattr(A, "near_nullspace", None)
-        levels = [MGLevelSpec(A)]
+        # the finest level APPLIES the KSP's Amat (mg.c level-0 contract):
+        # with a host_only Pmat driving the setup, the Amat can be a
+        # device-generated operator that never crosses the tunnel
+        Afine = self.pc.mat if self.pc.mat is not None else A
+        levels = [MGLevelSpec(Afine)]
         level = 0
         nvec = 1 if Bn is None else \
             (np.asarray(Bn.vectors if hasattr(Bn, "vectors") else Bn)

@@ -223,7 +223,9 @@ class _PCMG:
                 raise Error("PCMG: call setLevels/setInterpolation, attach "
                             "a DM, or use -pc_type gamg")
             self._build_from_dm(dm)
-        self.levels[0].A = self.levels[0].A or self.pc.pmat
+        # finest level applies the KSP's Amat (mg.c uses the outer
+        # operator on level 0) — the Pmat may be a host_only setup matrix
+        self.levels[0].A = self.levels[0].A or self.pc.mat or self.pc.pmat
         for l in range(1, len(self.levels)):
             if self.levels[l].A is None:
                 Pl = self.levels[l - 1].P  # interpolation held by finer level
@@ -304,11 +306,11 @@ def build_mg_meta_data(levels, cycle="v", smoother="chebyshev", pre=2, post=2,
                 # iterative parallel-style coarse solve (ex56 parity:
                 # -pc_gamg_parallel_coarse_grid_solver -mg_coarse_ksp_type
                 # cg -mg_coarse_pc_type jacobi)
-                d = np.asarray(A.op().diag())
-                dinv = np.where(d != 0, 1.0 / np.where(d == 0, 1.0, d), 1.0)
+                d = A.op().diag()
+                dinv = jnp.where(d != 0, 1.0 / jnp.where(d == 0, 1.0, d),
+                                 1.0).astype(rd)
                 lev_metas.append(("coarse_cg", A.meta, A.getSize()[0]))
-                lev_datas.append({"A": A.device_data(),
-                                  "dinv": jnp.asarray(dinv, dtype=rd)})
+                lev_datas.append({"A": A.device_data(), "dinv": dinv})
                 continue
             # coarsest: dense LU (reference coarse default bjacobi+lu,
             # gamg.c:887-907)
@@ -317,8 +319,11 @@ def build_mg_meta_data(levels, cycle="v", smoother="chebyshev", pre=2, post=2,
             lev_datas.append({"lu": jnp.asarray(lu, dtype=rd),
                               "piv": jnp.asarray(piv, dtype=jnp.int32)})
             continue
-        d = np.asarray(A.op().diag())
-        dinv = np.where(d != 0, 1.0 / np.where(d == 0, 1.0, d), 1.0)
+        # diagonal stays ON DEVICE: at 512^3 a host round-trip of the
+        # 1 GB diagonal through the tunnel would dominate the whole setup
+        d = A.op().diag()
+        dinv = jnp.where(d != 0, 1.0 / jnp.where(d == 0, 1.0, d),
+                         1.0).astype(rd)
         P = lev.P
         R = lev.R
         if R is None:
@@ -327,8 +332,7 @@ def build_mg_meta_data(levels, cycle="v", smoother="chebyshev", pre=2, post=2,
             Pop = operator.bind(P.meta, P.device_data())
             R = None if Pop.mult_t is not None else P.transpose()
         pc_kind = "jacobi"
-        ld = {"A": A.device_data(), "P": P.device_data(),
-              "dinv": jnp.asarray(dinv, dtype=rd)}
+        ld = {"A": A.device_data(), "P": P.device_data(), "dinv": dinv}
         if levels_pc == "asm_agg" and lev.agg is not None:
             pc_kind = "asm_agg"
             A_sp = A.to_scipy()

@@ -77,3 +77,37 @@ def test_as_mat_ksp_solve():
     assert ksp.getConvergedReason() > 0
     y = np.asarray(pt.Vec.from_array(np.asarray(A.op().mult(x.array))).getArray())
     np.testing.assert_allclose(y[: n ** 3], np.ones(n ** 3), atol=1e-6)
+
+
+def test_amat_pmat_split_gamg():
+    """PETSc's Amat/Pmat contract: a device-generated stencil operator as
+    the applied Amat with a host_only CSR Pmat driving the GAMG setup —
+    no device build of the Pmat ever happens (the 512^3 on-chip recipe)."""
+    import scipy.sparse as sp
+    n = 12
+    meta, data = stencil_build.build_dnd((n, n, n), kind="star")
+    A = stencil_build.as_mat(meta, data)
+    # host twin (same operator assembled on host)
+    import sys as _s, os as _o
+    _s.path.insert(0, _o.path.dirname(_o.path.dirname(
+        _o.path.abspath(__file__))))
+    from examples.poisson_scale import poisson7_csr
+    ip, ix, v = poisson7_csr(n)
+    Pm = pt.MatAIJ.from_scipy(sp.csr_matrix((v, ix, ip),
+                                            shape=(n ** 3, n ** 3)),
+                              host_only=True)
+    assert Pm._dev is None                    # never built device arrays
+    ksp = pt.KSP().create()
+    ksp.setOperators(A, Pm)
+    ksp.setType("cg")
+    ksp.getPC().setType("gamg")
+    ksp.setTolerances(rtol=1e-8)
+    b = A.createVecLeft()
+    b.set(1.0)
+    x = A.createVecRight()
+    ksp.solve(b, x)
+    assert ksp.getConvergedReason() > 0
+    assert ksp.getIterationNumber() <= 12
+    assert Pm._dev is None                    # still host-only after solve
+    r = np.asarray(A.op().mult(x.array))[: n ** 3] - 1.0
+    assert np.linalg.norm(r) / n ** 1.5 < 1e-7
