@@ -21,9 +21,21 @@ jax.config.update("jax_enable_x64", True)
 import pytest
 
 
+_test_counter = {"n": 0}
+
+
 @pytest.fixture(autouse=True)
 def _fresh_options():
-    """Each test gets a clean options database (PetscInitialize semantics)."""
+    """Each test gets a clean options database (PetscInitialize semantics).
+
+    Also drops jax's compiled-executable caches every 40 tests: a full
+    suite accumulates thousands of live XLA CPU executables, and past
+    ~400 tests the CPU backend segfaults inside backend_compile (code
+    -buffer exhaustion). Periodic clear_caches keeps one long pytest
+    process stable at a small recompile cost."""
     import petsc_tpu as pt
     pt.init(args=[])
+    _test_counter["n"] += 1
+    if _test_counter["n"] % 40 == 0:
+        jax.clear_caches()
     yield
