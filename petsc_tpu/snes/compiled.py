@@ -14,6 +14,8 @@ import functools
 
 import jax
 import jax.numpy as jnp
+
+from ..ops.reduce import fgemv, fgemvT
 from jax import lax
 
 
@@ -31,10 +33,10 @@ def _gmres_mf(jvp_fn, b, m, tol):
     def body(k, carry):
         V, H = carry
         w = jvp_fn(V[k])
-        h = V @ w
-        w = w - h @ V
-        h2 = V @ w            # one refinement pass (CGS2)
-        w = w - h2 @ V
+        h = fgemv(V, w)
+        w = w - fgemvT(h, V)
+        h2 = fgemv(V, w)      # one refinement pass (CGS2)
+        w = w - fgemvT(h2, V)
         h = h + h2
         nw = jnp.linalg.norm(w)
         h = h.at[k + 1].set(nw)
@@ -46,7 +48,7 @@ def _gmres_mf(jvp_fn, b, m, tol):
     V, H = lax.fori_loop(0, m, body, (V, H))
     e1 = jnp.zeros((m + 1,), dt).at[0].set(nb)
     y, *_ = jnp.linalg.lstsq(H, e1)
-    return y @ V[:m]
+    return fgemvT(y, V[:m])
 
 
 @functools.partial(jax.jit,
