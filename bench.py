@@ -58,13 +58,11 @@ def _elapsed():
     return time.perf_counter() - T0
 
 
-def _record(gnnz, n, quality, triad=None):
+def _record(gnnz, n, quality):
     if gnnz > _best["value"]:
         _best.update(value=round(gnnz, 3),
                      vs_baseline=round(gnnz / REF_GNNZ, 2),
                      n=n, quality=quality)
-        if triad:
-            _best.update(triad)
 
 
 def _timed_rate(f, nnz, k_pairs=((3, 103), (3, 403), (3, 1603)), reps=3):

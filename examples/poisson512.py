@@ -59,7 +59,7 @@ def main(argv=None):
     b = pt.Vec.from_array(jnp.ones(N))
     if pc_type == "gamg":
         # converges in ~10 its: report the converged solve directly
-        ksp.setTolerances(rtol=1e-8, max_it=100)
+        ksp.setTolerances(rtol=1e-8, max_it=opts.get_int("gamg_max_it", default=40))
         x = pt.Vec.from_array(jnp.zeros(N))
         ksp.solve(b, x)                      # compile + warm
         x.set(0.0)

@@ -104,8 +104,20 @@ def solve_ibcgs(A, B, b, x0, rtol, abstol, divtol, cfg: KSPConfig):
     def opBA(v):
         return B.mult(A.mult(v))
 
-    At = A.mult_t if getattr(A, "mult_t", None) is not None else A.mult
-    Bt = B.mult_t if getattr(B, "mult_t", None) is not None else B.mult
+    # ibcgs.c contract: the single-reduction recurrence needs the TRUE
+    # f0 = (BA)^T r0 — silently substituting forward applies corrupts the
+    # fused sigma/tau/alpha constants for nonsymmetric PCs (measured: 13
+    # vs 41 its on convection-diffusion with ILU). Error out instead.
+    if getattr(A, "mult_t", None) is None or \
+            getattr(B, "mult_t", None) is None:
+        from ..sys.error import Error
+        raise Error(
+            "KSP ibcgs needs MatMultTranspose and PCApplyTranspose "
+            "(ibcgs.c); this operator/PC pair provides no transpose "
+            "apply — use bcgs, or a transpose-capable PC (e.g. "
+            "-pc_factor_transpose_solve for ilu/lu)")
+    At = A.mult_t
+    Bt = B.mult_t
 
     r0u = b - A.mult(x_init) if cfg.guess_nonzero else b
     r0 = B.mult(r0u)

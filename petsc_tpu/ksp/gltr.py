@@ -259,8 +259,7 @@ def solve_gltr(A, B, b, x0, rtol, abstol, divtol, cfg: KSPConfig):
     # ---- phase 3: tridiagonal TR subproblem + replay ----------------
     idx = jnp.arange(TMAX)
     a_prev = jnp.where(idx > 0, alphas[jnp.maximum(idx - 1, 0)], 1.0)
-    b_prev = betas * 0 + jnp.where(idx > 0, betas[jnp.maximum(idx - 1, 0)],
-                                   0.0)
+    b_prev = jnp.where(idx > 0, betas[jnp.maximum(idx - 1, 0)], 0.0)
     d = 1.0 / _nz(alphas) + b_prev / _nz(a_prev)
     e = jnp.where(idx > 0, jnp.sqrt(jnp.abs(b_prev)) / _nz(jnp.abs(a_prev)),
                   0.0)
@@ -293,5 +292,13 @@ def solve_gltr(A, B, b, x0, rtol, abstol, divtol, cfg: KSPConfig):
         return xh
 
     x_final = lax.cond(boundary, do_replay, lambda _: x_cg, None)
+    # Lanczos-capacity exit (k == TMAX before max_it): gltr.c returns the
+    # trust-region solution over the space built so far with
+    # KSP_CONVERGED_ITS — never reason 0 ("still iterating")
+    import numpy as _np
+    from ..sys.error import KSPConvergedReason as _KR
+    reason = jnp.where((reason == 0) & (its < cfg.max_it),
+                       jnp.asarray(int(_KR.CONVERGED_ITS), reason.dtype),
+                       reason)
     reason = finalize_reason(reason, its, cfg)
     return SolveResult(x_final, its, rnorm, reason, hist, dp0)

@@ -199,7 +199,9 @@ class MatSmoothedProl:
         self._A = A_level
         nf, nc = P_scipy.shape
         self._shape = (nf, nc)
-        self._meta_v = ("prol_sa", A_level.meta, nf, nc)
+        npad = getattr(A_level, "row_layout", None)
+        npad = npad.Npad if npad is not None else nf
+        self._meta_v = ("prol_sa", A_level.meta, nf, nc, int(npad))
         self._data_v = {
             "A": A_level.device_data(),
             "agg": jnp.asarray(np.where(agg >= 0, agg, nc)),
@@ -229,7 +231,12 @@ class MatSmoothedProl:
 def _bind_prol_sa(meta, data):
     import jax.numpy as jnp
     from ..ops import operator as _op
-    _, A_meta, nf, nc = meta
+    # npad: the fine operator's padded length — a sharded fine level
+    # requires exactly (npad,) inputs (shard_map divisibility), so the
+    # factored apply pads before A and slices after (round-2 fix for
+    # N % nshards != 0 meshes reaching the serial continuation)
+    _, A_meta, nf, nc = meta[:4]
+    npad = meta[4] if len(meta) > 4 else nf
     Aop = _op.bind(A_meta, data["A"])
     agg, w, dinv, omega = data["agg"], data["w"], data["dinv"], data["omega"]
 
@@ -241,15 +248,19 @@ def _bind_prol_sa(meta, data):
         import jax
         return jax.ops.segment_sum(w * y, agg, num_segments=nc + 1)[:nc]
 
+    def _pad(v):
+        return v if npad == nf else jnp.pad(v, (0, npad - nf))
+
     def mult(xc):
         y = p0(xc[:nc])
-        out = y - omega * (dinv * Aop.mult(y))
-        return out
+        out = y - omega * (dinv * Aop.mult(_pad(y))[:nf])
+        return _pad(out)
 
     def mult_t(r):
         rr = r[:nf]
-        z = rr - omega * Aop.mult_t(dinv * rr) if Aop.mult_t is not None \
-            else rr - omega * Aop.mult(dinv * rr)  # A symmetric in SA
+        az = (Aop.mult_t(_pad(dinv * rr)) if Aop.mult_t is not None
+              else Aop.mult(_pad(dinv * rr)))  # A symmetric in SA
+        z = rr - omega * az[:nf]
         return p0t(z)
 
     return _op.Op(mult=mult, mult_t=mult_t)

@@ -155,3 +155,24 @@ def test_gamg_dist_no_global_gather(monkeypatch):
     pc.setUp()
     kinds = [lev.A.meta[0] for lev in pc._impl.levels]
     assert kinds[0] in ("mpiaij", "dnd_mpi")
+
+
+def test_gamg_sharded_nondivisible_rows():
+    """N % nshards != 0 through the serial continuation: the factored
+    prolongator must pad to the sharded fine operator's Npad (round-2
+    fix — previously crashed in shard_map with a divisibility error)."""
+    A_sp = poisson2d(17)            # N=289 over 8 shards
+    from petsc_tpu.parallel.mesh import make_comm
+    A = pt.MatAIJ.from_scipy(A_sp, comm=make_comm(8))
+    ksp = pt.KSP().create()
+    ksp.setOperators(A)
+    ksp.setType("cg")
+    ksp.getPC().setType("gamg")
+    ksp.setTolerances(rtol=1e-8)
+    b = A.createVecLeft()
+    b.set(1.0)
+    x = A.createVecRight()
+    ksp.solve(b, x)
+    assert ksp.getConvergedReason() > 0
+    r = A_sp @ np.asarray(x.getArray())[:289] - 1.0
+    assert np.linalg.norm(r) < 1e-5

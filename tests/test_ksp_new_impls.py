@@ -243,7 +243,26 @@ def test_symmlq_real_implementation():
 
 
 def test_ibcgs_spd_with_ilu():
+    """ibcgs.c requires PCApplyTranspose: with the transpose solve enabled
+    ILU works; WITHOUT it the solver must refuse (a silent forward-apply
+    substitution corrupts the single-reduction recurrence for
+    nonsymmetric PCs) rather than quietly degrade."""
     from tests.test_mg_gamg import poisson2d
-    k, _, res = _solve("ibcgs", poisson2d(20), pc="ilu", rtol=1e-9)
+    k, _, res = _solve("ibcgs", poisson2d(20), pc="ilu", rtol=1e-9,
+                       opts=["-pc_factor_transpose_solve"])
     assert k.getConvergedReason().converged
     assert res < 1e-7
+    import pytest as _pytest
+    from petsc_tpu.sys.error import Error as _Err
+    with _pytest.raises(_Err, match="ranspose"):
+        _solve("ibcgs", poisson2d(10), pc="ilu", rtol=1e-9)
+
+
+def test_gltr_lanczos_cap_reports_reason():
+    """Hitting the Lanczos capacity (TMAX) before max_it must report
+    KSP_CONVERGED_ITS (the TR solution over the built space, gltr.c) —
+    never reason 0 ('still iterating')."""
+    from tests.test_mg_gamg import poisson2d
+    k, _, res = _solve("gltr", poisson2d(60), pc="none", rtol=1e-12,
+                       max_it=600)
+    assert int(k.getConvergedReason()) != 0
