@@ -433,6 +433,86 @@ def _geom_tabulation(dim, pts):
     return B, D
 
 
+# ---------------------------------------------------------------------
+# H(div): lowest-order Raviart-Thomas (PetscDualSpace RT family)
+# ---------------------------------------------------------------------
+
+def rt0_mixed_poisson(plex, f=1.0):
+    """Mixed Poisson (Darcy) with RT0 x P0 on a triangle mesh — the
+    H(div) member of the PetscSpace/PetscDualSpace family
+    (src/dm/dt/dualspace/impls/lagrange covers H1; this covers the
+    PETSCDUALSPACEBDM/RT role at lowest order):
+
+        (sigma, tau) + (u, div tau) = 0        for all tau in RT0
+        (div sigma, v)             = -(f, v)   for all v in P0
+
+    Reference-element basis with unit edge fluxes (psi_0 = (x, y-1),
+    psi_1 = (x, y), psi_2 = (x-1, y); div psi = 2), mapped by the
+    contravariant Piola transform sigma = J psi / detJ so inter-element
+    normal fluxes are continuous; the edge dof sign follows the global
+    low->high edge orientation. The div block is EXACTLY the signed
+    cell-edge incidence matrix (unit fluxes), so div sigma_h + f = 0
+    holds elementwise to machine precision — the defining conservation
+    property of the mixed method.
+
+    Returns (K, rhs, nedges): K the (ne+nc) x (ne+nc) saddle system as a
+    MatAIJ (fields: sigma = edge dofs first, u = cell dofs), rhs a Vec,
+    nedges for splitting (feed to PCFieldSplit Schur)."""
+    import scipy.sparse as sp
+    from ..mat.aij import MatAIJ
+    from ..vec.vec import Vec as _Vec
+    cells = np.asarray(plex.cells, dtype=np.int64)
+    coords = np.asarray(plex.coords, dtype=np.float64)
+    if cells.shape[1] != 3 or coords.shape[1] != 2:
+        from ..sys.error import Error
+        raise Error("rt0_mixed_poisson: 2-D triangle meshes only")
+    edges, c2e = build_edges(cells)
+    ne, nc = len(edges), len(cells)
+    pairs = [(0, 1), (1, 2), (0, 2)]
+    # per-cell geometry
+    v = coords[cells]                                  # (nc, 3, 2)
+    J = np.stack([v[:, 1] - v[:, 0], v[:, 2] - v[:, 0]], axis=2)
+    detJ = J[:, 0, 0] * J[:, 1, 1] - J[:, 0, 1] * J[:, 1, 0]
+    area = np.abs(detJ) / 2.0
+    # orientation: +1 when the local (a, b) direction matches the global
+    # low->high convention stored in `edges` (the dof is the flux along
+    # the RIGHT normal of the global edge direction — the contravariant
+    # Piola map preserves directed-edge fluxes exactly)
+    sgn = np.stack([np.where(cells[:, a] < cells[:, b], 1.0, -1.0)
+                    for a, b in pairs], axis=1)        # (nc, 3)
+    # reference basis with +1 flux along each local edge's directed
+    # right-normal: psi_0=(x,y-1), psi_1=(x,y), psi_2=(1-x,-y)
+    qp, qw = stroud_conical_quadrature(2, 2)
+    x, y = qp[:, 0], qp[:, 1]
+    psi = np.stack([np.stack([x, y - 1], axis=1),
+                    np.stack([x, y], axis=1),
+                    np.stack([1 - x, -y], axis=1)])    # (3, nq, 2)
+    # M_ij per cell = sgn_i sgn_j / |detJ| * sum_q w_q psi_i^T (J^T J) psi_j
+    JtJ = np.einsum("ced,cef->cdf", J, J)              # (nc, 2, 2)
+    Mref = np.einsum("iqd,cdf,jqf,q->cij", psi, JtJ, psi, qw)
+    Me = (sgn[:, :, None] * sgn[:, None, :]) * Mref \
+        / np.abs(detJ)[:, None, None]
+    rows = np.repeat(c2e, 3, axis=1).reshape(-1)
+    cols = np.tile(c2e, (1, 3)).reshape(-1)
+    M = sp.csr_matrix((Me.reshape(-1), (rows, cols)), shape=(ne, ne))
+    # div block: outward flux = directed flux x (+1, +1, -1) x sign(detJ)
+    # (local edge (0,2) is traversed backwards in the ccw boundary), so
+    # B[cell, edge] = sgn * o * s_or: the signed incidence matrix (unit
+    # fluxes -> exact elementwise conservation)
+    o = np.array([1.0, 1.0, -1.0])
+    s_or = np.sign(detJ)
+    Bv = sgn * o[None, :] * s_or[:, None]
+    B = sp.csr_matrix((Bv.reshape(-1),
+                       (np.repeat(np.arange(nc), 3), c2e.reshape(-1))),
+                      shape=(nc, ne))
+    K = sp.bmat([[M, B.T], [B, None]], format="csr")
+    rhs = np.zeros(ne + nc)
+    fv = np.full(nc, float(f)) if np.isscalar(f) else np.asarray(f)
+    rhs[ne:] = -fv * area
+    return (MatAIJ.from_scipy(K, comm=plex.comm),
+            _Vec.from_array(rhs, comm=plex.comm), ne)
+
+
 def _det_small(J):
     """Closed-form determinant for (..., d, d), d in {1,2,3} — TPU's
     LuDecomposition has no f64 path, and the adjugate form fuses better
