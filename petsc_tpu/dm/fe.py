@@ -513,6 +513,67 @@ def rt0_mixed_poisson(plex, f=1.0):
             _Vec.from_array(rhs, comm=plex.comm), ne)
 
 
+def nedelec0_curlcurl(plex, alpha=1.0, beta=1.0):
+    """H(curl) lowest-order Nédélec (edge) elements on triangles — the
+    PETSCDUALSPACE Nédélec role: Whitney 1-forms
+    W_ab = lambda_a grad(lambda_b) - lambda_b grad(lambda_a), mapped
+    covariantly (J^{-T}), dof = tangential circulation along the global
+    low->high edge direction. Assembles the definite Maxwell operator
+
+        K = alpha * (curl E, curl F) + beta * (E, F)
+
+    and the discrete gradient G (P1 nodes -> edges, the signed node-edge
+    incidence), which satisfies the exact-sequence identity
+    curl o grad = 0: the curl part of K annihilates G v for every nodal
+    v — the discrete de Rham complex property that makes edge elements
+    spurious-mode free. Returns (K MatAIJ, G scipy, edges)."""
+    import scipy.sparse as sp
+    from ..mat.aij import MatAIJ
+    cells = np.asarray(plex.cells, dtype=np.int64)
+    coords = np.asarray(plex.coords, dtype=np.float64)
+    if cells.shape[1] != 3 or coords.shape[1] != 2:
+        from ..sys.error import Error
+        raise Error("nedelec0_curlcurl: 2-D triangle meshes only")
+    edges, c2e = build_edges(cells)
+    ne, nc = len(edges), len(cells)
+    pairs = [(0, 1), (1, 2), (0, 2)]
+    v = coords[cells]
+    J = np.stack([v[:, 1] - v[:, 0], v[:, 2] - v[:, 0]], axis=2)
+    detJ = J[:, 0, 0] * J[:, 1, 1] - J[:, 0, 1] * J[:, 1, 0]
+    area = np.abs(detJ) / 2.0
+    # physical P1 gradients (nc, 3, 2)
+    from .plex import _p1_cell_gradients
+    g, vol = _p1_cell_gradients(coords, cells, 2)
+    # orientation: dof is circulation along the global low->high direction
+    sgn = np.stack([np.where(cells[:, a] < cells[:, b], 1.0, -1.0)
+                    for a, b in pairs], axis=1)
+    # curl W_ab = 2 grad(lambda_a) x grad(lambda_b) (constant per cell)
+    curl = np.stack([2.0 * (g[:, a, 0] * g[:, b, 1]
+                            - g[:, a, 1] * g[:, b, 0])
+                     for a, b in pairs], axis=1) * sgn     # (nc, 3)
+    Kcurl = np.einsum("ci,cj,c->cij", curl, curl, area)
+    # mass: integrate W_i . W_j with degree-2 quadrature in barycentric
+    qp, qw = stroud_conical_quadrature(2, 2)
+    lam = np.concatenate([1 - qp.sum(axis=1, keepdims=True), qp], axis=1)
+    W = np.stack([lam[:, a][None, :, None] * g[:, None, b, :]
+                  - lam[:, b][None, :, None] * g[:, None, a, :]
+                  for a, b in pairs])                       # (3, nc, nq, 2)
+    Mass = np.einsum("icqd,jcqd,q,c->cij", W, W, qw, 2 * area) \
+        * (sgn[:, :, None] * sgn[:, None, :])
+    Ke = alpha * Kcurl + beta * Mass
+    rows = np.repeat(c2e, 3, axis=1).reshape(-1)
+    cols = np.tile(c2e, (1, 3)).reshape(-1)
+    K = sp.csr_matrix((Ke.reshape(-1), (rows, cols)), shape=(ne, ne))
+    # discrete gradient: (G v)_e = v[hi] - v[lo] (circulation of grad v)
+    nv = len(coords)
+    G = sp.csr_matrix(
+        (np.concatenate([np.ones(ne), -np.ones(ne)]),
+         (np.concatenate([np.arange(ne), np.arange(ne)]),
+          np.concatenate([edges.max(axis=1), edges.min(axis=1)]))),
+        shape=(ne, nv))
+    return MatAIJ.from_scipy(K, comm=plex.comm), G, edges
+
+
 def _det_small(J):
     """Closed-form determinant for (..., d, d), d in {1,2,3} — TPU's
     LuDecomposition has no f64 path, and the adjugate form fuses better
