@@ -398,6 +398,38 @@ class DMPlex(DM):
     distribution = None
     migration = None
 
+    def getLabel(self, name):
+        """DMGetLabel: cell labels (e.g. Gmsh physical groups parsed by
+        createFromGmsh) as a first-class DMLabel object."""
+        from .label import DMLabel
+        lbl = DMLabel(name)
+        raw = getattr(self, "labels", {})
+        if name in raw:
+            lbl.insertIS(np.asarray(raw[name]), 1)
+        else:
+            # "physical" aggregate: every physical_<tag> group -> value tag
+            for key, cells in raw.items():
+                if key.startswith("physical_") and name == "physical":
+                    lbl.insertIS(np.asarray(cells),
+                                 int(key.split("_", 1)[1]))
+        return lbl
+
+    def createSubmesh(self, cell_ids):
+        """DMPlexCreateSubmesh role (plexsubmesh.c, filter flavor):
+        extract the mesh induced by `cell_ids` — vertices renumbered
+        contiguously; parent maps kept in .parent_cells/.parent_vertices
+        so fields restrict/prolong by plain indexing."""
+        cell_ids = np.asarray(cell_ids, dtype=np.int64)
+        sub_cells_g = self.cells[cell_ids]
+        used = np.unique(sub_cells_g)
+        remap = -np.ones(self.nvertices, dtype=np.int64)
+        remap[used] = np.arange(len(used))
+        sub = DMPlex.createFromCellList(self.dim, remap[sub_cells_g],
+                                        self.coords[used], self.comm)
+        sub.parent_cells = cell_ids
+        sub.parent_vertices = used
+        return sub
+
     def markBoundaryVertices(self):
         """Vertex ids on the domain boundary (facets shared by one cell —
         DMPlexMarkBoundaryFaces role)."""

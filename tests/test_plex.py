@@ -197,3 +197,33 @@ def test_interpolate_3d_tet_strata():
     for ep in p.getFaceCone(base_f):
         verts.update((p.getEdgeCone(int(ep)) - p.ncells).tolist())
     assert verts == set(int(v) for v in f0)
+
+
+def test_plex_getlabel_and_submesh():
+    """DMGetLabel over gmsh physical groups + DMPlexCreateSubmesh
+    (filter): the submesh solves its own P1 problem and parent maps
+    index back into the full mesh."""
+    p = DMPlex.createBoxMesh((6, 6), simplex=True)
+    # label the left-half cells
+    cent = p.coords[p.cells].mean(axis=1)
+    left = np.nonzero(cent[:, 0] < 0.5)[0]
+    p.labels = {"physical_3": left}
+    lbl = p.getLabel("physical")
+    assert lbl.getStratumSize(3) == len(left)
+    np.testing.assert_array_equal(np.sort(lbl.getStratumIS(3)),
+                                  np.sort(left))
+    sub = p.createSubmesh(left)
+    assert sub.ncells == len(left)
+    # parent maps restrict coordinates exactly
+    np.testing.assert_allclose(sub.coords,
+                               p.coords[sub.parent_vertices])
+    # the submesh assembles and solves standalone
+    A, b = sub.assemblePoissonP1()
+    ksp = pt.KSP().create()
+    ksp.setOperators(A)
+    ksp.setType("cg")
+    ksp.getPC().setType("jacobi")
+    ksp.setTolerances(rtol=1e-10)
+    x = A.createVecRight()
+    ksp.solve(b, x)
+    assert ksp.getConvergedReason() > 0
