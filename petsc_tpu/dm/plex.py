@@ -398,6 +398,36 @@ class DMPlex(DM):
     distribution = None
     migration = None
 
+    def extrude(self, layers, height=1.0):
+        """DMPlexExtrude (plexextrude.c role): extrude a 2-D triangle
+        mesh `layers` steps in z into a conforming TET mesh (3 tets per
+        prism, Dompierre splitting: every quad face takes the diagonal
+        through its globally smallest vertex, so neighboring prisms
+        always agree)."""
+        if self.dim != 2 or self.cells.shape[1] != 3:
+            raise Error("extrude: 2-D triangle meshes only")
+        nv = self.nvertices
+        zs = np.linspace(0.0, float(height), layers + 1)
+        coords3 = np.concatenate([
+            np.concatenate([self.coords, np.full((nv, 1), z)], axis=1)
+            for z in zs])
+        tets = []
+        for k in range(layers):
+            base = self.cells + k * nv
+            for tri in base:
+                # rotate so the globally smallest bottom vertex leads
+                r = int(np.argmin(tri))
+                a, b, c = (int(tri[(r + i) % 3]) for i in range(3))
+                a2, b2, c2 = a + nv, b + nv, c + nv
+                if min(b, c2) <= min(c, b2):     # face(bc) diag (b, c')
+                    tets += [(a, b, c, c2), (a, b, c2, b2),
+                             (a, b2, c2, a2)]
+                else:                            # face(bc) diag (c, b')
+                    tets += [(a, b, c, b2), (a, c, b2, c2),
+                             (a, b2, c2, a2)]
+        return DMPlex.createFromCellList(
+            3, np.asarray(tets, dtype=np.int64), coords3, self.comm)
+
     def getLabel(self, name):
         """DMGetLabel: cell labels (e.g. Gmsh physical groups parsed by
         createFromGmsh) as a first-class DMLabel object."""

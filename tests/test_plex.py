@@ -227,3 +227,33 @@ def test_plex_getlabel_and_submesh():
     x = A.createVecRight()
     ksp.solve(b, x)
     assert ksp.getConvergedReason() > 0
+
+
+def test_plex_extrude_conforming_tets():
+    """DMPlexExtrude: 2-D tris -> 3-D tets; conforming (every interior
+    face shared by exactly 2 tets), volume-exact, and solvable."""
+    p2 = DMPlex.createBoxMesh((4, 4), simplex=True)
+    p3 = p2.extrude(3, height=0.6)
+    assert p3.dim == 3 and p3.ncells == p2.ncells * 3 * 3
+    # volumes sum to area * height
+    v = p3.coords[p3.cells]
+    J = v[:, 1:] - v[:, :1]
+    vol = np.abs(np.linalg.det(J)) / 6.0
+    assert abs(vol.sum() - 1.0 * 0.6) < 1e-12
+    assert vol.min() > 0
+    # conformity: no face shared by 3+ cells
+    faces = np.concatenate([np.sort(p3.cells[:, f], axis=1)
+                            for f in [[0, 1, 2], [0, 1, 3],
+                                      [0, 2, 3], [1, 2, 3]]])
+    _, counts = np.unique(faces, axis=0, return_counts=True)
+    assert counts.max() == 2
+    # solve Poisson on the extruded mesh
+    A, b = p3.assemblePoissonP1()
+    ksp = pt.KSP().create()
+    ksp.setOperators(A)
+    ksp.setType("cg")
+    ksp.getPC().setType("jacobi")
+    ksp.setTolerances(rtol=1e-9)
+    x = A.createVecRight()
+    ksp.solve(b, x)
+    assert ksp.getConvergedReason() > 0
