@@ -234,6 +234,21 @@ class _PETScNS:
             from .dm.plex import Section as _S
             return _S(*a, **kw)
 
+    class MatColoring:
+        def __new__(cls, *a, **kw):
+            from .mat.coloring import MatColoring as _M
+            return _M(*a, **kw)
+
+    class DMLabel:
+        def __new__(cls, *a, **kw):
+            from .dm.label import DMLabel as _L
+            return _L(*a, **kw)
+
+    class Partitioner:
+        def __new__(cls, *a, **kw):
+            from .dm.plex import PetscPartitioner as _P
+            return _P(*a, **kw)
+
     class Log:
         """petsc4py PETSc.Log surface over the profiler."""
 
