@@ -447,7 +447,7 @@ def rt0_mixed_poisson(plex, f=1.0):
         (div sigma, v)             = -(f, v)   for all v in P0
 
     Reference-element basis with unit edge fluxes (psi_0 = (x, y-1),
-    psi_1 = (x, y), psi_2 = (x-1, y); div psi = 2), mapped by the
+    psi_1 = (x, y), psi_2 = (1-x, -y); |div psi| = 2), mapped by the
     contravariant Piola transform sigma = J psi / detJ so inter-element
     normal fluxes are continuous; the edge dof sign follows the global
     low->high edge orientation. The div block is EXACTLY the signed

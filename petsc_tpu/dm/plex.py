@@ -430,19 +430,27 @@ class DMPlex(DM):
 
     def getLabel(self, name):
         """DMGetLabel: cell labels (e.g. Gmsh physical groups parsed by
-        createFromGmsh) as a first-class DMLabel object."""
+        createFromGmsh) as a first-class DMLabel object. A
+        physical_<tag> group is inserted under value <tag> whichever way
+        it is queried; an unknown name returns None (DMGetLabel NULL
+        semantics)."""
         from .label import DMLabel
-        lbl = DMLabel(name)
         raw = getattr(self, "labels", {})
+        lbl = DMLabel(name)
         if name in raw:
-            lbl.insertIS(np.asarray(raw[name]), 1)
-        else:
-            # "physical" aggregate: every physical_<tag> group -> value tag
+            val = (int(name.split("_", 1)[1])
+                   if name.startswith("physical_")
+                   and name.split("_", 1)[1].isdigit() else 1)
+            lbl.insertIS(np.asarray(raw[name]), val)
+            return lbl
+        if name == "physical":
+            # aggregate: every physical_<tag> group -> value tag
             for key, cells in raw.items():
-                if key.startswith("physical_") and name == "physical":
+                if key.startswith("physical_"):
                     lbl.insertIS(np.asarray(cells),
                                  int(key.split("_", 1)[1]))
-        return lbl
+            return lbl
+        return None
 
     def createSubmesh(self, cell_ids):
         """DMPlexCreateSubmesh role (plexsubmesh.c, filter flavor):

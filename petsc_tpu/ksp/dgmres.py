@@ -104,6 +104,8 @@ def _get_progs(A_meta, B_meta, n, m, kpad):
         return U, T, X
 
     out = (jax.jit(arnoldi), jax.jit(update), jax.jit(basis))
+    if len(_progs) >= 8:          # bound the compiled-executable cache
+        _progs.pop(next(iter(_progs)))
     _progs[key] = out
     return out
 

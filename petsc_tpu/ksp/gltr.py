@@ -295,7 +295,6 @@ def solve_gltr(A, B, b, x0, rtol, abstol, divtol, cfg: KSPConfig):
     # Lanczos-capacity exit (k == TMAX before max_it): gltr.c returns the
     # trust-region solution over the space built so far with
     # KSP_CONVERGED_ITS — never reason 0 ("still iterating")
-    import numpy as _np
     from ..sys.error import KSPConvergedReason as _KR
     reason = jnp.where((reason == 0) & (its < cfg.max_it),
                        jnp.asarray(int(_KR.CONVERGED_ITS), reason.dtype),

@@ -124,6 +124,11 @@ class MatAIJ(Mat):
             self._vals = np.zeros(0, dtype=np.float64)
         if not getattr(self, "host_only", False):
             self._build_device()
+        else:
+            # drop any lazily-built device state so a later access
+            # rebuilds from the UPDATED host CSR (never apply stale values)
+            self._dev = None
+            self._meta = None
         from ..sys.info import info
         info(self, f"assembled: kind="
                    f"{self._meta[0] if self._meta else 'host_only'} "
@@ -225,7 +230,11 @@ class MatAIJ(Mat):
         preconditioner construction — the Pmat role when the Amat is a
         device-generated operator) and defers any device build until
         meta/device_data is actually requested: at 512^3 the device
-        coefficient upload is GBs the dev tunnel cannot move."""
+        coefficient upload is GBs the dev tunnel cannot move.
+
+        CONTRACT: a host_only Pmat must be the numerically identical twin
+        of the Amat it is paired with — PCMG/PCGAMG substitute the device
+        Amat on the finest level precisely because of this guarantee."""
         A = A.tocsr()
         M = cls(comm)
         M.host_only = bool(host_only)

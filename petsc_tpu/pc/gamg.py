@@ -400,10 +400,14 @@ class _PCGAMG(_PCMG):
         coarse_comm = A.comm if A.comm.nshards == 1 else comm_self()
         bs = A.row_layout.bs or 1
         Bn = getattr(A, "near_nullspace", None)
-        # the finest level APPLIES the KSP's Amat (mg.c level-0 contract):
-        # with a host_only Pmat driving the setup, the Amat can be a
-        # device-generated operator that never crosses the tunnel
-        Afine = self.pc.mat if self.pc.mat is not None else A
+        # level 0 uses the Pmat (smoother data and the factored
+        # prolongator must match the Galerkin hierarchy built from it);
+        # ONLY an explicit host_only Pmat — whose contract is "numerically
+        # identical twin of the Amat, exists to avoid the device upload" —
+        # lets the device Amat stand in on the finest level
+        Afine = (self.pc.mat
+                 if getattr(A, "host_only", False)
+                 and self.pc.mat is not None else A)
         levels = [MGLevelSpec(Afine)]
         level = 0
         nvec = 1 if Bn is None else \

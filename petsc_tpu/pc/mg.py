@@ -223,9 +223,14 @@ class _PCMG:
                 raise Error("PCMG: call setLevels/setInterpolation, attach "
                             "a DM, or use -pc_type gamg")
             self._build_from_dm(dm)
-        # finest level applies the KSP's Amat (mg.c uses the outer
-        # operator on level 0) — the Pmat may be a host_only setup matrix
-        self.levels[0].A = self.levels[0].A or self.pc.mat or self.pc.pmat
+        # level 0 normally builds AND applies from the Pmat (mg.c builds
+        # smoother data from Pmat); ONLY when the Pmat is an explicit
+        # host_only twin (contract: numerically identical, exists to
+        # avoid the device upload) does the device Amat stand in
+        use_amat = (getattr(self.pc.pmat, "host_only", False)
+                    and self.pc.mat is not None)
+        self.levels[0].A = self.levels[0].A or (
+            self.pc.mat if use_amat else self.pc.pmat)
         for l in range(1, len(self.levels)):
             if self.levels[l].A is None:
                 Pl = self.levels[l - 1].P  # interpolation held by finer level
@@ -492,8 +497,13 @@ def _bind_pc_mg(meta, data):
         return x
 
     if cycle == "full":
-        return operator.Op(mult=full_apply)
-    return operator.Op(mult=lambda b: level_apply(0, b))
+        # PCApplyTranspose_MG role: the standard V/W cycle with equal
+        # pre/post smoothing and symmetric smoothers is self-transpose —
+        # expose mult_t so transpose-needing solvers (ibcgs, lsqr on the
+        # preconditioned operator) accept MG/GAMG
+        return operator.Op(mult=full_apply, mult_t=full_apply)
+    apply0 = lambda b: level_apply(0, b)  # noqa: E731
+    return operator.Op(mult=apply0, mult_t=apply0)
 
 
 operator.register_binder("pc_mg", _bind_pc_mg)

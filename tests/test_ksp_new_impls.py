@@ -266,3 +266,12 @@ def test_gltr_lanczos_cap_reports_reason():
     k, _, res = _solve("gltr", poisson2d(60), pc="none", rtol=1e-12,
                        max_it=600)
     assert int(k.getConvergedReason()) != 0
+
+
+def test_ibcgs_with_gamg_transpose_cycle():
+    """PCApplyTranspose_MG role: the symmetric V-cycle exposes mult_t, so
+    transpose-needing solvers accept MG/GAMG preconditioners."""
+    from tests.test_mg_gamg import poisson2d
+    k, _, res = _solve("ibcgs", poisson2d(24), pc="gamg", rtol=1e-9)
+    assert k.getConvergedReason().converged
+    assert res < 1e-7

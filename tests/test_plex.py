@@ -257,3 +257,13 @@ def test_plex_extrude_conforming_tets():
     x = A.createVecRight()
     ksp.solve(b, x)
     assert ksp.getConvergedReason() > 0
+
+
+def test_plex_getlabel_value_semantics():
+    """physical_<tag> groups carry value <tag> under either query name;
+    unknown names return None (DMGetLabel NULL semantics)."""
+    p = DMPlex.createBoxMesh((4, 4), simplex=True)
+    p.labels = {"physical_7": np.array([0, 1, 2])}
+    assert p.getLabel("physical_7").getStratumSize(7) == 3
+    assert p.getLabel("physical").getStratumSize(7) == 3
+    assert p.getLabel("nope") is None
