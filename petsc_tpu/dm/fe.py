@@ -305,6 +305,26 @@ class FE:
         raise KeyError(kind)
 
 
+def crouzeix_raviart_fe():
+    """Nonconforming P1 (Crouzeix-Raviart) on triangles: dofs at edge
+    MIDPOINTS, basis phi_k = 1 - 2 lambda_opp(k) — continuous only at
+    the midpoints (the PetscDualSpace Lagrange 'facet'/continuity-none
+    member; the classic inf-sup-stable velocity space for Stokes)."""
+    qp, qw = stroud_conical_quadrature(2, 2)
+    x, y = qp[:, 0], qp[:, 1]
+    lam = np.stack([1 - x - y, x, y], axis=1)       # (nq, 3)
+    gl = np.array([[-1.0, -1.0], [1.0, 0.0], [0.0, 1.0]])
+    opp = [2, 0, 1]          # edge (0,1)->vert 2, (1,2)->0, (0,2)->1
+    B = np.stack([1 - 2 * lam[:, opp[k]] for k in range(3)], axis=1)
+    D = np.broadcast_to(
+        np.stack([-2 * gl[opp[k]] for k in range(3)]),
+        (len(qp), 3, 2)).copy()
+    fe = FE("cr", 2, 3, (qp, qw), B, D, "facet")
+    fe.cell = "simplex"
+    fe.ncomp = 1
+    return fe
+
+
 def build_edges(cells):
     """Edge numbering for P2 dofs: returns (edges (ne,2) sorted vertex
     pairs, cell2edge (ncell, 3) in local order (01, 12, 02))."""
@@ -648,6 +668,14 @@ class DS:
                 nc = self.ncomp
                 self.conn = (conn[:, :, None] * nc
                              + np.arange(nc)).reshape(len(conn), -1)
+        elif fe.dof_kind == "facet":
+            # Crouzeix-Raviart: one dof per edge (midpoint value)
+            self.edges, c2e = build_edges(self.cells)
+            self.conn = c2e
+            self.node_conn = c2e
+            self.ndof = len(self.edges)
+            self.dof_coords = 0.5 * (self.coords[self.edges[:, 0]]
+                                     + self.coords[self.edges[:, 1]])
         elif fe.dof_kind == "vertex+edge":
             self.edges, c2e = build_edges(self.cells)
             self.conn = np.concatenate([self.cells, nv + c2e], axis=1)

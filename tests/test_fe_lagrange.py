@@ -156,3 +156,34 @@ def test_p4_tet_raises():
     nodes need oriented face numbering) — must raise, not corrupt."""
     with pytest.raises(NotImplementedError):
         lagrange_fe(3, 4)
+
+
+def test_crouzeix_raviart_poisson():
+    """Nonconforming P1 (CR): midpoint-dof Poisson converges at O(h^2)
+    in the discrete L2 (midpoint) norm; basis is a partition of unity."""
+    from petsc_tpu.dm.fe import crouzeix_raviart_fe
+    fe = crouzeix_raviart_fe()
+    assert np.allclose(fe.B.sum(axis=1), 1.0)
+
+    def solve(n):
+        plex = DMPlex.createBoxMesh((n, n), simplex=True)
+        ds = DS(plex, fe)
+        w = np.pi
+        f = lambda x: 2 * w * w * jnp.sin(w * x[0]) * jnp.sin(w * x[1])
+        ds.setResidual(f0=lambda u_, gu, x: -f(x),
+                       f1=lambda u_, gu, x: gu)
+        u0 = np.zeros(ds.ndof)
+        J = ds.assembleJacobian(u0)
+        F = np.asarray(ds.assembleResidual(u0))
+        bnd = ds.boundary_dofs(
+            lambda x: x.min() < 1e-9 or x.max() > 1 - 1e-9)
+        keep = np.ones(ds.ndof, bool)
+        keep[bnd] = False
+        u = np.zeros(ds.ndof)
+        u[keep] = spla.spsolve(J[keep][:, keep].tocsc(), -F[keep])
+        X = ds.dof_coords
+        uex = np.sin(w * X[:, 0]) * np.sin(w * X[:, 1])
+        return np.sqrt(np.mean((u - uex) ** 2))
+
+    e1, e2 = solve(8), solve(16)
+    assert np.log2(e1 / e2) > 1.5, (e1, e2)
