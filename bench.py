@@ -59,6 +59,8 @@ def _elapsed():
 
 
 def _record(gnnz, n, quality):
+    if _best.get("backend", "").startswith("cpu_fallback"):
+        quality = "cpu_fallback"      # never label a CPU rate as chip-measured
     if gnnz > _best["value"]:
         _best.update(value=round(gnnz, 3),
                      vs_baseline=round(gnnz / REF_GNNZ, 2),
@@ -180,7 +182,22 @@ def main():
     signal.signal(signal.SIGALRM, _on_signal)
     signal.alarm(max(int(BUDGET + 45), 60))   # hard floor: always emit
 
+    # the dev tunnel goes down for hours at a time; probe it in a
+    # SUBPROCESS (backend init hangs, it doesn't error) and fall back to
+    # an honestly-labeled CPU measurement instead of emitting 0.0
+    import subprocess
+    try:
+        probe = subprocess.run(
+            [sys.executable, "-c", "import jax; jax.devices()"],
+            timeout=150, capture_output=True)
+        tpu_ok = probe.returncode == 0
+    except subprocess.TimeoutExpired:
+        tpu_ok = False
     import jax
+    if not tpu_ok:
+        jax.config.update("jax_platforms", "cpu")
+        _best["backend"] = "cpu_fallback_tpu_unreachable"
+        _best["quality"] = "cpu_fallback"
     import petsc_tpu as pt
     pt.init(args=[])
 
