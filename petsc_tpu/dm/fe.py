@@ -669,13 +669,18 @@ class DS:
                 self.conn = (conn[:, :, None] * nc
                              + np.arange(nc)).reshape(len(conn), -1)
         elif fe.dof_kind == "facet":
-            # Crouzeix-Raviart: one dof per edge (midpoint value)
+            # Crouzeix-Raviart: one dof (x ncomp) per edge midpoint
             self.edges, c2e = build_edges(self.cells)
-            self.conn = c2e
             self.node_conn = c2e
-            self.ndof = len(self.edges)
+            self.ndof = len(self.edges) * self.ncomp
             self.dof_coords = 0.5 * (self.coords[self.edges[:, 0]]
                                      + self.coords[self.edges[:, 1]])
+            if self.ncomp == 1:
+                self.conn = c2e
+            else:
+                nc_ = self.ncomp
+                self.conn = (c2e[:, :, None] * nc_
+                             + np.arange(nc_)).reshape(len(c2e), -1)
         elif fe.dof_kind == "vertex+edge":
             self.edges, c2e = build_edges(self.cells)
             self.conn = np.concatenate([self.cells, nv + c2e], axis=1)
@@ -892,3 +897,55 @@ class DS:
         comps = (np.arange(self.ncomp) if comp is None
                  else np.atleast_1d(comp))
         return (nodes[:, None] * self.ncomp + comps).reshape(-1)
+
+
+def cr_stokes_system(plex, f=(0.0, -1.0), nu=1.0):
+    """Stokes with the inf-sup-stable CR/P0 pair on triangles
+    (nonconforming P1 velocity, piecewise-constant pressure — the
+    classic Crouzeix-Raviart discretization):
+
+        nu (grad u, grad v) - (p, div v) = (f, v)
+        (div u, q)                        = 0
+
+    Because pressures are elementwise constants and CR gradients are
+    cellwise constant, the discrete solution is EXACTLY divergence-free
+    on every cell. Returns (K MatAIJ, rhs Vec, nvel) with velocity dofs
+    (edge-midpoint, component-minor) first; pin one pressure dof to fix
+    the constant nullspace before solving."""
+    import scipy.sparse as sp
+    from ..mat.aij import MatAIJ
+    from ..vec.vec import Vec as _Vec
+    from .plex import _p1_cell_gradients
+    cells = np.asarray(plex.cells, dtype=np.int64)
+    coords = np.asarray(plex.coords, dtype=np.float64)
+    edges, c2e = build_edges(cells)
+    ne, ncell = len(edges), len(cells)
+    g, vol = _p1_cell_gradients(coords, cells, 2)   # P1 grads (nc, 3, 2)
+    opp = [2, 0, 1]
+    gphi = -2.0 * g[:, opp, :]                      # CR grads (nc, 3, 2)
+    # vector Laplacian: Ke[k,l] = nu * vol * gphi_k . gphi_l per component
+    Ke = nu * np.einsum("ckd,cld,c->ckl", gphi, gphi, vol)
+    nvel = 2 * ne
+    rows_l, cols_l, vals_l = [], [], []
+    for d in range(2):
+        r = (c2e * 2 + d)
+        rows_l.append(np.repeat(r, 3, axis=1).reshape(-1))
+        cols_l.append(np.tile(r, (1, 3)).reshape(-1))
+        vals_l.append(Ke.reshape(-1))
+    A = sp.csr_matrix((np.concatenate(vals_l),
+                       (np.concatenate(rows_l), np.concatenate(cols_l))),
+                      shape=(nvel, nvel))
+    # divergence: B[c, dof(k,d)] = vol_c * gphi[c,k,d]
+    Brows = np.repeat(np.arange(ncell), 6)
+    Bcols = np.stack([c2e * 2, c2e * 2 + 1], axis=2).reshape(ncell, -1)
+    Bvals = (vol[:, None, None] * gphi).reshape(ncell, -1)
+    B = sp.csr_matrix((Bvals.reshape(-1), (Brows, Bcols.reshape(-1))),
+                      shape=(ncell, nvel))
+    K = sp.bmat([[A, -B.T], [B, None]], format="csr")
+    rhs = np.zeros(nvel + ncell)
+    # midpoint-rule load: each edge midpoint collects vol/3 per adj cell
+    for d in range(2):
+        np.add.at(rhs, (c2e * 2 + d).reshape(-1),
+                  np.repeat(float(f[d]) * vol / 3.0, 3))
+    return (MatAIJ.from_scipy(K, comm=plex.comm),
+            _Vec.from_array(rhs, comm=plex.comm), nvel)

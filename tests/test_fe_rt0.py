@@ -87,3 +87,40 @@ def test_rt0_fieldsplit_schur_solve():
     s = np.asarray(x.getArray())[: ne + nc]
     div, area = _divergence(plex, s[:ne])
     assert np.abs(div + area).max() < 1e-8
+
+
+def test_cr_stokes_exactly_divergence_free():
+    """CR/P0 Stokes: solve a body-force problem with no-slip boundary
+    (velocity dofs on boundary edges pinned, one pressure pinned) and
+    verify the hallmark: cellwise-exact discrete divergence freedom."""
+    import scipy.sparse as sp
+    from petsc_tpu.dm.fe import build_edges, cr_stokes_system
+    plex = DMPlex.createBoxMesh((8, 8), simplex=True)
+    K, rhs, nvel = cr_stokes_system(plex, f=(0.0, -1.0))
+    Ks = K.to_scipy().tolil()
+    n = Ks.shape[0]
+    edges, c2e = build_edges(plex.cells)
+    mid = 0.5 * (plex.coords[edges[:, 0]] + plex.coords[edges[:, 1]])
+    bnd_e = np.nonzero((mid.min(axis=1) < 1e-9)
+                       | (mid.max(axis=1) > 1 - 1e-9))[0]
+    pinned = np.concatenate([bnd_e * 2, bnd_e * 2 + 1, [nvel]])
+    b = np.asarray(rhs.getArray())[:n].copy()
+    for r in pinned:
+        Ks.rows[r] = [int(r)]
+        Ks.data[r] = [1.0]
+        b[r] = 0.0
+    Ks = Ks.tocsr()
+    coo = Ks.tocoo()
+    keep = ~np.isin(coo.col, pinned) | (coo.row == coo.col)
+    Ks = sp.csr_matrix((coo.data[keep], (coo.row[keep], coo.col[keep])),
+                       shape=Ks.shape)
+    s = spla.spsolve(Ks.tocsc(), b)
+    u = s[:nvel]
+    assert np.abs(u).max() > 1e-4        # flow actually happens
+    # hallmark: exact cellwise divergence freedom
+    from petsc_tpu.dm.plex import _p1_cell_gradients
+    g, vol = _p1_cell_gradients(plex.coords, plex.cells, 2)
+    gphi = -2.0 * g[:, [2, 0, 1], :]
+    div = (vol[:, None] * (gphi[:, :, 0] * u[c2e * 2]
+                           + gphi[:, :, 1] * u[c2e * 2 + 1])).sum(axis=1)
+    assert np.abs(div).max() < 1e-12
