@@ -186,10 +186,18 @@ def main():
     # SUBPROCESS (backend init hangs, it doesn't error) and fall back to
     # an honestly-labeled CPU measurement instead of emitting 0.0
     import subprocess
+    # the probe must see an ACCELERATOR device — a CPU-only jax exits 0
+    # from plain jax.devices() and would publish a CPU rate as measured.
+    # Timeout stays below the SIGALRM deadline (alarm is already armed)
+    # and generous enough for a slow-but-healthy tunnel init.
+    probe_timeout = min(240.0, max(30.0, BUDGET * 0.45))
     try:
         probe = subprocess.run(
-            [sys.executable, "-c", "import jax; jax.devices()"],
-            timeout=150, capture_output=True)
+            [sys.executable, "-c",
+             "import jax, sys; "
+             "sys.exit(0 if any(d.platform != 'cpu' "
+             "for d in jax.devices()) else 1)"],
+            timeout=probe_timeout, capture_output=True)
         tpu_ok = probe.returncode == 0
     except subprocess.TimeoutExpired:
         tpu_ok = False

@@ -258,7 +258,7 @@ class FE:
         self.qp, self.qw = quad
         self.B = B
         self.D = D
-        self.dof_kind = dof_kind    # "vertex" | "vertex+edge"
+        self.dof_kind = dof_kind    # "vertex" | "vertex+edge" | "facet" | "lagrange"
 
     @classmethod
     def create(cls, kind, qdeg=2):
@@ -899,6 +899,17 @@ class DS:
         return (nodes[:, None] * self.ncomp + comps).reshape(-1)
 
 
+def cr_cell_gradients(coords, cells):
+    """Cellwise-constant CR basis gradients: grad phi_k = -2 grad
+    lambda_opp(k), with opp matching build_edges' local pair order
+    (01, 12, 02) -> opposite vertices (2, 0, 1). Single source of the
+    edge-ordering convention for crouzeix_raviart_fe and
+    cr_stokes_system."""
+    from .plex import _p1_cell_gradients
+    g, vol = _p1_cell_gradients(coords, cells, 2)
+    return -2.0 * g[:, [2, 0, 1], :], vol
+
+
 def cr_stokes_system(plex, f=(0.0, -1.0), nu=1.0):
     """Stokes with the inf-sup-stable CR/P0 pair on triangles
     (nonconforming P1 velocity, piecewise-constant pressure — the
@@ -918,11 +929,12 @@ def cr_stokes_system(plex, f=(0.0, -1.0), nu=1.0):
     from .plex import _p1_cell_gradients
     cells = np.asarray(plex.cells, dtype=np.int64)
     coords = np.asarray(plex.coords, dtype=np.float64)
+    if cells.shape[1] != 3 or coords.shape[1] != 2:
+        from ..sys.error import Error
+        raise Error("cr_stokes_system: 2-D triangle meshes only")
     edges, c2e = build_edges(cells)
     ne, ncell = len(edges), len(cells)
-    g, vol = _p1_cell_gradients(coords, cells, 2)   # P1 grads (nc, 3, 2)
-    opp = [2, 0, 1]
-    gphi = -2.0 * g[:, opp, :]                      # CR grads (nc, 3, 2)
+    gphi, vol = cr_cell_gradients(coords, cells)    # CR grads (nc, 3, 2)
     # vector Laplacian: Ke[k,l] = nu * vol * gphi_k . gphi_l per component
     Ke = nu * np.einsum("ckd,cld,c->ckl", gphi, gphi, vol)
     nvel = 2 * ne
