@@ -305,6 +305,11 @@ class FE:
         raise KeyError(kind)
 
 
+# build_edges pair order (01, 12, 02) -> opposite vertices — the single
+# source of the CR edge convention (crouzeix_raviart_fe, cr_cell_gradients)
+_CR_OPP = (2, 0, 1)
+
+
 def crouzeix_raviart_fe():
     """Nonconforming P1 (Crouzeix-Raviart) on triangles: dofs at edge
     MIDPOINTS, basis phi_k = 1 - 2 lambda_opp(k) — continuous only at
@@ -314,7 +319,7 @@ def crouzeix_raviart_fe():
     x, y = qp[:, 0], qp[:, 1]
     lam = np.stack([1 - x - y, x, y], axis=1)       # (nq, 3)
     gl = np.array([[-1.0, -1.0], [1.0, 0.0], [0.0, 1.0]])
-    opp = [2, 0, 1]          # edge (0,1)->vert 2, (1,2)->0, (0,2)->1
+    opp = _CR_OPP            # edge (0,1)->vert 2, (1,2)->0, (0,2)->1
     B = np.stack([1 - 2 * lam[:, opp[k]] for k in range(3)], axis=1)
     D = np.broadcast_to(
         np.stack([-2 * gl[opp[k]] for k in range(3)]),
@@ -907,7 +912,7 @@ def cr_cell_gradients(coords, cells):
     cr_stokes_system."""
     from .plex import _p1_cell_gradients
     g, vol = _p1_cell_gradients(coords, cells, 2)
-    return -2.0 * g[:, [2, 0, 1], :], vol
+    return -2.0 * g[:, list(_CR_OPP), :], vol
 
 
 def cr_stokes_system(plex, f=(0.0, -1.0), nu=1.0):
