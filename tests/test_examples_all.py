@@ -40,3 +40,13 @@ def test_ex7_bjacobi_blocks():
     ksp = ex7.main(["-pc_bjacobi_blocks", "2"])
     assert ksp.getConvergedReason().converged
     assert ksp.getIterationNumber() <= 8
+
+
+def test_poisson512_example_small():
+    """examples/poisson512.py at a CPU-scale n (its-differenced CG on the
+    device-generated constant stencil; gamg mode exercises the Amat/Pmat
+    host_only split)."""
+    import examples.poisson512 as p512
+    t, nnz = p512.main(["-n", "24", "-its", "5"])
+    assert nnz == 24 ** 3 * 7 - 6 * 24 * 24
+    t2, _ = p512.main(["-n", "16", "-its", "4", "-pc_type", "gamg"])

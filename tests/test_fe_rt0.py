@@ -124,3 +124,46 @@ def test_cr_stokes_exactly_divergence_free():
     div = (vol[:, None] * (gphi[:, :, 0] * u[c2e * 2]
                            + gphi[:, :, 1] * u[c2e * 2 + 1])).sum(axis=1)
     assert np.abs(div).max() < 1e-12
+
+
+def test_cr_stokes_fieldsplit_solve():
+    """The (pinned) CR/P0 Stokes system solves through the framework's
+    PCFieldSplit Schur rather than a direct factorization."""
+    import scipy.sparse as sp
+    from petsc_tpu.dm.fe import build_edges, cr_stokes_system
+    plex = DMPlex.createBoxMesh((6, 6), simplex=True)
+    K, rhs, nvel = cr_stokes_system(plex, f=(0.0, -1.0))
+    Ks = K.to_scipy().tolil()
+    n = Ks.shape[0]
+    edges, c2e = build_edges(plex.cells)
+    mid = 0.5 * (plex.coords[edges[:, 0]] + plex.coords[edges[:, 1]])
+    bnd_e = np.nonzero((mid.min(axis=1) < 1e-9)
+                       | (mid.max(axis=1) > 1 - 1e-9))[0]
+    pinned = np.concatenate([bnd_e * 2, bnd_e * 2 + 1, [nvel]])
+    b = np.asarray(rhs.getArray())[:n].copy()
+    for r in pinned:
+        Ks.rows[r] = [int(r)]
+        Ks.data[r] = [1.0]
+        b[r] = 0.0
+    Ks = Ks.tocsr()
+    coo = Ks.tocoo()
+    keep = ~np.isin(coo.col, pinned) | (coo.row == coo.col)
+    Ks = sp.csr_matrix((coo.data[keep], (coo.row[keep], coo.col[keep])),
+                       shape=Ks.shape)
+    pt.init(args=["-pc_type", "fieldsplit", "-pc_fieldsplit_type", "schur",
+                  "-pc_fieldsplit_schur_precondition", "selfp",
+                  "-ksp_type", "fgmres"])
+    A = pt.MatAIJ.from_scipy(Ks)
+    ksp = pt.KSP().create()
+    ksp.setOperators(A)
+    ksp.setTolerances(rtol=1e-9, max_it=500)
+    ksp.setFromOptions()
+    ksp.getPC()._impl.setIS("0", np.arange(nvel))
+    ksp.getPC()._impl.setIS("1", np.arange(nvel, n))
+    bv = pt.Vec.from_array(b)
+    x = A.createVecRight()
+    ksp.solve(bv, x)
+    assert ksp.getConvergedReason() > 0
+    s = np.asarray(x.getArray())[:n]
+    r = Ks @ s - b
+    assert np.linalg.norm(r) < 1e-7
