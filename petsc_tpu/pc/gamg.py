@@ -36,6 +36,13 @@ def strength_graph(A_sp, bs=1, threshold=-1.0, index=None):
     these dof components within each block
     (-pc_gamg_mat_coarsen_strength_index, MatCoarsenSetStrengthIndex)."""
     import scipy.sparse as sp
+    if bs == 1 and index is None:
+        # hot scalar path: fused |A|+|A|^T + filter in native C++
+        # (the reference's graph phase is compiled C, agg.c:752)
+        from .. import native
+        G = native.strength_sym(A_sp.tocsr(), threshold)
+        if G is not None:
+            return G
     G = abs(A_sp).tocsr()
     if bs > 1:
         n = A_sp.shape[0] // bs
@@ -132,6 +139,53 @@ def square_graph(G):
     G2 = (B @ B).tocsr()
     G2.data = np.ones_like(G2.data)
     return G2
+
+
+def mis_aggregate_squared(G, perm=None):
+    """MIS aggregation on the IMPLICIT squared graph — identical greedy
+    semantics to mis_aggregate(square_graph(G), perm), but G^2 (~5x the
+    nnz at 27-point) is never materialized; the distance-2 expansion runs
+    only for vertices still undecided at visit time. This was the single
+    largest cost of the host setup (35 s of a 48 s 128^3 setup)."""
+    n = G.shape[0]
+    if perm is None:
+        perm = np.random.default_rng(2026).permutation(n)
+    from .. import native
+    out = native.mis2_aggregate(G.indptr.astype(np.int64),
+                                G.indices.astype(np.int64),
+                                np.asarray(perm, dtype=np.int64))
+    if out is not None:
+        return out
+    return mis_aggregate(square_graph(G), perm=perm)
+
+
+def _spgemm(A, B):
+    """C = A @ B, native Gustavson (OpenMP) with scipy fallback."""
+    from .. import native
+    C = native.spgemm(A.tocsr(), B.tocsr())
+    return C if C is not None else (A @ B).tocsr()
+
+
+def _galerkin(cur, P):
+    """Ac = P^T cur P (the MatPtAP numeric phase, mpiptap.c:215 role) via
+    the native transpose + two SpGEMMs."""
+    from .. import native
+    Pc = P.tocsr()
+    Pt = native.csr_transpose(Pc)
+    Ac = (Pc.T @ cur @ Pc).tocsr() if Pt is None \
+        else _spgemm(Pt, _spgemm(cur, Pc))
+    Ac.eliminate_zeros()
+    return Ac
+
+
+def _smooth_prol(cur, P, dinv, omega):
+    """P <- (I - omega D^-1 cur) P (agg.c:1811 numeric) with the SpGEMM
+    native and the row scaling done directly on the CSR data."""
+    W = _spgemm(cur, P)
+    W.data *= np.repeat(-omega * dinv, np.diff(W.indptr))
+    out = (P + W).tocsr()
+    out.sort_indices()
+    return out
 
 
 def tentative_prolongator(agg, nagg, Bn, bs=1):
@@ -465,14 +519,12 @@ class _PCGAMG(_PCMG):
                 emax = _host_emax(cur, dinv)
                 for _ in range(self.classical_nsmooths):
                     # OptProlongator_Classical_Jacobi (classical.c:794)
-                    P = (P - (1.4 / emax) * sp.diags(dinv)
-                         @ (cur @ P)).tocsr()
+                    P = _smooth_prol(cur, P, dinv, 1.4 / emax)
                 levels[-1].emin, levels[-1].emax = self.eig_bounds(emax)
                 levels[-1].agg = np.asarray(agg)
                 levels[-1].agg_bs = 1
                 levels[-1].P = MatAIJ.from_scipy(P, comm=coarse_comm)
-                Ac = (P.T @ cur @ P).tocsr()
-                Ac.eliminate_zeros()
+                Ac = _galerkin(cur, P)
                 levels.append(MGLevelSpec(
                     MatAIJ.from_scipy(Ac, comm=coarse_comm)))
                 cur = Ac
@@ -492,10 +544,11 @@ class _PCGAMG(_PCMG):
             else:
                 aggressive = (level < self.aggressive_levels
                               and self.square_aggressive)
-                Gagg = square_graph(G) if aggressive else G
-                agg, nagg, roots = mis_aggregate(Gagg)
                 if aggressive:
+                    agg, nagg, roots = mis_aggregate_squared(G)
                     agg = fix_aggregates_with_square(G, agg, roots)
+                else:
+                    agg, nagg, roots = mis_aggregate(G)
             if nagg == 0 or nagg * Bn.shape[1] >= cur.shape[0]:
                 break  # coarsening stalled
             # keep the aggregates on the level they coarsen: they define
@@ -509,11 +562,10 @@ class _PCGAMG(_PCMG):
             emax = _host_emax(cur, dinv)
             P = P0
             for _ in range(self.nsmooths):
-                P = (P - (1.4 / emax) * sp.diags(dinv) @ (cur @ P)).tocsr()
+                P = _smooth_prol(cur, P, dinv, 1.4 / emax)
             # SA eigenvalue reuse for the level smoother (gamg.c:934)
             levels[-1].emin, levels[-1].emax = self.eig_bounds(emax)
-            Ac = (P.T @ cur @ P).tocsr()
-            Ac.eliminate_zeros()
+            Ac = _galerkin(cur, P)
             if Bn.shape[1] == 1 and cur_bs == 1 and self.nsmooths <= 1:
                 # scalar path: keep P factored so its apply reuses the
                 # level operator's fast SpMV (no big unstructured gather)
@@ -592,8 +644,7 @@ class _PCHMG(_PCGAMG):
             emax = _host_emax(cur, dinv)
             levels[-1].emax = 1.1 * emax
             levels[-1].emin = 0.1 * emax
-            Ac = (P.T @ cur @ P).tocsr()
-            Ac.eliminate_zeros()
+            Ac = _galerkin(cur, P)
             levels[-1].P = MatAIJ.from_scipy(P, comm=A.comm)
             levels.append(MGLevelSpec(MatAIJ.from_scipy(Ac, comm=A.comm)))
             cur = Ac
