@@ -19,7 +19,11 @@ from ..ops import operator
 
 
 def _interp_axis(c, axis, nf):
-    """1-D vertex-centered Q1 prolongation along `axis`: nc -> nf=2nc-1."""
+    """1-D vertex-subsampled linear prolongation along `axis`:
+    nc = (nf+1)//2 -> nf. Even fine points inject the coarse values; odd
+    points average their two coarse neighbors. Odd nf is the classical
+    vertex-centered Q1 (nf = 2nc-1, dainterp.c); even nf clamps the last
+    odd point to its single in-range neighbor (weight 1)."""
     nc = c.shape[axis]
     sl = [slice(None)] * c.ndim
 
@@ -31,14 +35,19 @@ def _interp_axis(c, axis, nf):
     shape = list(c.shape)
     shape[axis] = nf
     f = jnp.zeros(shape, dtype=c.dtype)
-    f = f.at[ax_slice(slice(0, nf, 2))].set(c)
-    mid = 0.5 * (c[ax_slice(slice(0, nc - 1))] + c[ax_slice(slice(1, nc))])
+    f = f.at[ax_slice(slice(0, nf, 2))].set(c[ax_slice(slice(0, (nf + 1) // 2))])
+    nodd = nf // 2
+    mid = 0.5 * (c[ax_slice(slice(0, nodd))]
+                 + c[ax_slice(slice(1, nodd + 1))]) if nf % 2 else \
+        0.5 * (c + jnp.concatenate(
+            [c[ax_slice(slice(1, nc))], c[ax_slice(slice(nc - 1, nc))]],
+            axis=axis))
     f = f.at[ax_slice(slice(1, nf, 2))].set(mid)
     return f
 
 
 def _restrict_axis(f, axis, nc):
-    """Adjoint of _interp_axis: nf=2nc-1 -> nc."""
+    """Adjoint of _interp_axis: nf -> nc = (nf+1)//2."""
     nf = f.shape[axis]
     sl = [slice(None)] * f.ndim
 
@@ -48,9 +57,17 @@ def _restrict_axis(f, axis, nc):
         return tuple(sl2)
 
     c = f[ax_slice(slice(0, nf, 2))]
-    mid = f[ax_slice(slice(1, nf, 2))]
-    c = c.at[ax_slice(slice(0, nc - 1))].add(0.5 * mid)
-    c = c.at[ax_slice(slice(1, nc))].add(0.5 * mid)
+    mid = f[ax_slice(slice(1, nf, 2))]          # (nodd,) odd fine points
+    nodd = nf // 2
+    if nf % 2:                                  # vertex-centered, nodd=nc-1
+        c = c.at[ax_slice(slice(0, nc - 1))].add(0.5 * mid)
+        c = c.at[ax_slice(slice(1, nc))].add(0.5 * mid)
+    else:                                       # even: nodd=nc, last clamped
+        c = c + 0.5 * mid
+        c = c.at[ax_slice(slice(1, nc))].add(
+            0.5 * mid[ax_slice(slice(0, nodd - 1))])
+        c = c.at[ax_slice(slice(nc - 1, nc))].add(
+            0.5 * mid[ax_slice(slice(nodd - 1, nodd))])
     return c
 
 
@@ -89,9 +106,11 @@ class MatInterpQ1(Mat):
                 if fi % 2 == 0:
                     rows.append(fi); cols.append(fi // 2); vals.append(1.0)
                 else:
-                    rows += [fi, fi]; cols += [fi // 2, fi // 2 + 1]
+                    hi = min(fi // 2 + 1, nc - 1)  # clamp (even-nf last odd)
+                    rows += [fi, fi]; cols += [fi // 2, hi]
                     vals += [0.5, 0.5]
             p1 = sp.csr_matrix((vals, (rows, cols)), shape=(nf, nc))
+            p1.sum_duplicates()
             P = p1 if P is None else sp.kron(P, p1, format="csr")
         if self.dof > 1:
             P = sp.kron(P, sp.eye(self.dof), format="csr")

@@ -342,6 +342,11 @@ class _PCGAMG(_PCMG):
         self.gamg_type = "agg"         # agg | classical (classical.c)
         self.classical_type = "direct"  # direct | standard
         self.classical_nsmooths = 0
+        # TPU redesign (no reference equivalent — gamg.c always
+        # aggregates): operators that declare a structured grid get
+        # gather-free geometric first levels; see _structured_head
+        self.structured = True
+        self.structured_limit = 3000
 
     def set_from_options(self):
         super().set_from_options()
@@ -379,6 +384,12 @@ class _PCGAMG(_PCMG):
         n = o("get_int", "pc_gamg_classical_nsmooths", None)
         if n is not None:
             self.classical_nsmooths = n
+        b = o("get_bool", "pc_gamg_structured_coarsening", None)
+        if b is not None:
+            self.structured = b
+        n = o("get_int", "pc_gamg_structured_limit", None)
+        if n:
+            self.structured_limit = n
 
     def _threshold(self, level):
         if level < len(self.threshold):
@@ -440,6 +451,41 @@ class _PCGAMG(_PCMG):
             levels[-1].A = MatAIJ.from_scipy(Ag, comm=comm_self())
         return Ag, bvec.reshape(-1, 1), level
 
+    def _structured_head(self, A_sp, shape, levels, coarse_comm, level):
+        """Gather-free structured first levels (TPU redesign; no reference
+        equivalent — gamg.c always aggregates). On TPU the V-cycle's
+        unstructured P0 gather dominated the apply (261 ms/cycle at 128^3
+        vs 0.41 ms/CG-iteration, PERF.md), so fine operators that declare
+        a grid (`Mat.setStencilGrid` / DMDA matrices) coarsen their first
+        levels geometrically: factor-2 linear interpolation applied as
+        pure slicing (dm/interp.py MatInterpQ1, even and odd sizes),
+        Galerkin RAP on the host CSR via the native SpGEMM, and coarse
+        operators re-bound as dnd grid stencils (27-point, staying on the
+        fused-stencil SpMV path). Smoothed aggregation takes over once
+        the grid is below -pc_gamg_structured_limit. Disable with
+        -pc_gamg_structured_coarsening 0 for reference-faithful behavior.
+        Returns (tail host CSR, level index reached)."""
+        from ..dm.interp import MatInterpQ1
+        from ..mat.aij import MatAIJ
+        cur, cur_shape = A_sp.tocsr(), shape
+        limit = max(self.coarse_eq_limit, self.structured_limit)
+        while (int(np.prod(cur_shape)) > limit and min(cur_shape) >= 4
+               and level < self.max_levels - 1):
+            cshape = tuple((s + 1) // 2 for s in cur_shape)
+            Pm = MatInterpQ1(cur_shape, cshape, comm=coarse_comm)
+            Ac = _galerkin(cur, Pm.to_scipy())
+            d = cur.diagonal()
+            dinv = np.where(d != 0, 1.0 / np.where(d == 0, 1.0, d), 1.0)
+            emax = _host_emax(cur, dinv)
+            levels[-1].emin, levels[-1].emax = self.eig_bounds(emax)
+            levels[-1].P = Pm
+            Am = MatAIJ.from_scipy(Ac, comm=coarse_comm)
+            Am.setStencilGrid(cshape)
+            levels.append(MGLevelSpec(Am))
+            cur, cur_shape = Ac, cshape
+            level += 1
+        return cur, level
+
     def build_hierarchy(self):
         import scipy.sparse as sp
         from ..mat.aij import MatAIJ
@@ -482,6 +528,17 @@ class _PCGAMG(_PCMG):
             Bn = np.asarray(Bn)
         cur = A_sp
         cur_bs = bs
+        if (self.structured and self.gamg_type == "agg" and bs == 1
+                and Bn.shape[1] == 1 and A.comm.nshards == 1
+                and level == 0):
+            shape = (getattr(A, "_grid_shape", None)
+                     or getattr(Afine, "_grid_shape", None))
+            if (shape is not None and len(shape) >= 2
+                    and int(np.prod(shape)) == cur.shape[0]):
+                cur, level = self._structured_head(cur, tuple(shape),
+                                                   levels, coarse_comm,
+                                                   level)
+                Bn = np.ones((cur.shape[0], 1))
         while (cur.shape[0] > self.coarse_eq_limit
                and level < self.max_levels - 1):
             if self.gamg_type in ("classical", "geo"):
