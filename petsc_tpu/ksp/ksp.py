@@ -558,6 +558,12 @@ from . import impls_more as _m  # noqa: E402
 register_ksp("cgs", _m.solve_cgs)
 register_ksp("tfqmr", _m.solve_tfqmr)
 register_ksp("cr", _m.solve_cr)
+# pipegcr (impls/gcr/pipegcr): pipelined flexible GCR — the pipelining
+# again restructures MPI reduction latency (deeper asynchronous depth than
+# pgmres); the direction-recurrence and flexibility semantics are GCR's.
+# Served by the gcr kernel for the same reason as the pipecg family: XLA
+# fuses the iteration's dots into one overlapped collective (documented
+# alias, exact-arithmetic-equivalent trajectory).
 register_ksp("pipegcr", _m.solve_gcr,
              default_norm=common.UNPRECONDITIONED, supports_right=True)
 register_ksp("gcr", _m.solve_gcr, default_norm=common.UNPRECONDITIONED,
@@ -730,3 +736,21 @@ register_ksp("lgmres", _lgmres, extras=_lgmres_extras)
 register_ksp("cgne", _m.solve_cgne)
 register_ksp("fcg", _m.solve_fcg, extras=_gmres_extras)
 register_ksp("groppcg", _m.solve_pipecg)
+
+from .impls_r3 import (solve_bicg as _bicg, solve_cgls as _cgls,  # noqa: E402
+                       solve_qmrcgs as _qmrcgs)
+
+register_ksp("bicg", _bicg)
+register_ksp("cgls", _cgls, default_norm=common.UNPRECONDITIONED)
+register_ksp("qmrcgs", _qmrcgs)
+# Remaining pipelined variants, documented aliases (same standard as the
+# pipecg family above): the pipelined restructurings exist to overlap the
+# MPI reduction latency with the matvec (pipecr.c, pipefcg.c, pipebcgs.c);
+# under XLA the per-iteration dots already fuse into one collective that
+# the scheduler overlaps with the SpMV inside a single compiled program,
+# so the base kernels carry the identical communication profile and the
+# exact-arithmetic-equivalent trajectory.
+register_ksp("pipecr", _m.solve_cr)          # pipelined CR -> cr
+register_ksp("pipefcg", _m.solve_fcg,        # pipelined flexible CG -> fcg
+             extras=_gmres_extras)
+register_ksp("pipebcgs", _bcgs)              # pipelined BiCGStab -> bcgs
