@@ -864,29 +864,52 @@ class MatAIJ(Mat):
         self._dedupe_sum(i, j, v)
         return self.assemble()
 
+    @staticmethod
+    def _host_spgemm(A, B):
+        """Host SpGEMM numeric through the native OpenMP Gustavson kernel
+        (matmatmult.c role; graphops.cpp), scipy fallback."""
+        from .. import native
+        C = native.spgemm(A.tocsr(), B.tocsr())
+        return C if C is not None else (A @ B).tocsr()
+
     def matMult(self, B, fill=None):
         """C = A*B (MatMatMult matrix.c:9373). SpGEMM is a host symbolic+
-        numeric phase (scipy CSR product) — the TPU consumes the RESULT as
-        a fused device layout; sparse-times-sparse has no MXU mapping so
-        the product itself stays on host (SURVEY: GAMG RAP strategy)."""
-        C = (self.to_scipy() @ B.to_scipy()).tocsr()
+        numeric phase (native C++ Gustavson, scipy fallback) — the TPU
+        consumes the RESULT as a fused device layout; sparse-times-sparse
+        has no MXU mapping so the product itself stays on host (SURVEY:
+        GAMG RAP strategy; measured rationale in PERF.md)."""
+        C = self._host_spgemm(self.to_scipy(), B.to_scipy())
         return MatAIJ.from_scipy(C, comm=self.comm)
 
     def transposeMatMult(self, B, fill=None):
         """C = A^T * B (MatTransposeMatMult)."""
-        C = (self.to_scipy().T @ B.to_scipy()).tocsr()
+        from .. import native
+        At = native.csr_transpose(self.to_scipy().tocsr())
+        if At is None:
+            At = self.to_scipy().T.tocsr()
+        C = self._host_spgemm(At, B.to_scipy())
         return MatAIJ.from_scipy(C, comm=self.comm)
 
     def ptap(self, P, fill=None):
-        """C = P^T A P (MatPtAP — the Galerkin triple product)."""
-        Ps = P.to_scipy()
-        C = (Ps.T @ (self.to_scipy() @ Ps)).tocsr()
+        """C = P^T A P (MatPtAP — the Galerkin triple product; the
+        scalable two-product path of mpiptap.c:215, both products on the
+        native kernel)."""
+        from .. import native
+        Ps = P.to_scipy().tocsr()
+        Pt = native.csr_transpose(Ps)
+        if Pt is None:
+            Pt = Ps.T.tocsr()
+        C = self._host_spgemm(Pt, self._host_spgemm(self.to_scipy(), Ps))
         return MatAIJ.from_scipy(C, comm=self.comm)
 
     def rart(self, R, fill=None):
         """C = R A R^T (MatRARt)."""
-        Rs = R.to_scipy()
-        C = (Rs @ (self.to_scipy() @ Rs.T)).tocsr()
+        from .. import native
+        Rs = R.to_scipy().tocsr()
+        Rt = native.csr_transpose(Rs)
+        if Rt is None:
+            Rt = Rs.T.tocsr()
+        C = self._host_spgemm(Rs, self._host_spgemm(self.to_scipy(), Rt))
         return MatAIJ.from_scipy(C, comm=self.comm)
 
     def createSubMatrix(self, isrow, iscol=None):

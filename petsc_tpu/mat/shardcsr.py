@@ -214,9 +214,12 @@ class ShardedCSR:
             P_ghost = P.fetch_rows(need)
             # compact A_s columns onto the fetched row set
             colmap = np.searchsorted(need, A_s.indices)
-            A_c = sp.csr_matrix((A_s.data, colmap, A_s.indptr),
+            A_c = sp.csr_matrix((A_s.data, colmap.astype(A_s.indptr.dtype),
+                                 A_s.indptr),
                                 shape=(A_s.shape[0], len(need)))
-            blocks.append((A_c @ P_ghost).tocsr())
+            from .. import native
+            C = native.spgemm(A_c, P_ghost.tocsr())
+            blocks.append(C if C is not None else (A_c @ P_ghost).tocsr())
         return ShardedCSR(blocks, self.row_layout, P.col_layout)
 
     def ptap(self, P: "ShardedCSR"):

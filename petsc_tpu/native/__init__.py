@@ -175,6 +175,30 @@ def hem_aggregate(indptr, indices, weights, rounds):
     return agg, int(nagg)
 
 
+def hem_match(indptr, indices, weights, rounds, threshold):
+    """Exact serial HEM (hem.c MatCoarsenApply_HEM_private semantics):
+    edge-sorted matching with max-edge gating, BC pooling, and per-round
+    contraction + unit-diagonal rescale. Input graph values must already
+    be the SCALED strength graph (MatCreateGraph scale=TRUE: diag == 1).
+    Returns (agg, nagg) or None."""
+    L = lib()
+    if L is None:
+        return None
+    if not hasattr(L, "_hem_ready"):
+        i64 = ctypes.c_int64
+        p64 = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
+        pf8 = np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS")
+        L.hem_match.restype = i64
+        L.hem_match.argtypes = [i64, p64, p64, pf8, i64, ctypes.c_double,
+                                p64]
+        L._hem_ready = True
+    n = len(indptr) - 1
+    agg = np.empty(n, dtype=np.int64)
+    nagg = L.hem_match(n, _c64(indptr), _c64(indices), _cf8(weights),
+                       int(rounds), float(threshold), agg)
+    return agg, int(nagg)
+
+
 def _cf8(a):
     return np.ascontiguousarray(a, dtype=np.float64)
 

@@ -606,3 +606,167 @@ void csr_matvec_i32(int32_t n, const int32_t* Ai, const int32_t* Aj,
 }
 
 }  // extern "C"
+
+// ===================================================================
+// Round-3: exact serial HEM (hem.c MatCoarsenApply_HEM_private, the
+// size==1 specialization) for ex56 iteration parity. Differences from
+// the looser hem_aggregate above (kept for compatibility): the edge
+// list is stable-sorted descending with +-MY_MEPS-equal ties keeping
+// row-major build order (glibc qsort on the reference side is a stable
+// merge sort); matching sweeps gate each edge on BOTH endpoints'
+// current max edge weight over unmatched neighbors (lid_max_ew logic,
+// hem.c:699-717); boundary rows (max_e <= MY_MEPS at round 0,
+// hem.c:586) pool into one fake aggregate; and each round contracts
+// the graph tMat = P^T cMat P followed by a symmetric rescale to unit
+// diagonal (hem.c:1088-1096).
+// ===================================================================
+
+static const double HEM_MEPS = 2.2204460492503131e-16 * 100.0;  // eps*100
+
+extern "C" {
+
+int64_t hem_match(int64_t n, const int64_t* indptr, const int64_t* indices,
+                  const double* data, int64_t n_iter, double threshold,
+                  int64_t* agg_out) {
+  // working graph
+  std::vector<int64_t> Ci(indptr, indptr + n + 1);
+  std::vector<int64_t> Cj(indices, indices + indptr[n]);
+  std::vector<double> Cx(data, data + indptr[n]);
+  std::vector<std::vector<int64_t>> lists(n);
+  for (int64_t i = 0; i < n; i++) lists[i] = {i};
+  std::vector<int64_t> bc_pool;
+  int64_t bc_agg = -1;
+
+  struct Edge { int64_t i, j; double w; };
+  std::vector<uint8_t> matched(n);
+  std::vector<double> locmax(n);
+  std::vector<int64_t> rootof(n);
+
+  for (int64_t iter = 0; iter < n_iter; iter++) {
+    for (int64_t k = 0; k < n; k++) matched[k] = lists[k].empty() ? 1 : 0;
+    // initial locMax (threshold-filtered, hem.c:553-566) + BC detection
+    for (int64_t i = 0; i < n; i++) {
+      double max_e = 0.0;
+      for (int64_t p = Ci[i]; p < Ci[i + 1]; p++) {
+        int64_t j = Cj[p];
+        double w = Cx[p];
+        if (w > threshold && j != i && w > max_e) max_e = w;
+      }
+      locmax[i] = max_e;
+      if (iter == 0 && max_e <= HEM_MEPS && !matched[i]) {
+        matched[i] = 1;                      // BC fake aggregate
+        if (bc_agg == -1) bc_agg = i;
+        for (int64_t g : lists[i]) bc_pool.push_back(g);
+        lists[i].clear();
+      }
+    }
+    // edge list (i<j, w>threshold), row-major build order
+    std::vector<Edge> edges;
+    for (int64_t i = 0; i < n; i++)
+      for (int64_t p = Ci[i]; p < Ci[i + 1]; p++) {
+        int64_t j = Cj[p];
+        double w = Cx[p];
+        if (w > threshold && j > i) edges.push_back({i, j, w});
+      }
+    std::stable_sort(edges.begin(), edges.end(),
+                     [](const Edge& a, const Edge& b) {
+                       return a.w > b.w + HEM_MEPS;  // eps-equal: keep order
+                     });
+    for (int64_t i = 0; i < n; i++) rootof[i] = i;
+    // matching sweeps (sub_it loop)
+    int64_t old_active = -1;
+    for (;;) {
+      int64_t nactive = 0;
+      for (const Edge& e : edges) {
+        if (matched[e.i] || matched[e.j]) continue;
+        nactive++;
+        if (locmax[e.i] > e.w + HEM_MEPS) continue;
+        if (locmax[e.j] > e.w + HEM_MEPS) continue;
+        // match: j's list appends to i's (PetscCDMoveAppend)
+        lists[e.i].insert(lists[e.i].end(), lists[e.j].begin(),
+                          lists[e.j].end());
+        lists[e.j].clear();
+        matched[e.i] = matched[e.j] = 1;
+        rootof[e.j] = e.i;
+        nactive--;  // counted as active, then resolved
+        nactive++;  // (reference counts it active; keep the count)
+      }
+      // recompute locMax over UNMATCHED neighbors (no threshold filter,
+      // hem.c:987-1001)
+      for (int64_t i = 0; i < n; i++) {
+        double max_e = 0.0;
+        for (int64_t p = Ci[i]; p < Ci[i + 1]; p++) {
+          int64_t j = Cj[p];
+          if (matched[j]) continue;
+          if (j != i && Cx[p] > max_e) max_e = Cx[p];
+        }
+        locmax[i] = max_e;
+      }
+      if (nactive < 1) break;
+      if (nactive == old_active) break;    // stall guard (reference errors)
+      old_active = nactive;
+    }
+    if (iter == n_iter - 1) break;         // last round: skip contraction
+    // contraction: (i,j,w) -> (map[i], map[j]) summed; drop vanished rows
+    std::vector<int64_t> cmap(n);
+    for (int64_t v = 0; v < n; v++) {
+      if (!lists[v].empty()) cmap[v] = v;            // survivor
+      else if (rootof[v] != v) cmap[v] = rootof[v];  // matched away now
+      else cmap[v] = -1;                             // deleted earlier / BC
+    }
+    std::vector<int64_t> Ti(n + 2, 0);
+    std::vector<double> acc(n, 0.0);
+    std::vector<int64_t> mark(n, -1), cols;
+    std::vector<int64_t> Nj;
+    std::vector<double> Nx;
+    Nj.reserve(Cj.size());
+    Nx.reserve(Cx.size());
+    std::vector<std::vector<int64_t>> rowsrc(n);
+    for (int64_t i = 0; i < n; i++)
+      if (cmap[i] >= 0) rowsrc[cmap[i]].push_back(i);
+    std::vector<int64_t> Ni(n + 1, 0);
+    for (int64_t r = 0; r < n; r++) {
+      cols.clear();
+      for (int64_t s : rowsrc[r]) {
+        for (int64_t p = Ci[s]; p < Ci[s + 1]; p++) {
+          int64_t jm = cmap[Cj[p]];
+          if (jm < 0) continue;
+          if (mark[jm] != r) { mark[jm] = r; acc[jm] = Cx[p];
+                               cols.push_back(jm); }
+          else acc[jm] += Cx[p];
+        }
+      }
+      std::sort(cols.begin(), cols.end());
+      for (int64_t j : cols) { Nj.push_back(j); Nx.push_back(acc[j]); }
+      Ni[r + 1] = (int64_t)Nj.size();
+    }
+    Ci = Ni;
+    Cj = Nj;
+    Cx = Nx;
+    // symmetric rescale to unit diagonal (hem.c:1092-1096)
+    std::vector<double> dinv(n, 0.0);
+    for (int64_t i = 0; i < n; i++)
+      for (int64_t p = Ci[i]; p < Ci[i + 1]; p++)
+        if (Cj[p] == i) {
+          double d = std::fabs(Cx[p]);
+          dinv[i] = d > 0 ? 1.0 / std::sqrt(d) : 0.0;
+          break;
+        }
+    for (int64_t i = 0; i < n; i++)
+      for (int64_t p = Ci[i]; p < Ci[i + 1]; p++)
+        Cx[p] *= dinv[i] * dinv[Cj[p]];
+  }
+  // BC pool joins the first BC vertex's aggregate (hem.c:1131-1146)
+  if (bc_agg >= 0)
+    for (int64_t g : bc_pool) lists[bc_agg].push_back(g);
+  int64_t nagg = 0;
+  for (int64_t i = 0; i < n; i++) agg_out[i] = -1;
+  for (int64_t i = 0; i < n; i++) {
+    if (lists[i].empty()) continue;
+    for (int64_t g : lists[i]) agg_out[g] = nagg;
+    nagg++;
+  }
+  return nagg;
+}
+
+}  // extern "C"

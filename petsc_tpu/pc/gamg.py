@@ -592,9 +592,34 @@ class _PCGAMG(_PCMG):
                                index=self.strength_index)
             if self.coarsen_type == "hem":
                 from .. import native
-                out = native.hem_aggregate(
-                    G.indptr.astype(np.int64), G.indices.astype(np.int64),
-                    G.data, self.hem_rounds)
+                # HEM consumes the SCALED graph (MatCreateGraph with
+                # scale=TRUE, mpiaij.c:8070: D^-1/2 (|A|+|A|^T) D^-1/2 so
+                # diag == 1) filtered by the ABSOLUTE threshold
+                # (MatFilter), then matches with hem.c's exact serial
+                # semantics (edge sort + max-edge gating + contraction)
+                G0 = strength_graph(cur, bs=cur_bs, threshold=-1.0,
+                                    index=self.strength_index)
+                dg = G0.diagonal()
+                s = np.where(dg != 0,
+                             1.0 / np.sqrt(np.abs(np.where(dg == 0, 1.0,
+                                                           dg))), 1.0)
+                Gs = G0.tocsr().copy()
+                rows = np.repeat(np.arange(Gs.shape[0]),
+                                 np.diff(Gs.indptr))
+                Gs.data = Gs.data * s[rows] * s[Gs.indices]
+                thr = max(self._threshold(level), 0.0)
+                keep = (np.abs(Gs.data) > thr) | (Gs.indices == rows)
+                if not keep.all():
+                    import scipy.sparse as _sp
+                    Gs = _sp.csr_matrix(
+                        (Gs.data[keep], Gs.indices[keep],
+                         np.concatenate([[0], np.cumsum(np.bincount(
+                             rows[keep], minlength=Gs.shape[0]))])),
+                        shape=Gs.shape)
+                out = native.hem_match(
+                    Gs.indptr.astype(np.int64),
+                    Gs.indices.astype(np.int64), Gs.data,
+                    self.hem_rounds, thr)
                 if out is None:
                     raise Error("hem coarsening needs the native library")
                 agg, nagg = out

@@ -6,10 +6,19 @@ strength index 1,2, threshold .001, Chebyshev(1) smoothers with
 esteig transform 0,0.2,0,1.05 preconditioned by aggregate-block exact
 sub-solves (-pc_gamg_asm_use_agg -mg_levels_sub_pc_type lu), CG+Jacobi
 parallel coarse solve, unpreconditioned norm, rtol 1e-4) and the ex45
-CG+GAMG role.  Reference pins 14-15 iterations; this port lands at 18
-(measured 2026-08-17) — the residual delta is the HEM matching order
-and the strength-index graph construction, documented in PERF.md.  The
-band below guards against regression in either direction.
+CG+GAMG role.
+
+History: round 2 landed at 18 its vs the reference's pinned 14-15 with
+a loose greedy HEM.  Round 3 implements hem.c's exact serial semantics
+(native hem_match: descending-stable-sorted edge sweep gated on both
+endpoints' max edge weight over unmatched neighbors, BC row pooling,
+per-round P^T G P contraction with unit-diagonal rescale) on the SCALED
+strength graph (MatCreateGraph scale=TRUE, diag==1) — and lands at 10
+iterations, i.e. BETTER than the reference's own pinned count under its
+own knob set.  Remaining deltas that keep this from being bit-identical
+matching: qsort tie order among eps-equal edge weights and LAPACK-vs-
+batched-QR rounding in the tentative prolongator.  The band below pins
+[reference-parity-or-better .. regression ceiling].
 """
 
 import numpy as np
@@ -34,12 +43,13 @@ EX56_REF_ARGS = [
 
 
 def test_ex56_reference_config_parity_band():
-    """Reference knob set end-to-end; its in [reference 14 .. ours 20]."""
+    """Reference knob set end-to-end; reference pins 14-15, exact-HEM
+    here lands at 10 (at-or-better parity; see module docstring)."""
     from examples import ex56
     ksp = ex56.main(list(EX56_REF_ARGS))
     its = ksp.getIterationNumber()
     assert ksp.getConvergedReason().converged
-    assert 12 <= its <= 20, its
+    assert 9 <= its <= 16, its
 
 
 def test_ex56_mis_beats_reference():
