@@ -452,6 +452,114 @@ class DMPlex(DM):
             return lbl
         return None
 
+    def refine(self):
+        """DMRefine: regular "red" refinement of tri/quad/tet/hex cells
+        (plexrefine.c / transform/impls/refine regular role). New
+        vertices sit at edge midpoints (plus face centers and the cell
+        center for tensor cells); each tri/quad splits into 4 children,
+        each tet (Bey's scheme, diagonal m01-m23) and hex into 8; cell
+        labels are inherited by children. The refined plex records its
+        coarse parent and the exact P1/Q1 coarse-to-fine interpolation
+        (vertex weights = average over the defining parent vertices), so
+        `coarsen()` / `createInterpolation()` drive PCMG geometric
+        hierarchies on unstructured meshes (the DMDA dainterp.c role).
+        Tensor children at far corners come out mirrored (negative
+        Jacobian) — volume-magnitude assembly is unaffected."""
+        import scipy.sparse as sp
+        dim, cells, nv = self.dim, self.cells, self.nvertices
+        nvl = cells.shape[1]
+        key2id = {}
+
+        def vid(*verts):
+            if len(verts) == 1:
+                return int(verts[0])
+            key = tuple(sorted(int(v) for v in verts))
+            if key not in key2id:
+                key2id[key] = nv + len(key2id)
+            return key2id[key]
+
+        newcells = []
+        if dim == 2 and nvl == 3:
+            for a, b, c in cells:
+                m01, m12, m20 = vid(a, b), vid(b, c), vid(c, a)
+                newcells += [[a, m01, m20], [m01, b, m12],
+                             [m20, m12, c], [m01, m12, m20]]
+        elif dim == 3 and nvl == 4:
+            for v0, v1, v2, v3 in cells:
+                m01, m02, m03 = vid(v0, v1), vid(v0, v2), vid(v0, v3)
+                m12, m13, m23 = vid(v1, v2), vid(v1, v3), vid(v2, v3)
+                newcells += [
+                    [v0, m01, m02, m03], [m01, v1, m12, m13],
+                    [m02, m12, v2, m23], [m03, m13, m23, v3],
+                    [m01, m02, m03, m23], [m01, m02, m12, m23],
+                    [m01, m03, m13, m23], [m01, m12, m13, m23]]
+        elif nvl == 2 ** dim and dim in (2, 3):
+            # tensor cells: vertex k has local coords L[k]; child per
+            # corner spans [corner, center]
+            L2 = [(0, 0), (1, 0), (1, 1), (0, 1)]
+            L3 = [(0, 0, 0), (1, 0, 0), (1, 1, 0), (0, 1, 0),
+                  (0, 0, 1), (1, 0, 1), (1, 1, 1), (0, 1, 1)]
+            L = L2 if dim == 2 else L3
+
+            def pos_key(cell, q):
+                # parent vertices consistent with local position q
+                # (q_d in {0, 0.5, 1}); 1/2/4/8 of them
+                return [int(cell[k]) for k in range(len(L))
+                        if all(q[d] == 0.5 or L[k][d] == q[d]
+                               for d in range(dim))]
+
+            for cell in cells:
+                for ck in range(len(L)):
+                    child = []
+                    for j in range(len(L)):
+                        q = tuple(L[ck][d] if L[j][d] == 0 else 0.5
+                                  for d in range(dim))
+                        child.append(vid(*pos_key(cell, q)))
+                    newcells.append(child)
+        else:
+            raise Error(f"refine: unsupported cell (dim={dim}, nv={nvl})")
+
+        nnew = len(key2id)
+        new_coords = np.zeros((nv + nnew, dim))
+        new_coords[:nv] = self.coords
+        rows, cols, vals = list(range(nv)), list(range(nv)), [1.0] * nv
+        for key, idx in key2id.items():
+            new_coords[idx] = self.coords[list(key)].mean(axis=0)
+            w = 1.0 / len(key)
+            for pv in key:
+                rows.append(idx); cols.append(pv); vals.append(w)
+        fine = DMPlex.createFromCellList(
+            dim, np.asarray(newcells, dtype=np.int64), new_coords,
+            self.comm)
+        nch = 4 if dim == 2 else 8
+        if getattr(self, "labels", None):
+            fine.labels = {
+                name: (np.asarray(ids)[:, None] * nch
+                       + np.arange(nch)).reshape(-1)
+                for name, ids in self.labels.items()}
+        fine._coarse_plex = self
+        fine._interp = sp.csr_matrix(
+            (vals, (rows, cols)), shape=(nv + nnew, nv))
+        return fine
+
+    def coarsen(self):
+        """The refinement parent (DMCoarsen on a refined plex); PCMG's
+        DM-driven hierarchy walks this chain."""
+        parent = getattr(self, "_coarse_plex", None)
+        if parent is None:
+            raise Error("DMPlex.coarsen: no refinement parent recorded "
+                        "(build the mesh by DMPlex.refine)")
+        return parent
+
+    def createInterpolation(self, coarse):
+        """Coarse-to-fine P1/Q1 interpolation recorded by refine()
+        (DMCreateInterpolation role)."""
+        from ..mat.aij import MatAIJ
+        if getattr(self, "_coarse_plex", None) is not coarse:
+            raise Error("DMPlex.createInterpolation: `coarse` must be "
+                        "this plex's refinement parent")
+        return MatAIJ.from_scipy(self._interp.tocsr(), comm=self.comm)
+
     def createSubmesh(self, cell_ids):
         """DMPlexCreateSubmesh role (plexsubmesh.c, filter flavor):
         extract the mesh induced by `cell_ids` — vertices renumbered

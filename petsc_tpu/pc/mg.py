@@ -373,9 +373,22 @@ def build_mg_meta_data(levels, cycle="v", smoother="chebyshev", pre=2, post=2,
         else:
             emax = lev.emax if lev.emax is not None else 2.0
             emin = lev.emin if lev.emin is not None else 0.2
+        # padded-length bookkeeping: a sharded fine level is padded to
+        # Npad while a serial P covers exactly (nf, nc) — the binder
+        # slices/pads around the transfer applications so mixed layouts
+        # compose (the telescope fine-sharded/coarse-replicated pattern).
+        # p_in/r_in: the lengths the transfer op expects; npad_f/npad_c:
+        # the fine/coarse level vector lengths the cycle carries.
+        nf_P, nc_P = P.getSize()
+        npad_f = A.row_layout.Npad if hasattr(A, "row_layout") else nf_P
+        nxt = levels[l + 1].A
+        npad_c = nxt.row_layout.Npad if hasattr(nxt, "row_layout") \
+            else nc_P
+        p_in = P.col_layout.Npad if hasattr(P, "col_layout") else nc_P
+        r_in = P.row_layout.Npad if hasattr(P, "row_layout") else nf_P
         lev_metas.append((A.meta, P.meta,
                           None if R is None else R.meta, smoother, pre, post,
-                          pc_kind))
+                          pc_kind, (p_in, r_in, npad_f, npad_c)))
         ld["eig"] = jnp.asarray([emin, emax], dtype=rd)
         ld["R"] = {} if R is None else R.device_data()
         lev_datas.append(ld)
@@ -453,11 +466,28 @@ def _bind_pc_mg(meta, data):
     def bind_level(l):
         A_meta, P_meta, R_meta, kind, pre, post = lev_metas[l][:6]
         pc_kind = lev_metas[l][6] if len(lev_metas[l]) > 6 else "jacobi"
+        sizes = lev_metas[l][7] if len(lev_metas[l]) > 7 else None
         ld = levels[l]
         Aop = operator.bind(A_meta, ld["A"])
-        Pop = operator.bind(P_meta, ld["P"])
-        restrict = Pop.mult_t if R_meta is None \
+        Pop0 = operator.bind(P_meta, ld["P"])
+        restrict0 = Pop0.mult_t if R_meta is None \
             else operator.bind(R_meta, ld["R"]).mult
+        if sizes is not None:
+            p_in, r_in, npad_f, npad_c = sizes
+
+            def _fit(v, want):
+                if v.shape[0] == want:
+                    return v
+                if v.shape[0] > want:
+                    return v[:want]
+                return jnp.pad(v, (0, want - v.shape[0]))
+
+            Pop = operator.Op(
+                mult=lambda xc: _fit(Pop0.mult(_fit(xc, p_in)), npad_f),
+                mult_t=Pop0.mult_t)
+            restrict = lambda r: _fit(restrict0(_fit(r, r_in)), npad_c)  # noqa: E731
+        else:
+            Pop, restrict = Pop0, restrict0
         if pc_kind == "asm_agg":
             idx, mask, inv = ld["agg_idx"], ld["agg_mask"], ld["agg_inv"]
 
