@@ -184,6 +184,12 @@ class _PCMG:
         # esteig transform (a,b,c,d): emin_used = a*emin + b*emax,
         # emax_used = c*emin + d*emax (cheby.c:203 MG default 0,0.1,0,1.1)
         self.esteig_tform = (0.0, 0.1, 0.0, 1.1)
+        # -pc_mg_dtype single: run the whole V-cycle in f32 around an f64
+        # Krylov (TPU mixed-precision policy; no reference equivalent —
+        # CPUs have native f64, TPUs emulate it ~10x slower). A V-cycle
+        # is a ~1-digit-per-application preconditioner, far below f32
+        # rounding, so the f64 outer iteration count is unaffected.
+        self.dtype = None
 
     def set_from_options(self):
         o = self.pc.opt
@@ -211,6 +217,11 @@ class _PCMG:
         cp = o("get_string", "mg_coarse_pc_type", None)
         if ct == "cg" and (cp in (None, "jacobi")):
             self.coarse_solver = "cg_jacobi"
+        t = o("get_string", "pc_mg_dtype", None)
+        if t in ("single", "float32", "f32"):
+            self.dtype = "f32"
+        elif t in ("double", "float64", "f64"):
+            self.dtype = None
 
     # ---- PCMG API (geometric path) ----
 
@@ -291,7 +302,7 @@ class _PCMG:
             self.levels, cycle=self.cycle, smoother=self.smoother,
             pre=self.smooth_pre, post=self.smooth_post,
             coarse=self.coarse_solver, levels_pc=self.levels_pc,
-            esteig_tform=self.esteig_tform)
+            esteig_tform=self.esteig_tform, dtype=self.dtype)
 
     def view(self):
         if self.levels is None:
@@ -308,8 +319,13 @@ class _PCMG:
 
 def build_mg_meta_data(levels, cycle="v", smoother="chebyshev", pre=2, post=2,
                        coarse="lu", levels_pc="jacobi",
-                       esteig_tform=(0.0, 0.1, 0.0, 1.1)):
-    """Compile the hierarchy into the (meta, data) jit-composability pair."""
+                       esteig_tform=(0.0, 0.1, 0.0, 1.1), dtype=None):
+    """Compile the hierarchy into the (meta, data) jit-composability pair.
+
+    dtype="f32": every level's numeric data is cast to float32 and the
+    bound cycle converts at its boundary — the whole V-cycle runs at f32
+    rates (MXU/VPU native) inside an f64 outer Krylov (-pc_mg_dtype
+    single; the TPU analog of the ksp/ir.py mixed-precision policy)."""
     rd = config.real_dtype()
     lev_metas = []
     lev_datas = []
@@ -392,7 +408,16 @@ def build_mg_meta_data(levels, cycle="v", smoother="chebyshev", pre=2, post=2,
         ld["eig"] = jnp.asarray([emin, emax], dtype=rd)
         ld["R"] = {} if R is None else R.device_data()
         lev_datas.append(ld)
-    meta = ("pc_mg", cycle, nlev, tuple(lev_metas))
+    if dtype == "f32":
+        import jax
+
+        def _f32(x):
+            if hasattr(x, "dtype") and x.dtype == jnp.float64:
+                return x.astype(jnp.float32)
+            return x
+
+        lev_datas = [jax.tree_util.tree_map(_f32, ld) for ld in lev_datas]
+    meta = ("pc_mg", cycle, nlev, tuple(lev_metas), dtype)
     data = {"levels": tuple(lev_datas)}
     return meta, data
 
@@ -421,7 +446,8 @@ def _bind_pc_mg(meta, data):
     V (default) and W cycles, KASKADE (coarse solve + prolongate +
     post-smooth only), and FULL (F-cycle: nested full solves from the
     coarsest level up, a V-cycle at each stage)."""
-    _, cycle, nlev, lev_metas = meta
+    _, cycle, nlev, lev_metas = meta[:4]
+    dtype = meta[4] if len(meta) > 4 else None
     levels = data["levels"]
     ncycles = 2 if cycle == "w" else 1
 
@@ -536,14 +562,16 @@ def _bind_pc_mg(meta, data):
             x = level_apply(l, bs[l], x0=x)
         return x
 
-    if cycle == "full":
-        # PCApplyTranspose_MG role: the standard V/W cycle with equal
-        # pre/post smoothing and symmetric smoothers is self-transpose —
-        # expose mult_t so transpose-needing solvers (ibcgs, lsqr on the
-        # preconditioned operator) accept MG/GAMG
-        return operator.Op(mult=full_apply, mult_t=full_apply)
-    apply0 = lambda b: level_apply(0, b)  # noqa: E731
-    return operator.Op(mult=apply0, mult_t=apply0)
+    inner = full_apply if cycle == "full" else (lambda b: level_apply(0, b))
+    if dtype == "f32":
+        # boundary casts: f64 residual in, f32 cycle, f64 correction out
+        base = inner
+        inner = lambda b: base(b.astype(jnp.float32)).astype(b.dtype)  # noqa: E731
+    # PCApplyTranspose_MG role: the standard V/W cycle with equal
+    # pre/post smoothing and symmetric smoothers is self-transpose —
+    # expose mult_t so transpose-needing solvers (ibcgs, lsqr on the
+    # preconditioned operator) accept MG/GAMG
+    return operator.Op(mult=inner, mult_t=inner)
 
 
 operator.register_binder("pc_mg", _bind_pc_mg)
