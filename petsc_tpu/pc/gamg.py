@@ -519,6 +519,10 @@ class _PCGAMG(_PCMG):
             A_sp, Bn, level = self._dist_levels(A, levels)
             # continue serially on the replicated tail
         else:
+            if A.comm.nshards > 1:
+                from ..sys.info import warn_full_gather
+                warn_full_gather(A, "PCGAMG(serial setup on sharded "
+                                    "operator: bs>1/nullspace/non-MIS)")
             A_sp = A.to_scipy()
         if Bn is None:
             Bn = np.ones((A_sp.shape[0], 1))

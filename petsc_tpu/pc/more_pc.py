@@ -173,6 +173,8 @@ class _PCASM:
         if (nsh > 1 and self.nblocks in (None, nsh)
                 and hasattr(A, "shardcsr")):
             return self._setup_dist(A)
+        from ..sys.info import warn_full_gather
+        warn_full_gather(A, "PCASM(nblocks != nshards)")
         m = A.row_layout.N
         S = A.to_scipy()
         doms = self._default_domains(S, m)
@@ -517,6 +519,8 @@ class _PCFieldSplit:
             Ms = [[MatAIJ.from_sharded(bsh[i][j], A.comm)
                    for j in range(nf)] for i in range(nf)]
         else:
+            from ..sys.info import warn_full_gather
+            warn_full_gather(A, "PCFieldSplit(serial split path)")
             S = A.to_scipy()
             blocks = [[S[isets[i]][:, isets[j]].tocsr() for j in range(nf)]
                       for i in range(nf)]

@@ -109,6 +109,7 @@ class PC(PObject):
         _t0 = _time.perf_counter()
         self._meta, self._data = self._impl.setup()
         from .. import config as _cfg
+        _cfg.compile_cache_tick()  # bounded compiled-executable policy
         _cfg.log().log_event(f"PCSetUp_{self._type}",
                              _time.perf_counter() - _t0)
         self._setup_called = True

@@ -24,3 +24,30 @@ def info(obj, msg: str):
     cls = getattr(obj, "_class_name", None) or type(obj).__name__
     if info_enabled(cls):
         print(f"[0] {cls} {msg}")
+
+
+_GATHER_WARNED: set[str] = set()
+
+
+def warn_full_gather(A, where: str, threshold_rows: int = 200_000):
+    """One-time warning when a DISTRIBUTED operator falls back to a serial
+    full-matrix gather (the to_scipy() scaffolding paths in ASM /
+    fieldsplit / GAMG): fine as scaffolding on small problems, but a
+    512^3-class run must never hit it (round-2 VERDICT weak item 7).
+    Emits -info always; a Python warning once per site above
+    `threshold_rows`."""
+    nsh = getattr(getattr(A, "comm", None), "nshards", 1)
+    if nsh <= 1:
+        return
+    n = A.row_layout.N if hasattr(A, "row_layout") else 0
+    info(A, f"{where}: serial fallback gathers the FULL distributed "
+            f"operator ({n} rows over {nsh} shards)")
+    if n >= threshold_rows and where not in _GATHER_WARNED:
+        _GATHER_WARNED.add(where)
+        import warnings
+        warnings.warn(
+            f"petsc_tpu {where}: distributed operator ({n} rows, {nsh} "
+            f"shards) fell back to a serial full gather — this path is "
+            f"scaffolding and will not scale; use the distributed setup "
+            f"(default block counts / sharded operators) instead",
+            RuntimeWarning, stacklevel=3)
