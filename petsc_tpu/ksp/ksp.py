@@ -413,6 +413,29 @@ class KSP(PObject):
                 print(f"Linear solve did not converge due to {rs} iterations {self._its}")
         if o("get_bool", "ksp_view", False):
             self.view()
+        vs = o("get_string", "ksp_view_solution", None)
+        if vs:
+            # -ksp_view_solution vtk:sol.vtu|sol.vtk (PETSCVIEWERVTK
+            # role, plexvtu.c) or binary:path / npz path
+            kind, _, path = vs.partition(":")
+            if not path:
+                kind, path = ("vtk", kind) if kind.endswith(
+                    (".vtu", ".vtk", ".vti")) else ("binary", kind)
+            x = self._solution
+            if kind == "vtk":
+                from ..sys.vtk import write_vtk, write_vtu
+                dm = self.getDM() or getattr(self.mat, "_dm", None) \
+                    or getattr(self.mat, "_grid_shape", None)
+                if dm is None:
+                    raise Error("-ksp_view_solution vtk: needs a DM or "
+                                "grid shape on the operator")
+                n = self.mat.getSize()[0]
+                w = write_vtk if path.endswith(".vtk") else write_vtu
+                w(dm, path, point_data={"solution": np.asarray(
+                    x.getArray())[:n]})
+            else:
+                from ..sys.viewer import vec_save
+                vec_save(path, x)
 
     def matSolve(self, B, X=None):
         """Multi-RHS solve (KSPMatSolve itfunc.c): ONE jitted solver vmapped
