@@ -702,6 +702,7 @@ class DS:
             self.dof_coords = self.coords
         self.f0 = None
         self.f1 = None
+        self._f0_bd = None
 
     def setResidual(self, f0=None, f1=None):
         """f0(u, gu, x) -> scalar; f1(u, gu, x) -> (dim,) vector."""
@@ -779,7 +780,10 @@ class DS:
         ue_all = jnp.asarray(u)[conn]
         Fe = jax.vmap(element)(ue_all, xe_all)           # (ncell, nb)
         F = jnp.zeros(self.ndof, Fe.dtype)
-        return F.at[conn.reshape(-1)].add(Fe.reshape(-1))
+        F = F.at[conn.reshape(-1)].add(Fe.reshape(-1))
+        if self._f0_bd is not None:
+            F = F + self._bd_residual(u)
+        return F
 
     def assembleJacobian(self, u):
         """Global sparse Jacobian dF/du by batched jacfwd of the element
@@ -796,6 +800,8 @@ class DS:
         A = sp.csr_matrix((Ke.reshape(-1), (rows, cols)),
                           shape=(self.ndof, self.ndof))
         A.sum_duplicates()
+        if self._f0_bd is not None:
+            A = (A + self._bd_jacobian(u)).tocsr()
         return A
 
     def assembleJacobianDistributed(self, u, comm, bnd=None):
@@ -902,6 +908,155 @@ class DS:
         comps = (np.arange(self.ncomp) if comp is None
                  else np.atleast_1d(comp))
         return (nodes[:, None] * self.ncomp + comps).reshape(-1)
+
+    # ---- boundary-integral (natural BC) weak forms ----
+
+    def setBdResidual(self, f0_bd, predicate=None):
+        """PetscDSAddBoundary NATURAL role (plexfem.c boundary-integral
+        assembly): add the facet term
+
+            F_v += sum_facets sum_q w_q |Jf| f0_bd(u, x, n) B_f[q, v]
+
+        over boundary facets (optionally only those whose CENTROID
+        satisfies `predicate(x)`), with n the outward unit normal.
+        Neumann flux g: f0_bd = lambda u, x, n: -g(x); Robin
+        alpha u + du/dn = g: f0_bd = lambda u, x, n: alpha*u - g(x).
+        Supported elements: P1 simplex (2-D/3-D) and P2 triangles;
+        scalar or vector (f0_bd returns (ncomp,))."""
+        self._f0_bd = f0_bd
+        self._bd_predicate = predicate
+        self._bd_tables = None
+        return self
+
+    def _facet_tables(self):
+        """(fconn, fxq, fw, fn, fB): facet dof connectivity, quadrature
+        points (physical), weights x |Jf|, outward unit normals, facet
+        basis tabulation."""
+        from ..sys.error import Error
+        if getattr(self, "_bd_tables", None) is not None:
+            return self._bd_tables
+        fe, dim = self.fe, self.fe.dim
+        cells = self.cells
+        nvl = cells.shape[1]
+        if dim == 2 and nvl == 3:
+            fac = [[0, 1], [1, 2], [2, 0]]
+        elif dim == 3 and nvl == 4:
+            fac = [[0, 1, 2], [0, 1, 3], [0, 2, 3], [1, 2, 3]]
+        else:
+            raise Error("setBdResidual: simplex meshes only")
+        # boundary facets with their parent cell
+        allf = np.concatenate([np.sort(cells[:, f], axis=1) for f in fac])
+        owner = np.tile(np.arange(len(cells)), len(fac))
+        uniq, idx, counts = np.unique(allf, axis=0, return_index=True,
+                                      return_counts=True)
+        bsel = counts == 1
+        bfac = uniq[bsel]                      # (nf, dim) vertex ids
+        bcell = owner[idx[bsel]]
+        # facet quadrature + geometry
+        x = self.coords[bfac]                  # (nf, dim, dim)
+        cc = self.coords[cells[bcell]].mean(axis=1)   # cell centroids
+        if dim == 2:
+            t, w = np.polynomial.legendre.leggauss(2)
+            tq = 0.5 * (t + 1.0)
+            wq = 0.5 * w
+            e = x[:, 1] - x[:, 0]
+            length = np.linalg.norm(e, axis=1)
+            nrm = np.stack([e[:, 1], -e[:, 0]], axis=1) / length[:, None]
+            flip = np.einsum("fe,fe->f",
+                             x.mean(axis=1) - cc, nrm) < 0
+            nrm[flip] *= -1.0
+            fxq = (x[:, None, 0] * (1 - tq)[None, :, None]
+                   + x[:, None, 1] * tq[None, :, None])  # (nf, nq, 2)
+            fw = wq[None, :] * length[:, None]
+            shp1 = np.stack([1 - tq, tq], axis=1)        # (nq, 2) P1
+            if fe.dof_kind == "vertex+edge":             # P2 edge trace
+                fB = np.stack([(1 - tq) * (1 - 2 * tq),
+                               tq * (2 * tq - 1),
+                               4 * tq * (1 - tq)], axis=1)  # (nq, 3)
+                ekey = {tuple(sorted(e_)): i
+                        for i, e_ in enumerate(map(tuple, self.edges))}
+                nv = len(self.coords)
+                mids = np.asarray([nv + ekey[tuple(sorted(f))]
+                                   for f in bfac])
+                fconn = np.concatenate([bfac, mids[:, None]], axis=1)
+            elif fe.dof_kind == "vertex" or fe.nb == dim + 1:
+                fB, fconn = shp1, bfac
+            else:
+                raise Error("setBdResidual: P1/P2 Lagrange only")
+        else:
+            # 3-pt edge-midpoint rule on the reference triangle facet
+            lam = np.array([[0.5, 0.5, 0.0], [0.0, 0.5, 0.5],
+                            [0.5, 0.0, 0.5]])
+            wq = np.full(3, 1.0 / 3.0)
+            e1 = x[:, 1] - x[:, 0]
+            e2 = x[:, 2] - x[:, 0]
+            cr = np.cross(e1, e2)
+            area = 0.5 * np.linalg.norm(cr, axis=1)
+            nrm = cr / np.linalg.norm(cr, axis=1)[:, None]
+            flip = np.einsum("fe,fe->f", x.mean(axis=1) - cc, nrm) < 0
+            nrm[flip] *= -1.0
+            fxq = np.einsum("qv,fvd->fqd", lam, x)
+            fw = wq[None, :] * area[:, None]
+            if not (fe.dof_kind == "vertex" or fe.nb == dim + 1):
+                raise Error("setBdResidual 3-D: P1 tets only")
+            fB, fconn = lam, bfac
+        if self._bd_predicate is not None:
+            keep = np.asarray([bool(self._bd_predicate(c))
+                               for c in fxq.mean(axis=1)])
+            fconn, fxq, fw, nrm = (fconn[keep], fxq[keep], fw[keep],
+                                   nrm[keep])
+        if self.ncomp > 1:
+            fconn = (fconn[:, :, None] * self.ncomp
+                     + np.arange(self.ncomp)).reshape(len(fconn), -1)
+        self._bd_tables = (jnp.asarray(fconn), jnp.asarray(fxq),
+                           jnp.asarray(fw), jnp.asarray(nrm),
+                           jnp.asarray(fB))
+        return self._bd_tables
+
+    def _bd_element_kernel(self):
+        f0 = self._f0_bd
+        nc = self.ncomp
+
+        def felement(ue, xq, w, n):
+            # ue: (nbf*nc,) facet dofs; xq: (nq, dim); w: (nq,); n: (dim,)
+            fB = self._bd_tables[4]
+            if nc == 1:
+                uq = fB @ ue
+                fq = jax.vmap(lambda u, x: f0(u, x, n))(uq, xq)
+                return jnp.einsum("q,qv->v", w * fq, fB)
+            un = ue.reshape(-1, nc)
+            uq = fB @ un
+            fq = jax.vmap(lambda u, x: f0(u, x, n))(uq, xq)
+            return jnp.einsum("q,qc,qv->vc", w, fq, fB).reshape(-1)
+
+        return felement
+
+    def _bd_residual(self, u):
+        fconn, fxq, fw, fn, _ = self._facet_tables()
+        if fconn.shape[0] == 0:
+            return jnp.zeros(self.ndof)
+        fel = self._bd_element_kernel()
+        ue = jnp.asarray(u)[fconn]
+        Fe = jax.vmap(fel)(ue, fxq, fw, fn)
+        return jnp.zeros(self.ndof, Fe.dtype).at[
+            fconn.reshape(-1)].add(Fe.reshape(-1))
+
+    def _bd_jacobian(self, u):
+        import scipy.sparse as sp
+        fconn, fxq, fw, fn, _ = self._facet_tables()
+        if fconn.shape[0] == 0:
+            return sp.csr_matrix((self.ndof, self.ndof))
+        fel = self._bd_element_kernel()
+        ue = jnp.asarray(u)[fconn]
+        Ke = np.asarray(jax.vmap(jax.jacfwd(fel))(ue, fxq, fw, fn))
+        fc = np.asarray(fconn)
+        nb = fc.shape[1]
+        rows = np.repeat(fc, nb, axis=1).reshape(-1)
+        cols = np.tile(fc, (1, nb)).reshape(-1)
+        A = sp.csr_matrix((Ke.reshape(-1), (rows, cols)),
+                          shape=(self.ndof, self.ndof))
+        A.sum_duplicates()
+        return A
 
 
 def cr_cell_gradients(coords, cells):
