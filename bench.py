@@ -124,12 +124,13 @@ def _triad_roofline():
     return rate, quality                          # "Gnnz/s" of bytes == GB/s
 
 
-def _spmv_tier(n, check=False):
+def _spmv_tier(n, check=False, variable=False):
     import jax
     import jax.numpy as jnp
     from petsc_tpu.ops import operator, stencil_build
 
-    meta, data = stencil_build.build_dnd((n, n, n), kind="box")
+    meta, data = stencil_build.build_dnd((n, n, n), kind="box",
+                                         variable=variable)
     nnz = stencil_build.nnz_of((n, n, n), meta[2])
     xv = jnp.asarray(np.random.default_rng(0).random(n ** 3))
 
@@ -184,23 +185,29 @@ def main():
 
     # the dev tunnel goes down for hours at a time; probe it in a
     # SUBPROCESS (backend init hangs, it doesn't error) and fall back to
-    # an honestly-labeled CPU measurement instead of emitting 0.0
+    # an honestly-labeled CPU measurement instead of emitting 0.0.
+    # The probe RETRIES across the first 55% of the budget window (round-2
+    # VERDICT: one 240 s attempt at start missed a tunnel that came back
+    # minutes later) — each attempt 45 s, 10 s apart, first success wins.
     import subprocess
     # the probe must see an ACCELERATOR device — a CPU-only jax exits 0
     # from plain jax.devices() and would publish a CPU rate as measured.
-    # Timeout stays below the SIGALRM deadline (alarm is already armed)
-    # and generous enough for a slow-but-healthy tunnel init.
-    probe_timeout = min(240.0, max(30.0, BUDGET * 0.45))
-    try:
-        probe = subprocess.run(
-            [sys.executable, "-c",
-             "import jax, sys; "
-             "sys.exit(0 if any(d.platform != 'cpu' "
-             "for d in jax.devices()) else 1)"],
-            timeout=probe_timeout, capture_output=True)
-        tpu_ok = probe.returncode == 0
-    except subprocess.TimeoutExpired:
-        tpu_ok = False
+    tpu_ok = False
+    probe_deadline = BUDGET * 0.55
+    while _elapsed() < probe_deadline and not tpu_ok:
+        try:
+            probe = subprocess.run(
+                [sys.executable, "-c",
+                 "import jax, sys; "
+                 "sys.exit(0 if any(d.platform != 'cpu' "
+                 "for d in jax.devices()) else 1)"],
+                timeout=min(45.0, max(10.0, probe_deadline - _elapsed())),
+                capture_output=True)
+            tpu_ok = probe.returncode == 0
+        except subprocess.TimeoutExpired:
+            pass
+        if not tpu_ok:
+            time.sleep(min(10.0, max(0.0, probe_deadline - _elapsed())))
     import jax
     if not tpu_ok:
         jax.config.update("jax_platforms", "cpu")
@@ -232,8 +239,10 @@ def main():
         _best["csr_roofline_Gnnzs"] = round(bw / 12.0, 1)
 
     # 3. larger tiers while the budget holds (bandwidth-bound kernels rate
-    #    higher until x falls out of VMEM; best tier wins)
-    for n in (96, 128):
+    #    higher until x falls out of VMEM; best tier wins). 192^3 is worth
+    #    trying since the separable fast path (round 3) made the headline
+    #    compute-light: traffic is just x + y.
+    for n in (96, 128, 192):
         # the first tier pays backend init + first-compile (~2 min on the
         # tunnel); later tiers measured ~20 s each (one compile, dynamic
         # K). A flat 90 s estimate is safe, and the SIGALRM best-so-far
@@ -248,9 +257,31 @@ def main():
             break
         _record(gnnz, n, quality)
 
+    # 4. variable-coefficient rate (the general DMDA-operator path: 27
+    #    masked coefficient planes stream from HBM, slab-blocked mult) —
+    #    reported as an extra, never as the headline
+    if _elapsed() + 90.0 < BUDGET:
+        try:
+            vn = 128
+            gnnz_v, quality_v = _spmv_tier(vn, check=False, variable=True)
+            if _best.get("backend", "").startswith("cpu_fallback"):
+                quality_v = "cpu_fallback"
+            _best["varcoef_Gnnzs"] = round(gnnz_v, 3)
+            _best["varcoef_n"] = vn
+            _best["varcoef_quality"] = quality_v
+        except Exception:
+            import traceback
+            traceback.print_exc(file=sys.stderr)
+
     if bw > 0 and _best["value"] > 0:
         _best["pct_csr_roofline"] = round(
             100.0 * _best["value"] / (bw / 12.0), 1)
+        # the folded layout's true traffic is x + y = 16 B/point at 27
+        # nnz/point, so also report the honest 2-pass stencil roofline
+        # (the csr number is the apples-to-apples vs MatMult_SeqAIJ)
+        _best["stencil_2pass_roofline_Gnnzs"] = round(bw * 27.0 / 16.0, 1)
+        _best["pct_stencil_roofline"] = round(
+            100.0 * _best["value"] / (bw * 27.0 / 16.0), 1)
     _emit()
 
 

@@ -981,6 +981,11 @@ def _bind_aij_ell(meta, data):
     )
 
 
+# Slab size target for the blocked variable-coefficient stencil mult:
+# ~4 MB x-slabs measured fastest on v5e (examples/stencil_formulations.py).
+_SLAB_TARGET_BYTES = 4 * 1024 * 1024
+
+
 def _bind_aij_dnd(meta, data):
     _, shape, offs, lpad, rpad, ncols = meta[:6]
     # optional per-offset CONSTANT coefficients (meta[6]): a scalar stands
@@ -989,6 +994,7 @@ def _bind_aij_dnd(meta, data):
     cvals = meta[6] if len(meta) > 6 else (None,) * len(offs)
     coef = data["coef"]
     nd = len(shape)
+    N = int(np.prod(shape))
     var_idx = {}
     ci = 0
     for k, c in enumerate(cvals):
@@ -1000,18 +1006,124 @@ def _bind_aij_dnd(meta, data):
         c = cvals[k]
         return coef[var_idx[k]] if c is None else jnp.asarray(c, dtype)
 
-    def mult(x):
-        v = x[: int(np.prod(shape))].reshape(shape)
-        vp = jnp.pad(v, tuple(zip(lpad, rpad)))
-        acc = jnp.zeros(shape, dtype=x.dtype)
-        for k, off in enumerate(offs):
-            start = tuple(lpad[ax] + off[ax] for ax in range(nd))
-            acc = acc + _coef(k, x.dtype) \
-                * jax.lax.dynamic_slice(vp, start, shape)
-        y = acc.reshape(-1)
+    def _tail(y, x):
         if x.shape[0] > y.shape[0]:
             y = jnp.pad(y, (0, x.shape[0] - y.shape[0]))
         return y
+
+    # ---- fast path 1: separable uniform-coefficient box/star stencil ----
+    # When every off-diagonal coefficient is the SAME constant co and the
+    # offsets form the full 3^nd box (bench_kspsolve.c's 27-pt operator) or
+    # the 2*nd+1 star (ex45's 7-pt), the operator factors through 1-D
+    # 3-tap box filters B_ax (zero boundary = the Dirichlet row-truncation
+    # convention):
+    #   box :  A x = (cd - co) x + co * (B_0 ∘ B_1 ∘ ... ∘ B_{nd-1}) x
+    #   star:  A x = (cd - nd*co) x + co * (B_0 + B_1 + ... + B_{nd-1}) x
+    # This replaces 3^nd shifted HBM reads of x with nd streaming passes
+    # (and ~2*nd f64 adds/point instead of 3^nd FMAs — the dominant cost
+    # under TPU f64 emulation). Chip-measured at 128^3 f64: 364 Gnnz/s vs
+    # 58 for the 27-slice form (examples/stencil_formulations.py).
+    center = (0,) * nd
+    off_set = set(offs)
+    star_set = {center} | {
+        tuple(s if a == ax else 0 for a in range(nd))
+        for ax in range(nd) for s in (-1, 1)}
+    from itertools import product as _prod
+    box_set = set(_prod((-1, 0, 1), repeat=nd))
+    offdiag = {cvals[k] for k, o in enumerate(offs) if any(o)}
+    all_const = all(c is not None for c in cvals)
+
+    if (all_const and center in off_set and len(offdiag) == 1
+            and next(iter(offdiag)) is not None
+            and off_set in (box_set, star_set)):
+        cd = float(cvals[offs.index(center)])
+        co = float(next(iter(offdiag)))
+        is_box = off_set == box_set
+
+        def _box1(v, ax):
+            n_ax = shape[ax]
+            pads = [(0, 0)] * nd
+            pads[ax] = (1, 1)
+            vp = jnp.pad(v, pads)
+            return (jax.lax.slice_in_dim(vp, 0, n_ax, axis=ax)
+                    + jax.lax.slice_in_dim(vp, 1, n_ax + 1, axis=ax)
+                    + jax.lax.slice_in_dim(vp, 2, n_ax + 2, axis=ax))
+
+        def mult(x):
+            v = x[:N].reshape(shape)
+            if is_box:
+                s = v
+                for ax in range(nd):
+                    s = _box1(s, ax)
+                y = (cd - co) * v + co * s
+            else:
+                s = _box1(v, 0)
+                for ax in range(1, nd):
+                    s = s + _box1(v, ax)
+                y = (cd - nd * co) * v + co * s
+            return _tail(y.reshape(-1), x)
+
+        # symmetric offset pattern + uniform coefficients: A^T = A exactly
+        # (the Dirichlet clip is symmetric — entry (i, i+o) exists iff
+        # (i+o, i) does)
+        return operator.Op(mult=mult, mult_t=mult, diag=lambda: data["diag"])
+
+    # ---- fast path 2: slab-blocked taps (variable-coefficient grids) ----
+    # Chunk the leading grid axis so the padded x slab stays VMEM-resident
+    # across all tap reads while coefficient planes stream from HBM exactly
+    # once: x traffic drops K-fold vs the all-at-once form. Chip-measured
+    # 27-pt variable-coefficient f64 at 128^3: 46 Gnnz/s vs 32
+    # (examples/stencil_formulations.py; ~4 MB slabs are the sweet spot).
+    plane_bytes = int(np.prod(shape[1:])) * 8 if nd >= 2 else 0
+    cz = 0
+    if nd >= 2 and plane_bytes > 0:
+        cz = max(1, min(shape[0], _SLAB_TARGET_BYTES // plane_bytes))
+    use_slab = nd >= 2 and cz >= 1 and shape[0] >= 2 * cz and var_idx
+
+    if use_slab:
+        nchunk = -(-shape[0] // cz)
+        pz = lpad[0] + rpad[0]
+        rest = tuple(shape[1:])
+
+        def mult(x):
+            v = x[:N].reshape(shape)
+            vp = jnp.pad(v, tuple(zip(lpad, rpad)))
+            prest = vp.shape[1:]
+            zeros_rest = (0,) * (nd - 1)
+
+            def body(ci_, acc):
+                # clamp the last chunk; overlapping rows recompute the
+                # same values, so the overwrite is exact
+                z0 = jnp.minimum(ci_ * cz, shape[0] - cz)
+                xc = jax.lax.dynamic_slice(
+                    vp, (z0,) + zeros_rest, (cz + pz,) + tuple(prest))
+                cs = jax.lax.dynamic_slice(
+                    coef, (0, z0) + zeros_rest,
+                    (coef.shape[0], cz) + rest) if coef.shape[0] else None
+                a = jnp.zeros((cz,) + rest, x.dtype)
+                for k, off in enumerate(offs):
+                    c = cvals[k]
+                    cv = cs[var_idx[k]] if c is None \
+                        else jnp.asarray(c, x.dtype)
+                    start = tuple(lpad[ax] + off[ax] for ax in range(nd))
+                    a = a + cv * jax.lax.dynamic_slice(
+                        xc, start, (cz,) + rest)
+                return jax.lax.dynamic_update_slice(
+                    acc, a, (z0,) + zeros_rest)
+
+            out = jax.lax.fori_loop(
+                0, nchunk, body, jnp.zeros(shape, x.dtype))
+            return _tail(out.reshape(-1), x)
+    else:
+        def mult(x):
+            v = x[:N].reshape(shape)
+            vp = jnp.pad(v, tuple(zip(lpad, rpad)))
+            acc = jnp.zeros(shape, dtype=x.dtype)
+            for k, off in enumerate(offs):
+                start = tuple(lpad[ax] + off[ax] for ax in range(nd))
+                acc = acc + _coef(k, x.dtype) \
+                    * jax.lax.dynamic_slice(vp, start, shape)
+            return _tail(acc.reshape(-1), x)
 
     def mult_t(x):
         v = x[: int(np.prod(shape))].reshape(shape)

@@ -57,12 +57,18 @@ def _valid_mask(shape, off, one):
 
 
 def build_dnd(shape, offsets=None, diag_coef=None, off_coef=-1.0,
-              kind="box", dtype=None):
+              kind="box", dtype=None, variable=False):
     """(meta, data) for the `aij_dnd` binder, fully on device.
 
     diag_coef default: number of off-diagonal offsets (26 for 3-D box,
     2*ndim for star) — the diagonally-dominant Poisson-type operator of
-    bench_kspsolve.c (27-point, diag 26) / ex45 (7-point, diag 6)."""
+    bench_kspsolve.c (27-point, diag 26) / ex45 (7-point, diag 6).
+
+    variable=True materializes the boundary-masked per-offset coefficient
+    PLANES on device instead of folding them to meta scalars — the same
+    operator through the general variable-coefficient mult path (used by
+    the bench's varcoef metric and by tests; real variable-coefficient
+    operators arrive via MatAIJ.setStencilGrid)."""
     shape = tuple(int(s) for s in shape)
     dt = dtype or config.real_dtype()
     if offsets is None:
@@ -83,6 +89,22 @@ def build_dnd(shape, offsets=None, diag_coef=None, off_coef=-1.0,
     uniq = np.asarray(offsets)
     lpad = tuple(int(max(0, -uniq[:, ax].min())) for ax in range(len(shape)))
     rpad = tuple(int(max(0, uniq[:, ax].max())) for ax in range(len(shape)))
+    if variable:
+        # boundary-masked planes, generated in HBM (453 MB at 128^3 f64
+        # never crosses the tunnel)
+        @jax.jit
+        def gen_planes(one):
+            planes = []
+            for o in offsets:
+                c = diag_coef if not any(o) else off_coef
+                planes.append(c * _valid_mask(shape, o, one))
+            return jnp.stack(planes).reshape((len(offsets),) + shape)
+
+        coef = gen_planes(jnp.asarray(1.0, dt))
+        meta = ("aij_dnd", shape, tuple(offsets), lpad, rpad,
+                int(np.prod(shape)))
+        return meta, {"coef": coef, "diag": diag}
+
     # every plane of a constant-coefficient stencil folds to a SCALAR:
     # the boundary-clip mask is redundant with the mult's zero padding
     # (clipped neighbors read zeros from the pad), so no (K, *shape)

@@ -111,3 +111,72 @@ def test_amat_pmat_split_gamg():
     assert Pm._dev is None                    # still host-only after solve
     r = np.asarray(A.op().mult(x.array))[: n ** 3] - 1.0
     assert np.linalg.norm(r) / n ** 1.5 < 1e-7
+
+
+def test_separable_fast_path_star_2d_and_box_2d():
+    """The uniform-coefficient box/star fast path (round 3): mult factors
+    through 1-D 3-tap box filters; must match the assembled CSR exactly
+    and satisfy A^T = A (symmetric pattern + uniform coefficients)."""
+    import scipy.sparse as sp
+    rng = np.random.default_rng(3)
+    for kind in ("box", "star"):
+        n = 9
+        meta, data = stencil_build.build_dnd((n, n), kind=kind)
+        op = operator.bind(meta, data)
+        offs = meta[2]
+        N = n * n
+        idx = np.arange(N)
+        yy, xx = divmod(idx, n)
+        rows, cols, vals = [], [], []
+        for (dy, dx) in offs:
+            c = float(len(offs) - 1) if (dy, dx) == (0, 0) else -1.0
+            ny_, nx_ = yy + dy, xx + dx
+            ok = (ny_ >= 0) & (ny_ < n) & (nx_ >= 0) & (nx_ < n)
+            rows.append(idx[ok])
+            cols.append((ny_ * n + nx_)[ok])
+            vals.append(np.full(ok.sum(), c))
+        A = sp.csr_matrix((np.concatenate(vals),
+                           (np.concatenate(rows), np.concatenate(cols))),
+                          shape=(N, N))
+        x = rng.random(N)
+        np.testing.assert_allclose(np.asarray(op.mult(x)), A @ x,
+                                   rtol=1e-13, atol=1e-12)
+        np.testing.assert_allclose(np.asarray(op.mult_t(x)), A.T @ x,
+                                   rtol=1e-13, atol=1e-12)
+
+
+def test_variable_coef_slab_path_matches_generic():
+    """Slab-blocked variable-coefficient mult (round 3): force the slab
+    chunking at test size via the module knob and check against the
+    un-chunked generic path and the masked-constant reference."""
+    from petsc_tpu.mat import aij as aij_mod
+    n = 12
+    meta_c, data_c = stencil_build.build_dnd((n, n, n), kind="box")
+    meta_v, data_v = stencil_build.build_dnd((n, n, n), kind="box",
+                                             variable=True)
+    assert len(meta_v) == 6            # no folded scalars
+    assert data_v["coef"].shape[0] == len(meta_v[2])
+    x = np.random.default_rng(4).random(n ** 3)
+    ref = np.asarray(operator.bind(meta_c, data_c).mult(x))
+
+    # generic (un-chunked) variable path at this size
+    y_gen = np.asarray(operator.bind(meta_v, data_v).mult(x))
+    np.testing.assert_allclose(y_gen, ref, rtol=1e-13, atol=1e-12)
+
+    # force slab chunking: ~2-plane slabs
+    old = aij_mod._SLAB_TARGET_BYTES
+    aij_mod._SLAB_TARGET_BYTES = n * n * 8 * 2
+    try:
+        y_slab = np.asarray(operator.bind(meta_v, data_v).mult(x))
+    finally:
+        aij_mod._SLAB_TARGET_BYTES = old
+    np.testing.assert_allclose(y_slab, ref, rtol=1e-13, atol=1e-12)
+
+    # non-divisible chunk count: n=12 with cz=5 exercises the clamped
+    # overlapping last chunk
+    aij_mod._SLAB_TARGET_BYTES = n * n * 8 * 5
+    try:
+        y_slab5 = np.asarray(operator.bind(meta_v, data_v).mult(x))
+    finally:
+        aij_mod._SLAB_TARGET_BYTES = old
+    np.testing.assert_allclose(y_slab5, ref, rtol=1e-13, atol=1e-12)
