@@ -314,6 +314,12 @@ class MatAIJ(Mat):
         # hardware gather; DIA is ~60x faster than ELL/CSR here).
         if self._dia_offsets() is not None:
             return "dia"
+        # HYB (near-stencil): high-occupancy diagonals stream gather-free,
+        # residual entries spill to a narrow gather-ELL. Chip-measured 660x
+        # over gather-ELL on the BASELINE config-2 (atmosmodd) class
+        # (examples/csr_formulations.py E3 vs E0; PERF.md round 3).
+        if self._hyb_split() is not None:
+            return "hyb"
         K, avg = int(rl.max()), float(rl.mean())
         return "ell" if K <= max(16, 4 * avg) else "csr"
 
@@ -409,6 +415,36 @@ class MatAIJ(Mat):
         if len(offs) <= 64 and len(offs) * m <= 3 * nnz:
             return offs
         return None
+
+    def _hyb_split(self):
+        """Host analysis for the HYB layout: diagonals whose occupancy
+        clears `-mat_hyb_min_occ` (default 0.15) become DIA streams; the
+        rest spill to gather-ELL. Returns (kept_offsets, spill_width) or
+        None when the split isn't profitable (captured < half the nnz, or
+        the spill rows are wide, or the matrix is small)."""
+        cache = getattr(self, "_hyb_cache", None)
+        if cache is not None and cache[0] is self._indices:
+            return cache[1]
+        result = None
+        m, n = self.getSize()
+        nnz = len(self._indices)
+        if m == n and nnz > 0 and m >= 512:
+            min_occ = self.opt("get_real", "mat_hyb_min_occ", default=0.15)
+            rows = np.repeat(np.arange(m, dtype=np.int64),
+                             np.diff(self._indptr))
+            offs = self._indices - rows
+            u, counts = np.unique(offs, return_counts=True)
+            keep = u[counts >= min_occ * m]
+            if 1 <= len(keep) <= 64:
+                captured = int(counts[counts >= min_occ * m].sum())
+                spill_per_row = np.bincount(
+                    rows[~np.isin(offs, keep)], minlength=m)
+                Ks = int(spill_per_row.max()) if captured < nnz else 0
+                if (captured >= 0.5 * nnz and Ks <= 8
+                        and len(keep) * m <= 4 * captured):
+                    result = ([int(o) for o in keep], Ks)
+        self._hyb_cache = (self._indices, result)
+        return result
 
     def _build_device(self):
         if self.comm.nshards > 1:
@@ -510,6 +546,48 @@ class MatAIJ(Mat):
                          "dia_scatter": jnp.asarray(dia_scatter)}
             self._meta = ("aij_dia", m, n, tuple(int(o) for o in offs),
                           lpad, rpad)
+        elif kind == "hyb":
+            split = self._hyb_split()
+            if split is None:   # explicit -mat_spmv_kind hyb on any pattern
+                rows = np.repeat(np.arange(m, dtype=np.int64),
+                                 np.diff(indptr))
+                u, counts = np.unique(indices - rows, return_counts=True)
+                keep = u[counts >= 0.15 * m]
+                if len(keep) == 0 or len(keep) > 64:
+                    keep = u[np.argsort(counts)[::-1][:min(len(u), 32)]]
+                spill = np.bincount(
+                    rows[~np.isin(indices - rows, keep)], minlength=m)
+                split = (sorted(int(o) for o in keep),
+                         int(spill.max()) if len(spill) else 0)
+            offs, Ks = split
+            offs = np.asarray(offs, dtype=np.int64)
+            rows = np.repeat(np.arange(m, dtype=np.int64), np.diff(indptr))
+            entry_off = indices - rows
+            on_dia = np.isin(entry_off, offs)
+            k_of = np.searchsorted(offs, entry_off[on_dia])
+            dd = np.zeros((len(offs), m))
+            dd[k_of, rows[on_dia]] = vals[on_dia]
+            Ksz = max(Ks, 1)
+            sdat = np.zeros((m, Ksz))
+            sidx = np.zeros((m, Ksz), dtype=np.int32)
+            srows = rows[~on_dia]
+            slot = np.arange(len(srows)) - np.concatenate(
+                [[0], np.cumsum(np.bincount(srows, minlength=m))])[srows]
+            sdat[srows, slot] = vals[~on_dia]
+            sidx[srows, slot] = indices[~on_dia]
+            # one combined scatter into a flat (dia | spill) buffer so the
+            # device COO numeric path refreshes both halves in one pass
+            hyb_scatter = np.empty(len(indices), dtype=np.int64)
+            hyb_scatter[on_dia] = k_of * m + rows[on_dia]
+            hyb_scatter[~on_dia] = len(offs) * m + srows * Ksz + slot
+            lpad = int(max(0, -offs.min()))
+            rpad = int(max(0, offs.max() + m - n))
+            self._dev = {"data": jnp.asarray(dd, dtype=rd),
+                         "sdata": jnp.asarray(sdat, dtype=rd),
+                         "sidx": jnp.asarray(sidx),
+                         "hyb_scatter": jnp.asarray(hyb_scatter)}
+            self._meta = ("aij_hyb", m, n, tuple(int(o) for o in offs),
+                          lpad, rpad, Ks)
         elif kind == "ell":
             rl = np.diff(indptr)
             K = max(int(rl.max()) if len(rl) else 0, 1)
@@ -560,6 +638,13 @@ class MatAIJ(Mat):
             m, noffs = self._meta[1], len(self._meta[3])
             flat = jnp.zeros((noffs * m,), dtype=csr_vals.dtype)
             self._dev["data"] = flat.at[self._dev["dia_scatter"]].set(csr_vals).reshape(noffs, m)
+        elif kind == "aij_hyb":
+            m, noffs, Ks = self._meta[1], len(self._meta[3]), self._meta[6]
+            Ksz = max(Ks, 1)
+            flat = jnp.zeros((noffs * m + m * Ksz,), dtype=csr_vals.dtype)
+            flat = flat.at[self._dev["hyb_scatter"]].set(csr_vals)
+            self._dev["data"] = flat[:noffs * m].reshape(noffs, m)
+            self._dev["sdata"] = flat[noffs * m:].reshape(m, Ksz)
         elif kind == "aij_bell":
             _, mb, nb, bs, Kb = self._meta
             flat = jnp.zeros((mb * Kb * bs * bs,), dtype=csr_vals.dtype)
@@ -1215,6 +1300,19 @@ def _bind_aij_dia(meta, data):
     )
 
 
+def _bind_aij_hyb(meta, data):
+    _, m, n, offsets, lpad, rpad, Ks = meta
+    d = data["data"]
+    sd = data["sdata"] if Ks > 0 else None
+    si = data["sidx"] if Ks > 0 else None
+    return operator.Op(
+        mult=lambda x: spmv.hyb_spmv(d, offsets, sd, si, x, m, lpad, rpad),
+        mult_t=lambda x: spmv.hyb_spmv_t(d, offsets, sd, si, x, n, m,
+                                         lpad, rpad),
+        diag=lambda: data["diag"],
+    )
+
+
 def _bind_aij_csr(meta, data):
     _, m, n = meta
     r, c, v = data["row_ids"], data["col_idx"], data["vals"]
@@ -1411,6 +1509,7 @@ def _bind_mpiaij(meta, data):
 
 operator.register_binder("aij_ell", _bind_aij_ell)
 operator.register_binder("aij_dia", _bind_aij_dia)
+operator.register_binder("aij_hyb", _bind_aij_hyb)
 operator.register_binder("aij_bell", _bind_aij_bell)
 operator.register_binder("aij_dndb", _bind_aij_dndb)
 operator.register_binder("aij_dnd", _bind_aij_dnd)

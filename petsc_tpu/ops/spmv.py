@@ -78,6 +78,31 @@ def dia_spmv_t(data, offsets, x, n, m, lpad, rpad):
     return acc[lpad:lpad + n]
 
 
+def hyb_spmv(dia_data, offsets, sdata, sidx, x, m, lpad, rpad):
+    """y = A x for HYB storage: high-occupancy diagonals as DIA streams +
+    the residual entries as a narrow gather-ELL spill.
+
+    The TPU answer to near-stencil unstructured matrices (SuiteSparse
+    atmosmodd-class, BASELINE config 2): chip probes show every XLA gather
+    costs ~3 ns/element regardless of locality (examples/csr_formulations.py
+    P1-P5), so the win is routing the bulk of nnz through gather-free
+    shifted streams and paying the gather floor only for the leftovers.
+    Role model: cuSPARSE HYB (ELL+COO) and PETSc's MATSELL
+    (src/mat/impls/sell/seq/sell.c) — re-split for a no-gather machine."""
+    y = dia_spmv(dia_data, offsets, x, m, lpad, rpad)
+    if sdata is not None:
+        y = y + jnp.sum(sdata * x[sidx], axis=1)
+    return y
+
+
+def hyb_spmv_t(dia_data, offsets, sdata, sidx, x, n, m, lpad, rpad):
+    y = dia_spmv_t(dia_data, offsets, x, n, m, lpad, rpad)
+    if sdata is not None:
+        contrib = sdata * x[:, None]
+        y = y.at[sidx.reshape(-1)].add(contrib.reshape(-1))
+    return y
+
+
 def coo_scatter_csr(perm, seg_ids, coo_vals, nnz):
     """Numeric COO re-assembly: scatter user-order COO values into CSR value
     order with duplicate summation (MatSetValuesCOO device path, reference
