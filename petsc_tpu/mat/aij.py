@@ -320,6 +320,12 @@ class MatAIJ(Mat):
         # (examples/csr_formulations.py E3 vs E0; PERF.md round 3).
         if self._hyb_split() is not None:
             return "hyb"
+        # BDIA-ELL (banded, no extractable diagonals): gather-free block-
+        # diagonal buckets + one-hot lane selects — the only formulation
+        # that beats the ~27 ns/element XLA gather floor on arbitrary
+        # banded patterns (PERF.md round 3)
+        if self._bdia_split() is not None:
+            return "bdia"
         K, avg = int(rl.max()), float(rl.mean())
         return "ell" if K <= max(16, 4 * avg) else "csr"
 
@@ -446,6 +452,62 @@ class MatAIJ(Mat):
         self._hyb_cache = (self._indices, result)
         return result
 
+    # chip-measured cost constants (examples/onehot_window_probe.py,
+    # csr_formulations.py P1): one 128-lane one-hot select ~0.26 ns f32 /
+    # ~0.6 ns f64-bitpair; one XLA element gather ~27 ns. The BDIA cost
+    # model trades padded selects against spilled gathers with these.
+    _BDIA_SELECT_NS = 0.6
+    _BDIA_GATHER_NS = 30.0
+
+    def _bdia_split(self):
+        """Host analysis for the BDIA-ELL layout (gather-free banded):
+        bucket entries by block offset j = c//128 - r//128; pick the slot
+        cap Kcap and the kept-offset set J minimizing
+            SELECT_NS * |J| * Kcap * m  +  GATHER_NS * spill.
+        Returns (J_sorted, Kcap, est_ns) or None when no (J, Kcap) beats
+        0.7x the plain gather-ELL estimate."""
+        cache = getattr(self, "_bdia_cache", None)
+        if cache is not None and cache[0] is self._indices:
+            return cache[1]
+        result = None
+        m, n = self.getSize()
+        nnz = len(self._indices)
+        if m == n and nnz > 0 and m >= 4096:
+            rows = np.repeat(np.arange(m, dtype=np.int64),
+                             np.diff(self._indptr))
+            j = self._indices // 128 - rows // 128
+            # CSR order is (row, col)-sorted, so same-(row, j) entries are
+            # consecutive: slot = position within the run
+            newrun = np.empty(nnz, dtype=bool)
+            newrun[0] = True
+            newrun[1:] = (rows[1:] != rows[:-1]) | (j[1:] != j[:-1])
+            run_id = np.cumsum(newrun) - 1
+            run_start = np.nonzero(newrun)[0]
+            slot = np.arange(nnz) - run_start[run_id]
+            ell_est = self._BDIA_GATHER_NS * nnz
+            best = (ell_est * 0.7, None)
+            ju = np.unique(j)
+            if len(ju) <= 256:
+                for kcap in (1, 2, 3, 4, 6):
+                    inslot = slot < kcap
+                    cj = {int(v): int(c) for v, c in
+                          zip(*np.unique(j[inslot], return_counts=True))}
+                    keep = [jv for jv, c in cj.items()
+                            if c * self._BDIA_GATHER_NS
+                            > kcap * m * self._BDIA_SELECT_NS]
+                    if not keep or len(keep) > 96:
+                        continue
+                    if len(keep) * kcap * m > 40 * nnz:   # memory guard
+                        continue
+                    captured = sum(cj[jv] for jv in keep)
+                    cost = (self._BDIA_SELECT_NS * len(keep) * kcap * m
+                            + self._BDIA_GATHER_NS * (nnz - captured))
+                    if cost < best[0]:
+                        best = (cost, (sorted(keep), kcap, cost))
+                result = best[1]
+        self._bdia_cache = (self._indices, result)
+        return result
+
     def _build_device(self):
         if self.comm.nshards > 1:
             self._build_device_mpi()
@@ -567,27 +629,70 @@ class MatAIJ(Mat):
             k_of = np.searchsorted(offs, entry_off[on_dia])
             dd = np.zeros((len(offs), m))
             dd[k_of, rows[on_dia]] = vals[on_dia]
-            Ksz = max(Ks, 1)
-            sdat = np.zeros((m, Ksz))
-            sidx = np.zeros((m, Ksz), dtype=np.int32)
-            srows = rows[~on_dia]
-            slot = np.arange(len(srows)) - np.concatenate(
-                [[0], np.cumsum(np.bincount(srows, minlength=m))])[srows]
-            sdat[srows, slot] = vals[~on_dia]
-            sidx[srows, slot] = indices[~on_dia]
+            # compacted COO spill: length = nnz_spill (gathers cost ~3 ns
+            # each regardless of shape — touch only spilling entries)
+            srows = rows[~on_dia].astype(np.int32)
+            scols = indices[~on_dia].astype(np.int32)
+            nspill = len(srows)
             # one combined scatter into a flat (dia | spill) buffer so the
             # device COO numeric path refreshes both halves in one pass
             hyb_scatter = np.empty(len(indices), dtype=np.int64)
             hyb_scatter[on_dia] = k_of * m + rows[on_dia]
-            hyb_scatter[~on_dia] = len(offs) * m + srows * Ksz + slot
+            hyb_scatter[~on_dia] = len(offs) * m + np.arange(nspill)
             lpad = int(max(0, -offs.min()))
             rpad = int(max(0, offs.max() + m - n))
             self._dev = {"data": jnp.asarray(dd, dtype=rd),
-                         "sdata": jnp.asarray(sdat, dtype=rd),
-                         "sidx": jnp.asarray(sidx),
+                         "sdata": jnp.asarray(vals[~on_dia], dtype=rd),
+                         "srows": jnp.asarray(srows),
+                         "scols": jnp.asarray(scols),
                          "hyb_scatter": jnp.asarray(hyb_scatter)}
             self._meta = ("aij_hyb", m, n, tuple(int(o) for o in offs),
-                          lpad, rpad, Ks)
+                          lpad, rpad, nspill)
+        elif kind == "bdia":
+            split = self._bdia_split()
+            if split is None:  # explicit -mat_spmv_kind bdia
+                rows = np.repeat(np.arange(m, dtype=np.int64),
+                                 np.diff(indptr))
+                jall = indices // 128 - rows // 128
+                ju, cnt = np.unique(jall, return_counts=True)
+                keep = [int(v) for v in ju[np.argsort(cnt)[::-1][:96]]]
+                split = (sorted(keep), 4, 0.0)
+            J, kcap, _ = split
+            G = -(-m // 128)
+            rows = np.repeat(np.arange(m, dtype=np.int64), np.diff(indptr))
+            j = indices // 128 - rows // 128
+            newrun = np.empty(len(indices), dtype=bool)
+            newrun[0] = True
+            newrun[1:] = (rows[1:] != rows[:-1]) | (j[1:] != j[:-1])
+            run_id = np.cumsum(newrun) - 1
+            slot = np.arange(len(indices)) - np.nonzero(newrun)[0][run_id]
+            Jarr = np.asarray(J, dtype=np.int64)
+            jpos = np.searchsorted(Jarr, j)
+            on = (jpos < len(Jarr)) & (Jarr[np.minimum(jpos, len(Jarr) - 1)]
+                                       == j) & (slot < kcap)
+            data = np.zeros((len(J), G * 128, kcap))
+            lanes = np.zeros((len(J), G * 128, kcap), dtype=np.int32)
+            data[jpos[on], rows[on], slot[on]] = vals[on]
+            lanes[jpos[on], rows[on], slot[on]] = indices[on] % 128
+            srows = rows[~on].astype(np.int32)
+            scols = indices[~on].astype(np.int32)
+            nspill = len(srows)
+            # combined flat scatter (bdia slots | spill) for COO numeric
+            bsz = len(J) * G * 128 * kcap
+            bdia_scatter = np.empty(len(indices), dtype=np.int64)
+            bdia_scatter[on] = ((jpos[on] * G * 128 + rows[on]) * kcap
+                                + slot[on])
+            bdia_scatter[~on] = bsz + np.arange(nspill)
+            jmin, jmax = min(min(J), 0), max(max(J), 0)
+            self._dev = {"data": jnp.asarray(data, dtype=rd),
+                         "lanes": jnp.asarray(lanes),
+                         "joffs": jnp.asarray(np.asarray(J, np.int32)),
+                         "sdata": jnp.asarray(vals[~on], dtype=rd),
+                         "srows": jnp.asarray(srows),
+                         "scols": jnp.asarray(scols),
+                         "bdia_scatter": jnp.asarray(bdia_scatter)}
+            self._meta = ("aij_bdia", m, n, tuple(int(v) for v in J),
+                          jmin, jmax, kcap, nspill)
         elif kind == "ell":
             rl = np.diff(indptr)
             K = max(int(rl.max()) if len(rl) else 0, 1)
@@ -639,12 +744,21 @@ class MatAIJ(Mat):
             flat = jnp.zeros((noffs * m,), dtype=csr_vals.dtype)
             self._dev["data"] = flat.at[self._dev["dia_scatter"]].set(csr_vals).reshape(noffs, m)
         elif kind == "aij_hyb":
-            m, noffs, Ks = self._meta[1], len(self._meta[3]), self._meta[6]
-            Ksz = max(Ks, 1)
-            flat = jnp.zeros((noffs * m + m * Ksz,), dtype=csr_vals.dtype)
+            m, noffs, nspill = (self._meta[1], len(self._meta[3]),
+                                self._meta[6])
+            flat = jnp.zeros((noffs * m + max(nspill, 1),),
+                             dtype=csr_vals.dtype)
             flat = flat.at[self._dev["hyb_scatter"]].set(csr_vals)
             self._dev["data"] = flat[:noffs * m].reshape(noffs, m)
-            self._dev["sdata"] = flat[noffs * m:].reshape(m, Ksz)
+            self._dev["sdata"] = flat[noffs * m:noffs * m + nspill]
+        elif kind == "aij_bdia":
+            _, m, n, J, jmin, jmax, kcap, nspill = self._meta
+            G = -(-m // 128)
+            bsz = len(J) * G * 128 * kcap
+            flat = jnp.zeros((bsz + max(nspill, 1),), dtype=csr_vals.dtype)
+            flat = flat.at[self._dev["bdia_scatter"]].set(csr_vals)
+            self._dev["data"] = flat[:bsz].reshape(len(J), G * 128, kcap)
+            self._dev["sdata"] = flat[bsz:bsz + nspill]
         elif kind == "aij_bell":
             _, mb, nb, bs, Kb = self._meta
             flat = jnp.zeros((mb * Kb * bs * bs,), dtype=csr_vals.dtype)
@@ -1301,14 +1415,27 @@ def _bind_aij_dia(meta, data):
 
 
 def _bind_aij_hyb(meta, data):
-    _, m, n, offsets, lpad, rpad, Ks = meta
+    _, m, n, offsets, lpad, rpad, nspill = meta
     d = data["data"]
-    sd = data["sdata"] if Ks > 0 else None
-    si = data["sidx"] if Ks > 0 else None
+    sd = data["sdata"] if nspill > 0 else None
+    si = (data["srows"], data["scols"]) if nspill > 0 else None
     return operator.Op(
         mult=lambda x: spmv.hyb_spmv(d, offsets, sd, si, x, m, lpad, rpad),
         mult_t=lambda x: spmv.hyb_spmv_t(d, offsets, sd, si, x, n, m,
                                          lpad, rpad),
+        diag=lambda: data["diag"],
+    )
+
+
+def _bind_aij_bdia(meta, data):
+    _, m, n, J, jmin, jmax, kcap, nspill = meta
+    d, l, jo = data["data"], data["lanes"], data["joffs"]
+    spill = ((data["srows"], data["scols"], data["sdata"])
+             if nspill > 0 else None)
+    return operator.Op(
+        mult=lambda x: spmv.bdia_spmv(jo, jmin, jmax, d, l, spill, x, m),
+        mult_t=lambda x: spmv.bdia_spmv_t(jo, jmin, jmax, d, l, spill,
+                                          x, m, n),
         diag=lambda: data["diag"],
     )
 
@@ -1510,6 +1637,7 @@ def _bind_mpiaij(meta, data):
 operator.register_binder("aij_ell", _bind_aij_ell)
 operator.register_binder("aij_dia", _bind_aij_dia)
 operator.register_binder("aij_hyb", _bind_aij_hyb)
+operator.register_binder("aij_bdia", _bind_aij_bdia)
 operator.register_binder("aij_bell", _bind_aij_bell)
 operator.register_binder("aij_dndb", _bind_aij_dndb)
 operator.register_binder("aij_dnd", _bind_aij_dnd)

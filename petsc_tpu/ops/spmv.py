@@ -88,18 +88,115 @@ def hyb_spmv(dia_data, offsets, sdata, sidx, x, m, lpad, rpad):
     P1-P5), so the win is routing the bulk of nnz through gather-free
     shifted streams and paying the gather floor only for the leftovers.
     Role model: cuSPARSE HYB (ELL+COO) and PETSc's MATSELL
-    (src/mat/impls/sell/seq/sell.c) — re-split for a no-gather machine."""
+    (src/mat/impls/sell/seq/sell.c) — re-split for a no-gather machine.
+
+    The spill is COMPACTED COO (srows/sidx/sdata of length nnz_spill):
+    gathers cost ~3 ns/element no matter what, so the spill must touch
+    only rows that actually spill, not all m (chip-measured 6x)."""
     y = dia_spmv(dia_data, offsets, x, m, lpad, rpad)
     if sdata is not None:
-        y = y + jnp.sum(sdata * x[sidx], axis=1)
+        srows, scols = sidx
+        y = y.at[srows].add(sdata * x[scols])
     return y
 
 
 def hyb_spmv_t(dia_data, offsets, sdata, sidx, x, n, m, lpad, rpad):
     y = dia_spmv_t(dia_data, offsets, x, n, m, lpad, rpad)
     if sdata is not None:
-        contrib = sdata * x[:, None]
-        y = y.at[sidx.reshape(-1)].add(contrib.reshape(-1))
+        srows, scols = sidx
+        y = y.at[scols].add(sdata * x[srows])
+    return y
+
+
+def _onehot_select(V, lanes):
+    """sel[..., k] = V[..., lanes[..., k]] with NO gather: a 128-wide
+    one-hot contraction per pick.  V is (..., 128) float; lanes (..., K)
+    int32.  For 64-bit V the select runs on the two int32 bit-halves
+    (integer compare+where+sum — exactly one term is nonzero, so the sum
+    IS the selected value bit-exactly) and only the caller's multiply-
+    accumulate touches f64.  Chip basis: selects cost ~0.26 ns f32 vs
+    ~27 ns for an XLA element gather (examples/pallas_gather_probe.py,
+    onehot_window_probe.py)."""
+    iota = jax.lax.broadcasted_iota(jnp.int32, lanes.shape + (128,),
+                                    lanes.ndim)
+    oh = lanes[..., None] == iota                       # (..., K, 128)
+    if V.dtype.itemsize == 8:
+        bits = jax.lax.bitcast_convert_type(V, jnp.int32)   # (..., 128, 2)
+        sel = jnp.sum(jnp.where(oh[..., None],
+                                bits[..., None, :, :], 0), axis=-2,
+                      dtype=jnp.int32)     # keep i32: x64 mode would
+        return jax.lax.bitcast_convert_type(sel, V.dtype)   # promote to i64
+    return jnp.sum(jnp.where(oh, V[..., None, :], jnp.zeros((), V.dtype)),
+                   axis=-1)
+
+
+def bdia_spmv(joffs, jmin, jmax, data, lanes, spill, x, m):
+    """y = A x for BDIA-ELL storage — the gather-free unstructured layout.
+
+    Columns decompose as c = 128*(r//128 + j) + s.  Nonzeros are bucketed
+    by block offset j; for each active j the x window of every 128-row
+    group is a STATIC slice of the padded (B, 128) x view (a roll, not a
+    gather) and the lane pick is a one-hot select (_onehot_select).  A
+    lax.scan over the stacked j-buckets keeps the HLO size constant.
+
+    joffs: (J,) int32 block offsets; jmin/jmax: python ints with
+    jmin <= 0 <= jmax (binder clamps); data/lanes: (J, G*128, Kcap)
+    values / lane ids (padded entries have data 0);
+    spill: None or (srows, scols, svals) COO for entries past Kcap.
+
+    TPU role model: MATSELL / cuSPARSE HYB re-derived for a machine with
+    no hardware gather (reference src/mat/impls/sell/seq/sell.c)."""
+    G = data.shape[1] // 128
+    x2 = jnp.pad(x[:m], (0, G * 128 - m)).reshape(G, 128)
+    xp = jnp.pad(x2, ((-jmin, jmax), (0, 0)))
+
+    def step(y, args):
+        j, d, l = args
+        V = jax.lax.dynamic_slice(
+            xp, (j - jmin, jnp.int32(0)), (G, 128))        # (G, 128)
+        sel = _onehot_select(V[:, None, :], l.reshape(G, 128, -1))
+        return y + jnp.sum(d.reshape(G, 128, -1) * sel, axis=2), None
+
+    y, _ = jax.lax.scan(step, jnp.zeros((G, 128), x.dtype),
+                        (joffs, data, lanes))
+    y = y.reshape(-1)[:m]
+    if spill is not None:
+        srows, scols, svals = spill
+        y = y.at[srows].add(svals * x[scols])
+    if x.shape[0] > m:
+        y = jnp.pad(y, (0, x.shape[0] - m))
+    return y
+
+
+def bdia_spmv_t(joffs, jmin, jmax, data, lanes, spill, x, m, n):
+    """y = A^T x: each bucket scatters its block back by +j with the lane
+    pick inverted — a one-hot EXPAND (lane scatter is a one-hot multiply
+    too, so the transpose is also gather-free; the (p, k) reduction runs
+    in the value dtype because different entries may land on one lane)."""
+    G = data.shape[1] // 128
+    x2 = jnp.pad(x[:m], (0, G * 128 - m)).reshape(G, 128)
+    P = G + jmax - jmin
+
+    def step(acc, args):
+        j, d, l = args
+        lg = l.reshape(G, 128, -1)
+        iota = jax.lax.broadcasted_iota(jnp.int32, lg.shape + (128,), 3)
+        oh = (lg[..., None] == iota).astype(x.dtype)     # (G,128,K,128)
+        contrib = jnp.sum(
+            (d.reshape(G, 128, -1) * x2[:, :, None])[..., None] * oh,
+            axis=(1, 2))                                  # (G, 128)
+        seg = jax.lax.dynamic_slice(acc, (j - jmin, jnp.int32(0)), (G, 128))
+        return jax.lax.dynamic_update_slice(
+            acc, seg + contrib, (j - jmin, jnp.int32(0))), None
+
+    acc, _ = jax.lax.scan(step, jnp.zeros((P, 128), x.dtype),
+                          (joffs, data, lanes))
+    y = acc[-jmin:-jmin + G].reshape(-1)[:n]
+    if spill is not None:
+        srows, scols, svals = spill
+        y = y.at[scols].add(svals * x[srows])
+    if x.shape[0] > n:
+        y = jnp.pad(y, (0, x.shape[0] - n))
     return y
 
 
