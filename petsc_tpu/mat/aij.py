@@ -516,6 +516,11 @@ class MatAIJ(Mat):
         kind = self._choose_kind()
         indptr, indices, vals = self._indptr, self._indices, self._vals
         rd = config.real_dtype()
+        if kind == "bdia" and (m != n or len(indices) == 0):
+            # bdia's x-window/roll machinery assumes a square operator and
+            # a non-empty offset list; explicit -mat_spmv_kind bdia on a
+            # rectangular or empty matrix falls back to ELL (ADVICE r3)
+            kind = "ell"
         if kind == "dndb":
             # block grid stencil: coefficient blocks (K, grid..., bs, bs);
             # SpMV = fused shifted block multiply-adds

@@ -68,8 +68,15 @@ def dia_spmv(data, offsets, x, m, lpad, rpad):
 
 
 def dia_spmv_t(data, offsets, x, n, m, lpad, rpad):
-    """y = A^T x: y[i+off] += data[k,i] * x[i], accumulated in padded space."""
-    P = m + lpad + rpad
+    """y = A^T x: y[i+off] += data[k,i] * x[i], accumulated in padded space.
+
+    The accumulator must cover every write window lpad+off .. lpad+off+m
+    AND the output window lpad .. lpad+n; for a rectangular A with n > m
+    the largest offset exceeds rpad (rpad only pads past column n), so a
+    buffer sized m+lpad+rpad lets dynamic_update_slice silently CLAMP the
+    start and corrupt the result (ADVICE r3, medium)."""
+    maxoff = max([0] + [int(o) for o in offsets])
+    P = lpad + max(m + rpad, maxoff + m, n)
     acc = jnp.zeros((P,), dtype=x.dtype)
     for k, off in enumerate(offsets):
         c = data[k] * x
@@ -111,21 +118,17 @@ def hyb_spmv_t(dia_data, offsets, sdata, sidx, x, n, m, lpad, rpad):
 def _onehot_select(V, lanes):
     """sel[..., k] = V[..., lanes[..., k]] with NO gather: a 128-wide
     one-hot contraction per pick.  V is (..., 128) float; lanes (..., K)
-    int32.  For 64-bit V the select runs on the two int32 bit-halves
-    (integer compare+where+sum — exactly one term is nonzero, so the sum
-    IS the selected value bit-exactly) and only the caller's multiply-
-    accumulate touches f64.  Chip basis: selects cost ~0.26 ns f32 vs
-    ~27 ns for an XLA element gather (examples/pallas_gather_probe.py,
-    onehot_window_probe.py)."""
+    int32.  Exactly one term of the masked sum is nonzero, so the sum IS
+    the selected value bit-exactly in every dtype (adding zeros is exact
+    in IEEE).  An earlier f64 variant selected the two int32 bit-halves
+    via bitcast_convert; XLA's TPU x64-rewrite pass rejects that HLO
+    ('rewriting not implemented'), so the select now runs directly in the
+    value dtype on all backends (ADVICE r3, high).  Chip basis: selects
+    cost ~0.26 ns f32 vs ~27 ns for an XLA element gather
+    (examples/pallas_gather_probe.py, onehot_window_probe.py)."""
     iota = jax.lax.broadcasted_iota(jnp.int32, lanes.shape + (128,),
                                     lanes.ndim)
     oh = lanes[..., None] == iota                       # (..., K, 128)
-    if V.dtype.itemsize == 8:
-        bits = jax.lax.bitcast_convert_type(V, jnp.int32)   # (..., 128, 2)
-        sel = jnp.sum(jnp.where(oh[..., None],
-                                bits[..., None, :, :], 0), axis=-2,
-                      dtype=jnp.int32)     # keep i32: x64 mode would
-        return jax.lax.bitcast_convert_type(sel, V.dtype)   # promote to i64
     return jnp.sum(jnp.where(oh, V[..., None, :], jnp.zeros((), V.dtype)),
                    axis=-1)
 
@@ -170,21 +173,21 @@ def bdia_spmv(joffs, jmin, jmax, data, lanes, spill, x, m):
 
 def bdia_spmv_t(joffs, jmin, jmax, data, lanes, spill, x, m, n):
     """y = A^T x: each bucket scatters its block back by +j with the lane
-    pick inverted — a one-hot EXPAND (lane scatter is a one-hot multiply
-    too, so the transpose is also gather-free; the (p, k) reduction runs
-    in the value dtype because different entries may land on one lane)."""
+    pick inverted.  The inversion is a per-group scatter-add over lane ids
+    (different entries may land on one lane, so the reduction runs in the
+    value dtype); an earlier one-hot formulation materialised a
+    (G,128,K,128) tensor — multi-GB at the sizes bdia targets — so the
+    transpose pays the XLA scatter cost instead (ADVICE r3, low; the
+    transpose is never the hot path)."""
     G = data.shape[1] // 128
     x2 = jnp.pad(x[:m], (0, G * 128 - m)).reshape(G, 128)
     P = G + jmax - jmin
+    gidx = jnp.repeat(jnp.arange(G, dtype=jnp.int32), 128 * data.shape[2])
 
     def step(acc, args):
         j, d, l = args
-        lg = l.reshape(G, 128, -1)
-        iota = jax.lax.broadcasted_iota(jnp.int32, lg.shape + (128,), 3)
-        oh = (lg[..., None] == iota).astype(x.dtype)     # (G,128,K,128)
-        contrib = jnp.sum(
-            (d.reshape(G, 128, -1) * x2[:, :, None])[..., None] * oh,
-            axis=(1, 2))                                  # (G, 128)
+        w = (d.reshape(G, 128, -1) * x2[:, :, None]).reshape(-1)
+        contrib = jnp.zeros((G, 128), x.dtype).at[gidx, l.reshape(-1)].add(w)
         seg = jax.lax.dynamic_slice(acc, (j - jmin, jnp.int32(0)), (G, 128))
         return jax.lax.dynamic_update_slice(
             acc, seg + contrib, (j - jmin, jnp.int32(0))), None
