@@ -114,29 +114,65 @@ class _PCSPAI:
         Ac = A.tocsc()
         Pc = Pat.tocsc()
         rows_l, cols_l, vals_l = [], [], []
-        # group columns by pattern size for batched lstsq
+        # group columns by pattern size; each group is ONE batched
+        # minimum-norm solve (stacked pinv == per-column lstsq: zero
+        # rows padded onto a least-squares system change nothing)
         sizes = np.diff(Pc.indptr)
         for sz in np.unique(sizes):
             if sz == 0:
                 continue
             cols = np.nonzero(sizes == sz)[0]
             J = Pc.indices[Pc.indptr[cols][:, None] + np.arange(sz)]
-            # rows touched: union of A[:, J] patterns; bound with a dense
-            # local system on the touched-row set per column
-            for j, Jj in zip(cols, J):          # per column (host setup)
-                sub = Ac[:, Jj]
-                I = np.unique(sub.indices)
-                lhs = sub[I].toarray()
-                rhs = (I == j).astype(np.float64)
-                m, *_ = np.linalg.lstsq(lhs, rhs, rcond=None)
-                rows_l.append(Jj)
-                cols_l.append(np.full(sz, j))
-                vals_l.append(m)
+            for c0 in range(0, len(cols), 4096):
+                cc, JJ = cols[c0:c0 + 4096], J[c0:c0 + 4096]
+                r, c, v = self._solve_group(Ac, cc, JJ)
+                rows_l.append(r); cols_l.append(c); vals_l.append(v)
         M = sp.csr_matrix((np.concatenate(vals_l),
                            (np.concatenate(rows_l), np.concatenate(cols_l))),
                           shape=(n, n))
         Mm = MatAIJ.from_scipy(M, comm=self.pc.pmat.comm)
         return Mm.meta, Mm.device_data()
+
+    @staticmethod
+    def _solve_group(Ac, cols, J):
+        """min ||A[:, J_b] m_b - e_{cols[b]}|| for a batch of columns with
+        one pattern size, fully vectorized: CSC entries of every A[:, J_b]
+        are expanded flat, per-batch touched-row sets deduplicated with a
+        lexsort, the dense (B, mi_max, sz) local systems scatter-built,
+        and all B minimum-norm solutions come from one stacked pinv."""
+        B, sz = J.shape
+        st, en = Ac.indptr[J], Ac.indptr[J + 1]
+        cnt = (en - st).ravel()                       # entries per (b,slot)
+        tot = int(cnt.sum())
+        if tot == 0:
+            return (J.ravel(), np.repeat(cols, sz),
+                    np.zeros(B * sz))
+        flat_id = np.repeat(np.arange(B * sz), cnt)
+        base = np.concatenate([[0], np.cumsum(cnt)[:-1]])
+        pos = np.arange(tot) - np.repeat(base, cnt) + np.repeat(st.ravel(), cnt)
+        rows_e, vals_e = Ac.indices[pos], Ac.data[pos]
+        bid, slot = flat_id // sz, flat_id % sz
+        # per-batch unique touched rows -> local row index
+        order = np.lexsort((rows_e, bid))
+        bs_, rs_ = bid[order], rows_e[order]
+        newrow = np.empty(tot, bool)
+        newrow[0] = True
+        newrow[1:] = (bs_[1:] != bs_[:-1]) | (rs_[1:] != rs_[:-1])
+        uid = np.cumsum(newrow) - 1                   # global unique id
+        ub, ur = bs_[newrow], rs_[newrow]             # (nuniq,) owners/rows
+        first_uid_of_b = np.searchsorted(ub, np.arange(B))
+        lrow_sorted = uid - first_uid_of_b[bs_]
+        lrow = np.empty(tot, dtype=np.int64)
+        lrow[order] = lrow_sorted
+        mi = np.diff(np.append(first_uid_of_b, len(ub)))  # rows per batch
+        mi_max = int(mi.max())
+        lhs = np.zeros((B, mi_max, sz))
+        lhs[bid, lrow, slot] = vals_e
+        rhs = np.zeros((B, mi_max))
+        hit = ur == cols[ub]                          # unit-vector rows
+        rhs[ub[hit], (np.arange(len(ub)) - first_uid_of_b[ub])[hit]] = 1.0
+        m = np.einsum("bsm,bm->bs", np.linalg.pinv(lhs), rhs)
+        return J.ravel(), np.repeat(cols, sz), m.ravel()
 
 
 PC.register_impl("spai", _PCSPAI)

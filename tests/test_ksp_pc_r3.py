@@ -102,6 +102,58 @@ def test_pc_spai(pat):
     assert np.abs(np.asarray(x.getArray())[:200] - xr).max() < 1e-6
 
 
+def test_spai_batched_matches_loop():
+    """The vectorized group solve must reproduce the per-column lstsq
+    loop (spai.c / Grote-Huckle column semantics) exactly."""
+    import time
+    from petsc_tpu.pc.r3_pc import _PCSPAI
+    A, _, _ = _nonsym(400, seed=3)
+    Ac = A.tocsc()
+    sizes = np.diff(Ac.indptr)
+    rows_ref, cols_ref, vals_ref = [], [], []
+    for j in range(A.shape[0]):
+        Jj = Ac.indices[Ac.indptr[j]:Ac.indptr[j + 1]]
+        if len(Jj) == 0:
+            continue
+        sub = Ac[:, Jj]
+        I = np.unique(sub.indices)
+        m, *_ = np.linalg.lstsq(sub[I].toarray(),
+                                (I == j).astype(np.float64), rcond=None)
+        rows_ref.append(Jj); cols_ref.append(np.full(len(Jj), j))
+        vals_ref.append(m)
+    import scipy.sparse as sp2
+    Mref = sp2.csr_matrix((np.concatenate(vals_ref),
+                           (np.concatenate(rows_ref),
+                            np.concatenate(cols_ref))), shape=A.shape)
+    for sz in np.unique(sizes):
+        if sz == 0:
+            continue
+        cols = np.nonzero(sizes == sz)[0]
+        J = Ac.indices[Ac.indptr[cols][:, None] + np.arange(sz)]
+        r, c, v = _PCSPAI._solve_group(Ac, cols, J)
+        Mb = sp2.csr_matrix((v, (r, c)), shape=A.shape)
+        sub = sp2.csr_matrix(
+            (Mref.toarray() * np.isin(np.arange(A.shape[0]),
+                                      cols)[None, :]))
+        assert np.abs((Mb - sub).toarray()).max() < 1e-10
+
+
+def test_spai_setup_scales():
+    """100k-row banded matrix SPAI setup in seconds, not O(n) Python
+    iterations (VERDICT r3 item 10)."""
+    import time
+    n = 100_000
+    A = sp.diags([np.full(n - 1, -1.0), np.full(n, 4.0),
+                  np.full(n - 1, -1.0), np.full(n - 64, -0.5)],
+                 [-1, 0, 1, 64], format="csr")
+    Am = pt.MatAIJ.from_scipy(A.tocsr(), comm=comm_self())
+    pc = pt.PC().create(); pc.setOperators(Am); pc.setType("spai")
+    t0 = time.perf_counter()
+    pc.setUp()
+    dt = time.perf_counter() - t0
+    assert dt < 60.0, f"SPAI setup took {dt:.1f}s on 100k rows"
+
+
 def test_pc_nn_matis():
     from test_bddc import build_matis_poisson
     M, n = build_matis_poisson(ne=16, nsub=4)
