@@ -145,6 +145,10 @@ def as_mat(meta, data, comm=None):
     M._data_val = data
     M._shape_val = meta[1]
     M._offsets_val = meta[2]
+    # declare the grid so PCGAMG's structured head engages (without this
+    # the flagship device-generated operator silently took the slow
+    # aggregation V-cycle: 3.1 s/it vs ~ms on the geometric head)
+    M._grid_shape = tuple(int(s) for s in meta[1])
     M._assembled = True
     return M
 
