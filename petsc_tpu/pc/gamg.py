@@ -347,6 +347,9 @@ class _PCGAMG(_PCMG):
         # gather-free geometric first levels; see _structured_head
         self.structured = True
         self.structured_limit = 3000
+        # device Galerkin RAP by stencil probing (gamg_device.py): the
+        # hierarchy above the aggregation tail never leaves HBM
+        self.structured_device = True
 
     def set_from_options(self):
         super().set_from_options()
@@ -390,6 +393,9 @@ class _PCGAMG(_PCMG):
         n = o("get_int", "pc_gamg_structured_limit", None)
         if n:
             self.structured_limit = n
+        b = o("get_bool", "pc_gamg_structured_device", None)
+        if b is not None:
+            self.structured_device = b
 
     def _threshold(self, level):
         if level < len(self.threshold):
@@ -486,6 +492,34 @@ class _PCGAMG(_PCMG):
             level += 1
         return cur, level
 
+    def _structured_head_device(self, Afine, levels):
+        """Device-resident geometric first levels: Galerkin RAP by
+        period-3 stencil probing + device Arnoldi eig bounds
+        (gamg_device.py). Nothing crosses host<->device until the small
+        aggregation tail is downloaded once as CSR. Returns
+        (tail host CSR, level index reached)."""
+        from ..dm.interp import MatInterpQ1
+        from ..ops import stencil_build
+        from ..parallel.mesh import comm_self
+        from . import gamg_device as gd
+        meta, data = Afine.meta, Afine.device_data()
+        cur_shape = tuple(int(s) for s in meta[1])
+        level = len(levels) - 1
+        limit = max(self.coarse_eq_limit, self.structured_limit)
+        while (int(np.prod(cur_shape)) > limit and min(cur_shape) >= 4
+               and level < self.max_levels - 1):
+            cshape = tuple((s + 1) // 2 for s in cur_shape)
+            emax = gd.device_emax(meta, data)
+            levels[-1].emin, levels[-1].emax = self.eig_bounds(emax)
+            levels[-1].P = MatInterpQ1(cur_shape, cshape,
+                                       comm=comm_self())
+            meta, data = gd.device_rap_dnd(meta, data, cshape)
+            Am = stencil_build.as_mat(meta, data, comm=comm_self())
+            levels.append(MGLevelSpec(Am))
+            cur_shape = cshape
+            level += 1
+        return gd.dnd_to_csr(meta, data), level
+
     def build_hierarchy(self):
         import scipy.sparse as sp
         from ..mat.aij import MatAIJ
@@ -513,11 +547,25 @@ class _PCGAMG(_PCMG):
         nvec = 1 if Bn is None else \
             (np.asarray(Bn.vectors if hasattr(Bn, "vectors") else Bn)
              .reshape(A.row_layout.N, -1).shape[1])
+        dev_head = False
         if (A.comm.nshards > 1 and bs == 1 and nvec == 1
                 and self.coarsen_type == "mis"
                 and self.gamg_type == "agg"):
             A_sp, Bn, level = self._dist_levels(A, levels)
             # continue serially on the replicated tail
+        elif (self.structured and self.structured_device
+                and self.gamg_type == "agg" and bs == 1 and nvec == 1
+                and A.comm.nshards == 1):
+            from .gamg_device import supports_device_rap
+            fm = getattr(Afine, "meta", None)
+            if (supports_device_rap(fm)
+                    and int(np.prod(fm[1])) == A.getSize()[0]):
+                # device head FIRST: the fine operator is never gathered
+                # (a 512^3 to_scipy() is a 15 GB download)
+                A_sp, level = self._structured_head_device(Afine, levels)
+                dev_head = True
+            else:
+                A_sp = A.to_scipy()
         else:
             if A.comm.nshards > 1:
                 from ..sys.info import warn_full_gather

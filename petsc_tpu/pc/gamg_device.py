@@ -1,0 +1,202 @@
+"""Device-resident structured GAMG head: Galerkin RAP of grid-stencil
+(aij_dnd) operators computed ON DEVICE by period-3 stencil probing.
+
+TPU redesign with no reference equivalent (gamg.c always assembles the
+Galerkin product as host/MPI sparse SpGEMM, mpiptap.c): when the fine
+operator is a dnd grid stencil with offsets in {-1,0,1}^d and the
+transfer is the separable Q1 interpolation (dm/interp.py), the coarse
+operator Ac = P^T A P is again a {-1,0,1}^d (27-point) grid stencil.
+Its coefficient PLANES are recovered exactly — boundary clips included —
+by probing the composed operator with the 3^d period-3 lattice combs:
+within the stencil support of any coarse point exactly one comb point of
+each residue class lies, so
+
+    g_r = P^T A P e_r   (e_r = indicator of {I : I mod 3 == r})
+    Ac[I, I+O] = g_{(I+O) mod 3}[I]
+
+27 fine-level operator applications replace the host CSR materialization,
+the Gustavson SpGEMM, AND the coarse-coefficient upload (3.6 GB at 512^3
+level 1) — the entire hierarchy above the aggregation tail never leaves
+HBM. Probing cost at 512^3: ~27 fine SpMVs ~ 0.2 s vs ~8 min host setup.
+
+Chebyshev bounds come from a 10-step device Arnoldi on D^-1 A (same
+esteig role as mg._host_emax / agg.c:1855-1899), and the small structured
+tail is downloaded once as CSR for the serial aggregation continuation.
+"""
+
+from __future__ import annotations
+
+from itertools import product as _prod
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .. import config
+
+
+def _as_tuple(x):
+    return tuple(int(v) for v in x)
+
+
+def supports_device_rap(meta):
+    """True when `meta` is an aij_dnd stencil whose offsets fit in the
+    {-1,0,1}^d box (star/box stencils; closed under Q1 coarsening)."""
+    if not meta or meta[0] != "aij_dnd":
+        return False
+    shape, offs = meta[1], meta[2]
+    return all(all(abs(int(c)) <= 1 for c in o) for o in offs) \
+        and len(shape) >= 1
+
+
+def device_rap_dnd(A_meta, A_data, cshape):
+    """(coarse_meta, coarse_data) of Ac = P^T A P for a dnd fine operator,
+    computed entirely on device. P is MatInterpQ1(fshape -> cshape)."""
+    from ..dm.interp import _interp_axis, _restrict_axis
+    from ..ops import operator
+
+    fshape = _as_tuple(A_meta[1])
+    cshape = _as_tuple(cshape)
+    nd = len(fshape)
+    Nf, Nc = int(np.prod(fshape)), int(np.prod(cshape))
+    offs27 = [o for o in _prod((-1, 0, 1), repeat=nd)]
+    # center first is NOT required by the binder; keep lexicographic
+    rd = A_data["coef"].dtype if A_data["coef"].size else \
+        A_data["diag"].dtype
+
+    Aop = operator.bind(A_meta, A_data)
+
+    def P_mult(xc):
+        v = xc.reshape(cshape)
+        for ax in range(nd):
+            v = _interp_axis(v, ax, fshape[ax])
+        return v.reshape(-1)
+
+    def Pt_mult(xf):
+        v = xf.reshape(fshape)
+        for ax in range(nd - 1, -1, -1):
+            v = _restrict_axis(v, ax, cshape[ax])
+        return v.reshape(-1)
+
+    iotas = [jax.lax.broadcasted_iota(jnp.int32, cshape, d)
+             for d in range(nd)]
+
+    @jax.jit
+    def probe():
+        # base-3 residue id of every coarse point (lexicographic digit
+        # order matches the comb enumeration below)
+        rid0 = jnp.zeros(cshape, jnp.int32)
+        for d in range(nd):
+            rid0 = rid0 * 3 + iotas[d] % 3
+
+        def one(r_id):
+            e = (rid0.reshape(-1) == r_id).astype(rd)
+            return Pt_mult(Aop.mult(P_mult(e))[:Nf])
+
+        # lax.map: ONE traced probe chain run 3^nd times sequentially
+        # (vmap would hold 27 fine-grid temporaries live at once)
+        G = jax.lax.map(one, jnp.arange(3 ** nd, dtype=jnp.int32))
+        # coef_O[I] = g_{(I+O) mod 3}[I]: one take_along_axis over the
+        # stacked probes per offset
+        rid = []
+        for O in offs27:
+            acc = jnp.zeros(cshape, jnp.int32)
+            for d in range(nd):
+                acc = acc * 3 + (iotas[d] + (O[d] % 3)) % 3
+            rid.append(acc.reshape(-1))
+        coef = jnp.take_along_axis(G, jnp.stack(rid), axis=0) \
+            .reshape((len(offs27),) + cshape)
+        center = offs27.index((0,) * nd)
+        return coef, coef[center].reshape(-1)
+
+    coef, diag = probe()
+    lpad = (1,) * nd
+    rpad = (1,) * nd
+    meta = ("aij_dnd", cshape, tuple(offs27), lpad, rpad, Nc)
+    return meta, {"coef": coef, "diag": diag}
+
+
+def device_emax(A_meta, A_data, iters=10, seed=7):
+    """Largest Ritz value of D^-1 A from a 10-step device Lanczos on the
+    similar symmetric operator D^-1/2 A D^-1/2 (mg._host_emax's esteig
+    role, agg.c:1855-1899). The 3-term recurrence keeps THREE live
+    vectors regardless of n — a full Arnoldi basis at 512^3 would be a
+    12 GB HBM buffer. No reorthogonalization: orthogonality loss creates
+    ghost Ritz copies, not errors in the extreme value, and the cheby
+    transform's 1.1 safety factor (eig_bounds) absorbs the residual
+    slack — for strongly nonsymmetric operators Chebyshev smoothing is
+    the wrong tool regardless (cheby.c's own caveat)."""
+    from ..ops import operator
+
+    Aop = operator.bind(A_meta, A_data)
+    n = int(np.prod(_as_tuple(A_meta[1]))) if A_meta[0] == "aij_dnd" \
+        else A_meta[1]
+    rd = A_data["diag"].dtype
+    m = int(min(iters, n))
+
+    @jax.jit
+    def lanczos():
+        d = A_data["diag"]
+        dis = jnp.where(d != 0,
+                        1.0 / jnp.sqrt(jnp.abs(jnp.where(d == 0, 1.0, d))),
+                        1.0)
+        sgn = jnp.where(d < 0, -1.0, 1.0)
+        key = jax.random.PRNGKey(seed)
+        v = jax.random.uniform(key, (n,), rd) - 0.5
+        v = v / jnp.linalg.norm(v)
+
+        def smult(u):
+            return sgn * dis * Aop.mult(dis * u)[:n]
+
+        def step(carry, _):
+            v_prev, v_cur, beta_prev = carry
+            w = smult(v_cur) - beta_prev * v_prev
+            alpha = jnp.dot(w, v_cur)
+            w = w - alpha * v_cur
+            beta = jnp.linalg.norm(w)
+            v_next = w / jnp.maximum(beta, jnp.asarray(1e-300, rd))
+            return (v_cur, v_next, beta), (alpha, beta)
+
+        (_, _, _), (alphas, betas) = jax.lax.scan(
+            step, (jnp.zeros_like(v), v, jnp.asarray(0.0, rd)), None,
+            length=m)
+        return alphas, betas
+
+    alphas, betas = (np.asarray(x) for x in lanczos())
+    T = np.diag(alphas) + np.diag(betas[:-1], 1) + np.diag(betas[:-1], -1)
+    return float(np.max(np.linalg.eigvalsh(T)))
+
+
+def dnd_to_csr(meta, data):
+    """Download a (small) dnd level as host CSR — the one transfer in the
+    device head, used to hand the coarse tail to the aggregation loop."""
+    import scipy.sparse as sp
+
+    shape = _as_tuple(meta[1])
+    offs = [(o if isinstance(o, tuple) else (o,)) for o in meta[2]]
+    offs = [_as_tuple(o) for o in meta[2]]
+    N = int(np.prod(shape))
+    cvals = meta[6] if len(meta) > 6 else (None,) * len(offs)
+    coef = np.asarray(data["coef"])
+    nd = len(shape)
+    idx = np.indices(shape).reshape(nd, -1)
+    strides = np.array([int(np.prod(shape[d + 1:])) for d in range(nd)])
+    rows_l, cols_l, vals_l = [], [], []
+    ci = 0
+    for k, o in enumerate(offs):
+        tgt = idx + np.asarray(o)[:, None]
+        ok = np.ones(N, dtype=bool)
+        for d in range(nd):
+            ok &= (tgt[d] >= 0) & (tgt[d] < shape[d])
+        if cvals[k] is None:
+            v = coef[ci].reshape(-1)
+            ci += 1
+        else:
+            v = np.full(N, float(cvals[k]))
+        keep = ok & (v != 0)
+        rows_l.append(np.nonzero(keep)[0])
+        cols_l.append((strides @ tgt)[keep])
+        vals_l.append(v[keep])
+    return sp.csr_matrix((np.concatenate(vals_l),
+                          (np.concatenate(rows_l), np.concatenate(cols_l))),
+                         shape=(N, N))
