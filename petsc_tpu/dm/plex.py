@@ -748,6 +748,31 @@ class DMPlex(DM):
         print(f"DMPlex Object (lite): dim={self.dim} cells={self.ncells} "
               f"vertices={self.nvertices}")
 
+    # ---- HDF5 mesh I/O (plexhdf5.c / plexhdf5xdmf.c roles) ----
+
+    def viewHDF5(self, path, name="plex", mode="w"):
+        """DMView to HDF5: topology+coordinates+labels, in both the
+        XDMF-interchange layout the reference's DMPlexCreateFromFile
+        reads and a round-trip `topologies/<name>` group (plex_io.py)."""
+        from .plex_io import plex_view_hdf5
+        return plex_view_hdf5(self, path, name=name, mode=mode)
+
+    @classmethod
+    def createFromHDF5(cls, path, name=None, comm=None):
+        """DMLoad / DMPlexCreateFromFile(.h5): read a mesh written by
+        viewHDF5 or a reference-written XDMF-style file."""
+        from .plex_io import plex_load_hdf5
+        return plex_load_hdf5(path, name=name, comm=comm)
+
+    def vecViewHDF5(self, path, vname, vec, name="plex"):
+        """VecView of a section vector bound to this mesh."""
+        from .plex_io import plex_vec_view_hdf5
+        return plex_vec_view_hdf5(self, path, vname, vec, name=name)
+
+    def vecLoadHDF5(self, path, vname, name="plex"):
+        from .plex_io import plex_vec_load_hdf5
+        return plex_vec_load_hdf5(self, path, vname, name=name)
+
 
 def _p1_cell_gradients(coords, cells, dim):
     """Per-cell P1 basis gradients and volumes for a cell subset (the

@@ -49,22 +49,23 @@ def supports_device_rap(meta):
         and len(shape) >= 1
 
 
-def device_rap_dnd(A_meta, A_data, cshape):
-    """(coarse_meta, coarse_data) of Ac = P^T A P for a dnd fine operator,
-    computed entirely on device. P is MatInterpQ1(fshape -> cshape)."""
+from functools import lru_cache
+
+
+@lru_cache(maxsize=64)
+def _probe_fn(A_meta, cshape):
+    """Cached jitted probe for one (fine meta, coarse shape) pair. The
+    operator DATA is a traced argument, never a closure constant — baking
+    a 450 MB coefficient array into the executable makes XLA
+    constant-fold at glacial speed and defeats every compile cache
+    (chip-measured: 46 s -> 108 s setup regression before this split)."""
     from ..dm.interp import _interp_axis, _restrict_axis
     from ..ops import operator
 
     fshape = _as_tuple(A_meta[1])
-    cshape = _as_tuple(cshape)
     nd = len(fshape)
-    Nf, Nc = int(np.prod(fshape)), int(np.prod(cshape))
+    Nf = int(np.prod(fshape))
     offs27 = [o for o in _prod((-1, 0, 1), repeat=nd)]
-    # center first is NOT required by the binder; keep lexicographic
-    rd = A_data["coef"].dtype if A_data["coef"].size else \
-        A_data["diag"].dtype
-
-    Aop = operator.bind(A_meta, A_data)
 
     def P_mult(xc):
         v = xc.reshape(cshape)
@@ -78,11 +79,12 @@ def device_rap_dnd(A_meta, A_data, cshape):
             v = _restrict_axis(v, ax, cshape[ax])
         return v.reshape(-1)
 
-    iotas = [jax.lax.broadcasted_iota(jnp.int32, cshape, d)
-             for d in range(nd)]
-
     @jax.jit
-    def probe():
+    def probe(data):
+        Aop = operator.bind(A_meta, data)
+        rd = data["diag"].dtype
+        iotas = [jax.lax.broadcasted_iota(jnp.int32, cshape, d)
+                 for d in range(nd)]
         # base-3 residue id of every coarse point (lexicographic digit
         # order matches the comb enumeration below)
         rid0 = jnp.zeros(cshape, jnp.int32)
@@ -109,34 +111,35 @@ def device_rap_dnd(A_meta, A_data, cshape):
         center = offs27.index((0,) * nd)
         return coef, coef[center].reshape(-1)
 
-    coef, diag = probe()
-    lpad = (1,) * nd
-    rpad = (1,) * nd
-    meta = ("aij_dnd", cshape, tuple(offs27), lpad, rpad, Nc)
+    return probe
+
+
+def device_rap_dnd(A_meta, A_data, cshape):
+    """(coarse_meta, coarse_data) of Ac = P^T A P for a dnd fine operator,
+    computed entirely on device. P is MatInterpQ1(fshape -> cshape)."""
+    cshape = _as_tuple(cshape)
+    nd = len(cshape)
+    Nc = int(np.prod(cshape))
+    offs27 = [o for o in _prod((-1, 0, 1), repeat=nd)]
+    # pass only what the probe reads so the jit cache key is stable
+    data = {"coef": A_data["coef"], "diag": A_data["diag"]}
+    coef, diag = _probe_fn(A_meta, cshape)(data)
+    meta = ("aij_dnd", cshape, tuple(offs27), (1,) * nd, (1,) * nd, Nc)
     return meta, {"coef": coef, "diag": diag}
 
 
-def device_emax(A_meta, A_data, iters=10, seed=7):
-    """Largest Ritz value of D^-1 A from a 10-step device Lanczos on the
-    similar symmetric operator D^-1/2 A D^-1/2 (mg._host_emax's esteig
-    role, agg.c:1855-1899). The 3-term recurrence keeps THREE live
-    vectors regardless of n — a full Arnoldi basis at 512^3 would be a
-    12 GB HBM buffer. No reorthogonalization: orthogonality loss creates
-    ghost Ritz copies, not errors in the extreme value, and the cheby
-    transform's 1.1 safety factor (eig_bounds) absorbs the residual
-    slack — for strongly nonsymmetric operators Chebyshev smoothing is
-    the wrong tool regardless (cheby.c's own caveat)."""
+@lru_cache(maxsize=64)
+def _lanczos_fn(A_meta, m, seed):
     from ..ops import operator
 
-    Aop = operator.bind(A_meta, A_data)
     n = int(np.prod(_as_tuple(A_meta[1]))) if A_meta[0] == "aij_dnd" \
         else A_meta[1]
-    rd = A_data["diag"].dtype
-    m = int(min(iters, n))
 
     @jax.jit
-    def lanczos():
-        d = A_data["diag"]
+    def lanczos(data):
+        Aop = operator.bind(A_meta, data)
+        d = data["diag"]
+        rd = d.dtype
         dis = jnp.where(d != 0,
                         1.0 / jnp.sqrt(jnp.abs(jnp.where(d == 0, 1.0, d))),
                         1.0)
@@ -162,7 +165,25 @@ def device_emax(A_meta, A_data, iters=10, seed=7):
             length=m)
         return alphas, betas
 
-    alphas, betas = (np.asarray(x) for x in lanczos())
+    return lanczos
+
+
+def device_emax(A_meta, A_data, iters=10, seed=7):
+    """Largest Ritz value of D^-1 A from a 10-step device Lanczos on the
+    similar symmetric operator D^-1/2 A D^-1/2 (mg._host_emax's esteig
+    role, agg.c:1855-1899). The 3-term recurrence keeps THREE live
+    vectors regardless of n — a full Arnoldi basis at 512^3 would be a
+    12 GB HBM buffer. No reorthogonalization: orthogonality loss creates
+    ghost Ritz copies, not errors in the extreme value, and the cheby
+    transform's 1.1 safety factor (eig_bounds) absorbs the residual
+    slack — for strongly nonsymmetric operators Chebyshev smoothing is
+    the wrong tool regardless (cheby.c's own caveat)."""
+    n = int(np.prod(_as_tuple(A_meta[1]))) if A_meta[0] == "aij_dnd" \
+        else A_meta[1]
+    m = int(min(iters, n))
+    data = {"coef": A_data["coef"], "diag": A_data["diag"]}
+    alphas, betas = (np.asarray(x)
+                     for x in _lanczos_fn(A_meta, m, seed)(data))
     T = np.diag(alphas) + np.diag(betas[:-1], 1) + np.diag(betas[:-1], -1)
     return float(np.max(np.linalg.eigvalsh(T)))
 
