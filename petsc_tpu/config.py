@@ -103,6 +103,35 @@ def init(args=None, options_dict=None, file=None):
     dt = st.options.get_string("real_dtype", default=None)
     if dt is not None:
         set_real_dtype(dt)
+    # persistent XLA compilation cache: first compiles through the dev
+    # tunnel cost 10-40 s per program; caching them on disk makes every
+    # later PROCESS warm (a 128^3 GAMG setup drops 79 s -> 8 s once the
+    # level programs are cached). -compile_cache_dir "" disables.
+    cdir = st.options.get_string(
+        "compile_cache_dir",
+        default=os.path.join(os.path.expanduser("~"), ".cache",
+                             "petsc_tpu_xla"))
+    if cdir:
+        try:
+            import jax
+            # CPU-only processes must NOT share the cache: XLA:CPU AOT
+            # entries embed host machine features and reloading them
+            # across processes logs SIGILL-risk mismatches. Gate on the
+            # platform without forcing backend init.
+            plat = (jax.config.jax_platforms
+                    or os.environ.get("JAX_PLATFORMS", "") or "").lower()
+            backends = getattr(
+                getattr(jax, "_src", None), "xla_bridge", None)
+            live = getattr(backends, "_backends", {}) if backends else {}
+            cpu_only = plat == "cpu" or (
+                bool(live) and all(p == "cpu" for p in live))
+            if jax.config.jax_compilation_cache_dir is None and not cpu_only:
+                os.makedirs(cdir, exist_ok=True)
+                jax.config.update("jax_compilation_cache_dir", cdir)
+                jax.config.update(
+                    "jax_persistent_cache_min_compile_time_secs", 0.5)
+        except Exception:
+            pass
     _initialized = True
     return st
 
