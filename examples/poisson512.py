@@ -38,10 +38,12 @@ def main(argv=None):
     A = stencil_build.as_mat(meta, data)
     ksp = pt.KSP().create()
     pc_type = opts.get_string("pc_type", default="jacobi")
-    if pc_type == "gamg":
-        # Amat/Pmat split (the PETSc contract): the DEVICE-generated
-        # stencil is the applied operator; a host_only CSR twin drives
-        # the AMG setup without ever crossing the tunnel
+    if pc_type == "gamg" and opts.get_bool("host_twin", default=False):
+        # legacy Amat/Pmat split (-host_twin 1): a host_only CSR twin
+        # drives the AMG setup. With the round-4 device-probed structured
+        # head (pc/gamg_device.py) the setup runs from the device
+        # operator directly — at 512^3 the twin alone is ~16 GB of host
+        # CSR, so the default is no twin at all.
         import scipy.sparse as sp
         from examples.poisson_scale import poisson7_csr
         indptr, indices, vals = poisson7_csr(n)

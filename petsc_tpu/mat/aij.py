@@ -317,13 +317,14 @@ class MatAIJ(Mat):
         # HYB (near-stencil): high-occupancy diagonals stream gather-free,
         # residual entries spill to a narrow gather-ELL. Chip-measured 660x
         # over gather-ELL on the BASELINE config-2 (atmosmodd) class
-        # (examples/csr_formulations.py E3 vs E0; PERF.md round 3).
+        # (examples/csr_formulations.py E3 vs E0; PERF.md "Round-4
+        # unstructured rates" table).
         if self._hyb_split() is not None:
             return "hyb"
         # BDIA-ELL (banded, no extractable diagonals): gather-free block-
         # diagonal buckets + one-hot lane selects — the only formulation
         # that beats the ~27 ns/element XLA gather floor on arbitrary
-        # banded patterns (PERF.md round 3)
+        # banded patterns (PERF.md "Round-4 unstructured rates" table)
         if self._bdia_split() is not None:
             return "bdia"
         K, avg = int(rl.max()), float(rl.mean())
