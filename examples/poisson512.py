@@ -54,6 +54,7 @@ def main(argv=None):
         ksp.setOperators(A)
     ksp.setType("cg")
     ksp.getPC().setType(pc_type)
+    ksp.getPC().setFromOptions()   # honor -pc_mg_dtype / -pc_gamg_* knobs
     t0 = time.perf_counter()
     ksp.getPC().setUp()
     print(f"PCSetUp({pc_type}) {time.perf_counter() - t0:.1f} s",

@@ -98,15 +98,20 @@ def _probe_fn(A_meta, cshape):
         # lax.map: ONE traced probe chain run 3^nd times sequentially
         # (vmap would hold 27 fine-grid temporaries live at once)
         G = jax.lax.map(one, jnp.arange(3 ** nd, dtype=jnp.int32))
-        # coef_O[I] = g_{(I+O) mod 3}[I]: one take_along_axis over the
-        # stacked probes per offset
-        rid = []
-        for O in offs27:
+        # coef_O[I] = g_{(I+O) mod 3}[I]. The residue ids are recomputed
+        # per offset inside a second lax.map — a stacked (27, Nc) int32
+        # index tensor is a 1.8 GB HLO temp at 512^3 level 1 (HBM is the
+        # setup's binding constraint, not flops)
+        Oarr = jnp.asarray(np.asarray(offs27) % 3, dtype=jnp.int32)
+
+        def extract(o):
             acc = jnp.zeros(cshape, jnp.int32)
             for d in range(nd):
-                acc = acc * 3 + (iotas[d] + (O[d] % 3)) % 3
-            rid.append(acc.reshape(-1))
-        coef = jnp.take_along_axis(G, jnp.stack(rid), axis=0) \
+                acc = acc * 3 + (iotas[d] + o[d]) % 3
+            return jnp.take_along_axis(
+                G, acc.reshape(1, -1), axis=0)[0]
+
+        coef = jax.lax.map(extract, Oarr) \
             .reshape((len(offs27),) + cshape)
         center = offs27.index((0,) * nd)
         return coef, coef[center].reshape(-1)
@@ -135,15 +140,35 @@ def _lanczos_fn(A_meta, m, seed):
     n = int(np.prod(_as_tuple(A_meta[1]))) if A_meta[0] == "aij_dnd" \
         else A_meta[1]
 
+    # constant-diagonal stencils (meta[6] cvals) fold the similarity
+    # scaling to SCALARS — the materialized dis/sgn vectors are 2x 1.1 GB
+    # at 512^3 f64 and were the largest live arrays in the setup OOM
+    const_diag = None
+    if A_meta[0] == "aij_dnd" and len(A_meta) > 6:
+        cvals = A_meta[6]
+        center = tuple((0,) * len(A_meta[1]))
+        try:
+            c0 = cvals[list(A_meta[2]).index(center)]
+            if c0 is not None:
+                const_diag = float(c0)
+        except ValueError:
+            pass
+
     @jax.jit
     def lanczos(data):
         Aop = operator.bind(A_meta, data)
         d = data["diag"]
         rd = d.dtype
-        dis = jnp.where(d != 0,
-                        1.0 / jnp.sqrt(jnp.abs(jnp.where(d == 0, 1.0, d))),
-                        1.0)
-        sgn = jnp.where(d < 0, -1.0, 1.0)
+        if const_diag is not None:
+            dis = jnp.asarray(
+                1.0 / np.sqrt(abs(const_diag)) if const_diag != 0 else 1.0,
+                rd)
+            sgn = jnp.asarray(-1.0 if const_diag < 0 else 1.0, rd)
+        else:
+            dis = jnp.where(
+                d != 0,
+                1.0 / jnp.sqrt(jnp.abs(jnp.where(d == 0, 1.0, d))), 1.0)
+            sgn = jnp.where(d < 0, -1.0, 1.0)
         key = jax.random.PRNGKey(seed)
         v = jax.random.uniform(key, (n,), rd) - 0.5
         v = v / jnp.linalg.norm(v)
