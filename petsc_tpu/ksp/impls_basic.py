@@ -96,24 +96,26 @@ def solve_cg(A, B, b, x0, rtol, abstol, divtol, cfg: KSPConfig):
 
     # state: (x, r, z, p, beta, betaold, its, rnorm, reason, hist)
     def cond(s):
-        return (s[8] == 0) & (s[6] < cfg.max_it)
+        return (s[7] == 0) & (s[5] < cfg.max_it)
 
     def body(s):
-        x, r, z, p, beta, betaold, its, rnorm, reason, hist = s
+        # z = B r lives only WITHIN the body: carrying it across
+        # iterations costs a dedicated while-state buffer (1.07 GB at
+        # 512^3 f64), so p is advanced at the END of the step instead
+        # of the start (same recurrence, one-position shift; p0 = z0)
+        x, r, p, beta, betaold, its, rnorm, reason, hist = s
         i = its
         # breakdown checks (before any update, like the reference)
         brk = jnp.where(beta == 0, int(KR.CONVERGED_ATOL), 0)
         brk = jnp.where((i > 0) & (beta * betaold < 0),
                         int(KR.DIVERGED_INDEFINITE_PC), brk)
-        bcoef = jnp.where(i == 0, 0.0, beta / jnp.where(betaold == 0, 1.0, betaold))
-        p_new = z + bcoef * p
-        w = A.mult(p_new)
-        dpi = fdot(p_new, w)
+        w = A.mult(p)
+        dpi = fdot(p, w)
         brk = jnp.where((brk == 0) & (dpi <= 0),
                         int(KR.DIVERGED_INDEFINITE_MAT), brk)
         ok = brk == 0
         a = jnp.where(ok, beta / jnp.where(dpi == 0, 1.0, dpi), 0.0)
-        x_new = x + a * p_new
+        x_new = x + a * p
         r_new = r - a * w
         z_new = B.mult(r_new)
         beta_new = fdot(z_new, r_new)
@@ -125,16 +127,17 @@ def solve_cg(A, B, b, x0, rtol, abstol, divtol, cfg: KSPConfig):
         # commit updates only on a clean step
         x = jnp.where(ok, x_new, x)
         r = jnp.where(ok, r_new, r)
-        z = jnp.where(ok, z_new, z)
+        bcoef = beta_new / jnp.where(beta == 0, 1.0, beta)
+        p = jnp.where(ok, z_new + bcoef * p, p)
         hist = jnp.where(ok, hist.at[its_new].set(dp), hist)
         rnorm = jnp.where(ok, dp, rnorm)
         its = jnp.where(ok, its_new, its_new)  # PETSc sets its=i+1 either way
         beta, betaold = jnp.where(ok, beta_new, beta), jnp.where(ok, beta, betaold)
-        return (x, r, z, p_new, beta, betaold, its, rnorm, reason_new, hist)
+        return (x, r, p, beta, betaold, its, rnorm, reason_new, hist)
 
-    state = (x0v, r0, z0, jnp.zeros_like(b), beta0, jnp.ones((), b.dtype),
+    state = (x0v, r0, z0, beta0, jnp.ones((), b.dtype),
              jnp.array(0), dp0, jnp.zeros((), jnp.int32), hist)
-    x, r, z, p, beta, betaold, its, rnorm, reason, hist = \
+    x, r, p, beta, betaold, its, rnorm, reason, hist = \
         lax.while_loop(cond, body, state)
     reason = finalize_reason(reason, its, cfg)
     return SolveResult(x, its, rnorm, reason, hist, dp0)

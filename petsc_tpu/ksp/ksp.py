@@ -51,7 +51,10 @@ def _compiled_solver(name, mat_meta, pc_meta, cfg: KSPConfig):
         B = operator.bind(pc_meta, pc_data)
         return fn(A, B, b, x0, rtol, abstol, divtol, cfg)
 
-    jitted = jax.jit(run)
+    # x0 is donated: solve() always passes a fresh zeros buffer or the
+    # caller's x whose .array is reassigned from the result afterwards —
+    # at 512^3 the donation hands a 1.07 GB buffer to the solver state
+    jitted = jax.jit(run, donate_argnums=(3,))
     _jit_cache[key] = jitted
     return jitted
 

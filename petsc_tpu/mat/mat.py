@@ -194,7 +194,12 @@ class Mat(PObject):
             raise NotImplementedError
         if d is None:
             d = self.createVecLeft()
-        d.array = op.diag()
+        dv = op.diag()
+        if getattr(dv, "ndim", 1) == 0:
+            # constant-stencil operators carry a scalar diagonal
+            import jax.numpy as jnp
+            dv = jnp.broadcast_to(dv, (d.array.shape[0],))
+        d.array = dv
         return d
 
     # ---------------- vectors ----------------

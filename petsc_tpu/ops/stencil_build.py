@@ -80,12 +80,6 @@ def build_dnd(shape, offsets=None, diag_coef=None, off_coef=-1.0,
     if diag_coef is None:
         diag_coef = float(len(offsets) - 1)
 
-    @jax.jit
-    def gen(dval):
-        diag = jnp.broadcast_to(dval, (int(np.prod(shape)),))
-        return diag
-
-    diag = gen(jnp.asarray(diag_coef, dt))
     uniq = np.asarray(offsets)
     lpad = tuple(int(max(0, -uniq[:, ax].min())) for ax in range(len(shape)))
     rpad = tuple(int(max(0, uniq[:, ax].max())) for ax in range(len(shape)))
@@ -101,9 +95,15 @@ def build_dnd(shape, offsets=None, diag_coef=None, off_coef=-1.0,
             return jnp.stack(planes).reshape((len(offsets),) + shape)
 
         coef = gen_planes(jnp.asarray(1.0, dt))
+
+        @jax.jit
+        def gen_diag(dval):
+            return jnp.broadcast_to(dval, (int(np.prod(shape)),))
+
         meta = ("aij_dnd", shape, tuple(offsets), lpad, rpad,
                 int(np.prod(shape)))
-        return meta, {"coef": coef, "diag": diag}
+        return meta, {"coef": coef,
+                      "diag": gen_diag(jnp.asarray(diag_coef, dt))}
 
     # every plane of a constant-coefficient stencil folds to a SCALAR:
     # the boundary-clip mask is redundant with the mult's zero padding
@@ -116,7 +116,12 @@ def build_dnd(shape, offsets=None, diag_coef=None, off_coef=-1.0,
     coef = jnp.zeros((0,) + shape, dtype=dt)
     meta = ("aij_dnd", shape, tuple(offsets), lpad, rpad,
             int(np.prod(shape)), cvals)
-    return meta, {"coef": coef, "diag": diag}
+    # the diagonal of a constant stencil is one SCALAR: consumers
+    # (jacobi dinv, smoother scaling, Lanczos similarity) all broadcast,
+    # and the materialized (N,) array is 1.07 GB at 512^3 f64 — plus its
+    # f32 cycle copy — for a single number. getDiagonal broadcasts on
+    # demand.
+    return meta, {"coef": coef, "diag": jnp.asarray(float(diag_coef), dt)}
 
 
 def as_mat(meta, data, comm=None):

@@ -502,18 +502,23 @@ class _PCGAMG(_PCMG):
         from ..ops import stencil_build
         from ..parallel.mesh import comm_self
         from . import gamg_device as gd
+        import jax.numpy as jnp
         meta, data = Afine.meta, Afine.device_data()
         cur_shape = tuple(int(s) for s in meta[1])
         level = len(levels) - 1
         limit = max(self.coarse_eq_limit, self.structured_limit)
+        # -pc_mg_dtype single: probe, bound, and STORE the head in f32 —
+        # the hierarchy only ever feeds the f32 cycle, and the f64 twin
+        # of the level-1 planes alone is 3.6 GB at 512^3 (OOMs the chip)
+        hd = jnp.float32 if self.dtype == "f32" else None
         while (int(np.prod(cur_shape)) > limit and min(cur_shape) >= 4
                and level < self.max_levels - 1):
             cshape = tuple((s + 1) // 2 for s in cur_shape)
-            emax = gd.device_emax(meta, data)
+            emax = gd.device_emax(meta, data, dtype=hd)
             levels[-1].emin, levels[-1].emax = self.eig_bounds(emax)
             levels[-1].P = MatInterpQ1(cur_shape, cshape,
                                        comm=comm_self())
-            meta, data = gd.device_rap_dnd(meta, data, cshape)
+            meta, data = gd.device_rap_dnd(meta, data, cshape, dtype=hd)
             Am = stencil_build.as_mat(meta, data, comm=comm_self())
             levels.append(MGLevelSpec(Am))
             cur_shape = cshape

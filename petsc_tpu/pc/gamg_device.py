@@ -119,15 +119,29 @@ def _probe_fn(A_meta, cshape):
     return probe
 
 
-def device_rap_dnd(A_meta, A_data, cshape):
+def head_data(A_data, dtype=None):
+    """The probe/Lanczos view of an operator's data: only the keys the
+    device head reads (stable jit cache key), cast to the CYCLE dtype.
+    With -pc_mg_dtype single the hierarchy only ever feeds the f32
+    V-cycle, so probing and storing it in f32 halves every buffer — at
+    512^3 the f64 head OOMs 16 GB HBM (1.07 GB/vector, 3.6 GB of level-1
+    planes) while the f32 head fits."""
+    out = {"coef": A_data["coef"], "diag": A_data["diag"]}
+    if dtype is not None:
+        out = {k: (v.astype(dtype)
+                   if hasattr(v, "dtype") and v.dtype != dtype else v)
+               for k, v in out.items()}
+    return out
+
+
+def device_rap_dnd(A_meta, A_data, cshape, dtype=None):
     """(coarse_meta, coarse_data) of Ac = P^T A P for a dnd fine operator,
     computed entirely on device. P is MatInterpQ1(fshape -> cshape)."""
     cshape = _as_tuple(cshape)
     nd = len(cshape)
     Nc = int(np.prod(cshape))
     offs27 = [o for o in _prod((-1, 0, 1), repeat=nd)]
-    # pass only what the probe reads so the jit cache key is stable
-    data = {"coef": A_data["coef"], "diag": A_data["diag"]}
+    data = head_data(A_data, dtype)
     coef, diag = _probe_fn(A_meta, cshape)(data)
     meta = ("aij_dnd", cshape, tuple(offs27), (1,) * nd, (1,) * nd, Nc)
     return meta, {"coef": coef, "diag": diag}
@@ -193,7 +207,7 @@ def _lanczos_fn(A_meta, m, seed):
     return lanczos
 
 
-def device_emax(A_meta, A_data, iters=10, seed=7):
+def device_emax(A_meta, A_data, iters=10, seed=7, dtype=None):
     """Largest Ritz value of D^-1 A from a 10-step device Lanczos on the
     similar symmetric operator D^-1/2 A D^-1/2 (mg._host_emax's esteig
     role, agg.c:1855-1899). The 3-term recurrence keeps THREE live
@@ -206,7 +220,7 @@ def device_emax(A_meta, A_data, iters=10, seed=7):
     n = int(np.prod(_as_tuple(A_meta[1]))) if A_meta[0] == "aij_dnd" \
         else A_meta[1]
     m = int(min(iters, n))
-    data = {"coef": A_data["coef"], "diag": A_data["diag"]}
+    data = head_data(A_data, dtype)
     alphas, betas = (np.asarray(x)
                      for x in _lanczos_fn(A_meta, m, seed)(data))
     T = np.diag(alphas) + np.diag(betas[:-1], 1) + np.diag(betas[:-1], -1)
@@ -223,7 +237,9 @@ def dnd_to_csr(meta, data):
     offs = [_as_tuple(o) for o in meta[2]]
     N = int(np.prod(shape))
     cvals = meta[6] if len(meta) > 6 else (None,) * len(offs)
-    coef = np.asarray(data["coef"])
+    # the serial aggregation continuation runs in f64 regardless of the
+    # (possibly f32) head storage dtype
+    coef = np.asarray(data["coef"], dtype=np.float64)
     nd = len(shape)
     idx = np.indices(shape).reshape(nd, -1)
     strides = np.array([int(np.prod(shape[d + 1:])) for d in range(nd)])

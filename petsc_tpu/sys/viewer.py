@@ -96,16 +96,35 @@ def load(path_or_file, comm=None):
         f = open(path_or_file, "rb")
         close = True
     try:
-        cid = int(_read_header(f, 1)[0])
+        # PetscInt-width autodetect: a reference build with 64-bit
+        # indices (--with-64-bit-indices) writes the WHOLE integer
+        # stream — classid included — as big-endian int64, so the first
+        # 4 bytes of the file read 0 under an int32 view (classids are
+        # ~1.2e6 << 2^32). Peek and pick the integer dtype per object.
+        head = f.read(4)
+        if len(head) < 4:
+            raise EOFError("truncated PETSc binary file")
+        ii = _I
+        if int(np.frombuffer(head, dtype=">i4")[0]) == 0:
+            ii = ">i8"
+            head += f.read(4)
+        cid = int(np.frombuffer(head, dtype=ii)[0])
+
+        def rd_int(n):
+            h = np.fromfile(f, dtype=ii, count=n)
+            if len(h) < n:
+                raise EOFError("truncated PETSc binary file")
+            return h
+
         if cid == VEC_FILE_CLASSID:
-            n = int(_read_header(f, 1)[0])
+            n = int(rd_int(1)[0])
             vals = np.fromfile(f, dtype=_R, count=n).astype(np.float64)
             from ..vec.vec import Vec
             return Vec.from_array(vals, comm=comm)
         if cid == MAT_FILE_CLASSID:
-            M, N, nnz = (int(v) for v in _read_header(f, 3))
-            rownz = np.fromfile(f, dtype=_I, count=M).astype(np.int64)
-            indices = np.fromfile(f, dtype=_I, count=nnz).astype(np.int64)
+            M, N, nnz = (int(v) for v in rd_int(3))
+            rownz = rd_int(M).astype(np.int64)
+            indices = rd_int(nnz).astype(np.int64)
             vals = np.fromfile(f, dtype=_R, count=nnz).astype(np.float64)
             indptr = np.concatenate([[0], np.cumsum(rownz)])
             from ..mat.aij import MatAIJ
@@ -114,8 +133,8 @@ def load(path_or_file, comm=None):
             A.setValuesCSR(indptr, indices, vals)
             return A.assemble()
         if cid == IS_FILE_CLASSID:
-            n = int(_read_header(f, 1)[0])
-            idx = np.fromfile(f, dtype=_I, count=n).astype(np.int64)
+            n = int(rd_int(1)[0])
+            idx = rd_int(n).astype(np.int64)
             from ..parallel.index import IS
             return IS(idx, comm)
         raise ValueError(f"unknown PETSc binary classid {cid}")
