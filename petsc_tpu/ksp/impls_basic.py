@@ -85,7 +85,11 @@ def solve_cg(A, B, b, x0, rtol, abstol, divtol, cfg: KSPConfig):
     tested (chknorm)."""
     nt = cfg.normtype
     r0 = initial_residual(A, b, x0, cfg)
-    x0v = x0 if cfg.guess_nonzero else jnp.zeros_like(b)
+    # KSP.solve passes x0 == zeros when the guess is not nonzero, so x0
+    # is ALWAYS the initial iterate — consuming it (instead of a fresh
+    # jnp.zeros_like) lets the jit-level donation alias its buffer into
+    # the while-loop state (1.07 GB at 512^3 f64)
+    x0v = x0
 
     z0 = B.mult(r0)
     beta0 = fdot(z0, r0)
@@ -115,20 +119,23 @@ def solve_cg(A, B, b, x0, rtol, abstol, divtol, cfg: KSPConfig):
                         int(KR.DIVERGED_INDEFINITE_MAT), brk)
         ok = brk == 0
         a = jnp.where(ok, beta / jnp.where(dpi == 0, 1.0, dpi), 0.0)
-        x_new = x + a * p
-        r_new = r - a * w
-        z_new = B.mult(r_new)
-        beta_new = fdot(z_new, r_new)
-        dp = _dp(nt, r_new, z_new)
+        # breakdown (a == 0) makes x/r updates IDENTITIES, so no
+        # where(ok, ...) select is needed on the big vectors — each
+        # select keeps both operands live, double-buffering three
+        # 1.07 GB buffers at 512^3 f64; scalars keep their guards
+        x = x + a * p
+        r = r - a * w
+        z_new = B.mult(r)
+        beta_new = fdot(z_new, r)
+        dp = _dp(nt, r, z_new)
         its_new = i + 1
         conv = check_converged(dp, ttol, abstol, dtol_bound) \
             if nt != NONE else jnp.zeros((), jnp.int32)
         reason_new = jnp.where(ok, conv, brk).astype(jnp.int32)
-        # commit updates only on a clean step
-        x = jnp.where(ok, x_new, x)
-        r = jnp.where(ok, r_new, r)
         bcoef = beta_new / jnp.where(beta == 0, 1.0, beta)
-        p = jnp.where(ok, z_new + bcoef * p, p)
+        # p's post-breakdown value is never read (the loop exits on
+        # reason != 0 and only x is returned) — unguarded like x/r
+        p = z_new + bcoef * p
         hist = jnp.where(ok, hist.at[its_new].set(dp), hist)
         rnorm = jnp.where(ok, dp, rnorm)
         its = jnp.where(ok, its_new, its_new)  # PETSc sets its=i+1 either way

@@ -40,8 +40,9 @@ def register_ksp(name, fn, default_norm=common.PRECONDITIONED,
 _jit_cache: dict = {}
 
 
-def _compiled_solver(name, mat_meta, pc_meta, cfg: KSPConfig):
-    key = (name, mat_meta, pc_meta, cfg)
+def _compiled_solver(name, mat_meta, pc_meta, cfg: KSPConfig,
+                     donate_rhs=False):
+    key = (name, mat_meta, pc_meta, cfg, donate_rhs)
     if key in _jit_cache:
         return _jit_cache[key]
     fn = _IMPLS[name]["fn"]
@@ -53,8 +54,13 @@ def _compiled_solver(name, mat_meta, pc_meta, cfg: KSPConfig):
 
     # x0 is donated: solve() always passes a fresh zeros buffer or the
     # caller's x whose .array is reassigned from the result afterwards —
-    # at 512^3 the donation hands a 1.07 GB buffer to the solver state
-    jitted = jax.jit(run, donate_argnums=(3,))
+    # at 512^3 the donation hands a 1.07 GB buffer to the solver state.
+    # -ksp_donate_rhs (opt-in TPU-ism): the caller promises not to reuse
+    # b.array after the solve, freeing another fine-vector buffer — at
+    # 512^3 CG+GAMG the program otherwise sits exactly at the 15.75 GB
+    # HBM line (chip-measured memory_analysis: args 4.04 + temp 12.71 -
+    # alias 1.0 GiB)
+    jitted = jax.jit(run, donate_argnums=(2, 3) if donate_rhs else (3,))
     _jit_cache[key] = jitted
     return jitted
 
@@ -368,15 +374,19 @@ class KSP(PObject):
             res = res._replace(x=jnp.asarray(
                 self.pc._impl.postsolve(np.asarray(res.x))))
         else:
+            donate_rhs = self.opt("get_bool", "ksp_donate_rhs", False)
             fn = _compiled_solver(self._type, self.mat.meta, self.pc.meta,
-                                  cfg)
+                                  cfg, donate_rhs=donate_rhs)
             res = fn(self.mat.device_data(), self.pc.device_data(),
                      b.array, x0, self.rtol, self.abstol, self.divtol)
         res = jax.block_until_ready(res)
         dt = time.perf_counter() - t0
         self.guess_nonzero = saved_nonzero
         x.array = res.x
-        if guess is not None and int(res.reason) > 0:
+        if (guess is not None and int(res.reason) > 0
+                and not self.opt("get_bool", "ksp_donate_rhs", False)):
+            # -ksp_donate_rhs hands b's buffer to the solver: it cannot
+            # feed the Fischer/POD guess history afterwards
             guess.update(np.asarray(res.x)[: self.mat.row_layout.N],
                          np.asarray(b.array)[: self.mat.row_layout.N])
         self._its = int(res.its)
