@@ -130,9 +130,13 @@ def bench_suite(small=False, solve=True):
         M = MatAIJ.from_scipy(A)
         meta, data = M.meta, M.device_data()
         nnz = A.nnz
-        op = operator.bind(meta, data)
 
-        def loop(v, K):
+        # data rides as a jit ARGUMENT: closing over it bakes the index
+        # arrays into the program as constants, and the tunnel's
+        # remote_compile rejects the multi-hundred-MB request (HTTP 413)
+        def loop(d, v, K):
+            op = operator.bind(meta, d)
+
             def body(i, u):
                 y = op.mult(u)
                 return u * 0.5 + jnp.zeros_like(u).at[0].set(
@@ -143,11 +147,11 @@ def bench_suite(small=False, solve=True):
         v = jnp.asarray(np.random.default_rng(0).random(M.row_layout.Npad))
 
         def timed(K):
-            float(jf(v, np.int32(K)))
+            float(jf(data, v, np.int32(K)))
             best = float("inf")
             for _ in range(3):
                 t0 = time.perf_counter()
-                float(jf(v, np.int32(K)))
+                float(jf(data, v, np.int32(K)))
                 best = min(best, time.perf_counter() - t0)
             return best
 

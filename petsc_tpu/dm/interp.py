@@ -117,6 +117,105 @@ class MatInterpQ1(Mat):
         return P
 
 
+class MatInterpQ1MPI(MatInterpQ1):
+    """Slab-sharded Q1 prolongation: the leading (sharded) axis transfers
+    exchange exactly ONE boundary plane per neighbor via lax.ppermute
+    inside shard_map; the tail axes stay pure local slicing. Written as
+    an EXPLICIT shard_map (not GSPMD-partitioned global slicing) both
+    for the gather-free guarantee and for correctness: XLA's automatic
+    partitioner mis-shards the strided interleave when this transfer is
+    composed with the shard_map stencil operators inside one program
+    (measured on the 8-virtual-device mesh: a jitted Richardson loop
+    diverges from the identical eager iteration; see
+    tests/test_gamg_mpi_head.py)."""
+
+    def __init__(self, fine_shape, coarse_shape, comm, **kw):
+        super().__init__(fine_shape, coarse_shape, comm=comm, **kw)
+        self._Pn = comm.nshards
+        self._axis = comm.axis
+        self._mesh = comm.mesh
+        if (fine_shape[0] % (2 * self._Pn) != 0
+                or coarse_shape[0] % self._Pn != 0
+                or fine_shape[0] != 2 * coarse_shape[0]):
+            raise ValueError("MatInterpQ1MPI slab contract: nf0 = 2*nc0, "
+                             "both divisible over the shards")
+
+    @property
+    def meta(self):
+        return ("interp_q1_mpi", self.fine_shape, self.coarse_shape,
+                self._Pn, self._axis, self._mesh)
+
+
+def _bind_interp_q1_mpi(meta, data):
+    import jax
+    from jax import lax
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    _, fshape, cshape, Pn, axis, mesh = meta
+    nd = len(fshape)
+    nzl_c = cshape[0] // Pn
+    nzl_f = fshape[0] // Pn          # = 2 * nzl_c
+    ctail = tuple(cshape[1:])
+    ftail = tuple(fshape[1:])
+    blk_c = nzl_c * int(np.prod(ctail)) if ctail else nzl_c
+    blk_f = nzl_f * int(np.prod(ftail)) if ftail else nzl_f
+    fwd = [(i, i + 1) for i in range(Pn - 1)]   # plane to next shard
+    bwd = [(i + 1, i) for i in range(Pn - 1)]   # plane to prev shard
+
+    def local_mult(xc):
+        c = xc.reshape(-1)[:blk_c].reshape((nzl_c,) + ctail)
+        # tail axes: pure local Q1 interp
+        for ax in range(1, nd):
+            c = _interp_axis(c, ax, fshape[ax])
+        # leading axis: even fine planes inject, odd average (k, k+1);
+        # the k+1 of the slab's last odd plane is the NEXT shard's first
+        # plane — one ppermute; the GLOBAL last odd plane clamps to its
+        # own last coarse plane (even-nf branch of _interp_axis)
+        nxt = lax.ppermute(c[:1], axis, bwd)     # next shard's first plane
+        is_last = jax.lax.axis_index(axis) == Pn - 1
+        nxt = jnp.where(is_last, c[-1:], nxt)
+        ext = jnp.concatenate([c, nxt], axis=0)  # (nzl_c + 1, ftail)
+        odd = 0.5 * (ext[:-1] + ext[1:])
+        f = jnp.stack([c, odd], axis=1).reshape((nzl_f,) + ftail)
+        return f.reshape(1, blk_f)
+
+    def local_mult_t(xf):
+        f = xf.reshape(-1)[:blk_f].reshape((nzl_f,) + ftail)
+        even = f[0::2]
+        odd = f[1::2]
+        # adjoint of the leading axis: c_k += even_k + 0.5*odd_k
+        # + 0.5*odd_{k-1}; odd_{k-1} of the slab's first plane comes from
+        # the PREVIOUS shard; the global clamp adds the last shard's own
+        # last odd plane again to its last coarse plane
+        prev = lax.ppermute(odd[-1:], axis, fwd)  # prev shard's last odd
+        c = even + 0.5 * odd
+        c = c.at[1:].add(0.5 * odd[:-1])
+        c = c.at[:1].add(0.5 * prev)
+        is_last = jax.lax.axis_index(axis) == Pn - 1
+        c = c.at[-1:].add(jnp.where(is_last, 0.5 * odd[-1:], 0.0))
+        # tail axes: local adjoints, reverse order
+        for ax in range(nd - 1, 0, -1):
+            c = _restrict_axis(c, ax, cshape[ax])
+        return c.reshape(1, blk_c)
+
+    smap = shard_map(local_mult, mesh=mesh,
+                     in_specs=P(axis), out_specs=P(axis, None))
+    smap_t = shard_map(local_mult_t, mesh=mesh,
+                       in_specs=P(axis), out_specs=P(axis, None))
+
+    def mult(x):
+        return smap(x).reshape(-1)
+
+    def mult_t(x):
+        return smap_t(x).reshape(-1)
+
+    return operator.Op(mult=mult, mult_t=mult_t)
+
+
+operator.register_binder("interp_q1_mpi", _bind_interp_q1_mpi)
+
+
 def _bind_interp_q1(meta, data):
     _, fshape, cshape, dof = (meta + (1,))[:4]
     nd = len(fshape)

@@ -39,12 +39,22 @@ def _as_tuple(x):
     return tuple(int(v) for v in x)
 
 
-def supports_device_rap(meta):
-    """True when `meta` is an aij_dnd stencil whose offsets fit in the
+def _shape_of(meta):
+    """Grid shape of a stencil operator meta (serial or slab-sharded)."""
+    if meta[0] == "aij_dnd":
+        return _as_tuple(meta[1])
+    if meta[0] == "dnd_mpi":
+        return _as_tuple(meta[3])
+    raise ValueError(meta[0])
+
+
+def supports_device_rap(meta, kinds=("aij_dnd",)):
+    """True when `meta` is a grid stencil whose offsets fit in the
     {-1,0,1}^d box (star/box stencils; closed under Q1 coarsening)."""
-    if not meta or meta[0] != "aij_dnd":
+    if not meta or meta[0] not in kinds:
         return False
-    shape, offs = meta[1], meta[2]
+    shape = _shape_of(meta)
+    offs = meta[2] if meta[0] == "aij_dnd" else meta[4]
     return all(all(abs(int(c)) <= 1 for c in o) for o in offs) \
         and len(shape) >= 1
 
@@ -62,22 +72,34 @@ def _probe_fn(A_meta, cshape):
     from ..dm.interp import _interp_axis, _restrict_axis
     from ..ops import operator
 
-    fshape = _as_tuple(A_meta[1])
+    fshape = _shape_of(A_meta)
     nd = len(fshape)
     Nf = int(np.prod(fshape))
     offs27 = [o for o in _prod((-1, 0, 1), repeat=nd)]
 
-    def P_mult(xc):
-        v = xc.reshape(cshape)
-        for ax in range(nd):
-            v = _interp_axis(v, ax, fshape[ax])
-        return v.reshape(-1)
+    if A_meta[0] == "dnd_mpi":
+        # explicit shard_map transfers (plane ppermutes): GSPMD's
+        # automatic partitioning of the strided interleave is both
+        # slower and — composed with the shard_map stencil ops in one
+        # program — WRONG on the virtual mesh (dm/interp.py
+        # MatInterpQ1MPI docstring)
+        from ..dm.interp import _bind_interp_q1_mpi
+        Pop = _bind_interp_q1_mpi(
+            ("interp_q1_mpi", fshape, cshape, int(A_meta[1]),
+             A_meta[8], A_meta[9]), {})
+        P_mult, Pt_mult = Pop.mult, Pop.mult_t
+    else:
+        def P_mult(xc):
+            v = xc.reshape(cshape)
+            for ax in range(nd):
+                v = _interp_axis(v, ax, fshape[ax])
+            return v.reshape(-1)
 
-    def Pt_mult(xf):
-        v = xf.reshape(fshape)
-        for ax in range(nd - 1, -1, -1):
-            v = _restrict_axis(v, ax, cshape[ax])
-        return v.reshape(-1)
+        def Pt_mult(xf):
+            v = xf.reshape(fshape)
+            for ax in range(nd - 1, -1, -1):
+                v = _restrict_axis(v, ax, cshape[ax])
+            return v.reshape(-1)
 
     @jax.jit
     def probe(data):
@@ -147,12 +169,88 @@ def device_rap_dnd(A_meta, A_data, cshape, dtype=None):
     return meta, {"coef": coef, "diag": diag}
 
 
+def device_rap_dnd_mpi(A_meta, A_data, cshape, comm, dtype=None):
+    """Sharded Galerkin RAP: (coarse dnd_mpi meta, data) of Ac = P^T A P
+    for a slab-sharded fine stencil (round-3 VERDICT weak item 9 /
+    next-round item 8). The probe itself is LAYOUT-AGNOSTIC: the combs,
+    the Q1 transfers, and the residue extraction are global-array jnp
+    ops, and the fine operator application goes through the dnd_mpi
+    binder's shard_map — GSPMD partitions the surrounding slicing and
+    inserts the boundary-plane collectives. Only the final coefficient
+    re-layout (plane-major -> shard-major) is distribution-aware.
+    Requires cshape[0] % nshards == 0 (caller checks)."""
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    cshape = _as_tuple(cshape)
+    nd = len(cshape)
+    offs27 = [o for o in _prod((-1, 0, 1), repeat=nd)]
+    Pn = int(A_meta[1])
+    axis, mesh = A_meta[8], A_meta[9]
+    data = head_data(A_data, dtype)
+    coef, diag = _probe_fn(A_meta, cshape)(data)
+    nzl_c = cshape[0] // Pn
+    K = len(offs27)
+    # (K,)+cshape -> (Pn, K, nzl_c, *tail): shard-major slab layout
+    coef = jnp.moveaxis(
+        coef.reshape((K, Pn, nzl_c) + cshape[1:]), 1, 0)
+    sh = NamedSharding(mesh, P(axis, *([None] * (nd + 1))))
+    sh1 = NamedSharding(mesh, P(axis))
+    coef = jax.device_put(coef, sh)
+    diag = jax.device_put(diag, sh1)
+    meta = ("dnd_mpi", Pn, nzl_c, cshape, tuple(offs27), 1,
+            (1,) * (nd - 1), (1,) * (nd - 1), axis, mesh)
+    return meta, {"coef": coef, "diag": diag}
+
+
+def as_mat_mpi(meta, data, comm):
+    """First-class Mat wrapper for a probed dnd_mpi coarse level (the
+    sharded sibling of stencil_build.as_mat)."""
+    from ..mat.mat import Mat
+
+    class _ShardedStencilMat(Mat):
+        @property
+        def meta(self):
+            return self._meta_val
+
+        def device_data(self):
+            return self._data_val
+
+        def to_scipy(self):
+            return mpi_to_csr(self._meta_val, self._data_val)
+
+    M = _ShardedStencilMat(comm)
+    shape = _as_tuple(meta[3])
+    N = int(np.prod(shape))
+    M.setSizes((N, N))
+    M._meta_val = meta
+    M._data_val = data
+    M._grid_shape = shape
+    M._assembled = True
+    return M
+
+
+def mpi_to_csr(meta, data):
+    """Gather a (small) dnd_mpi level as host CSR — the telescope-tail
+    handoff (one transfer, used only below the structured limit)."""
+    Pn, nzl = int(meta[1]), int(meta[2])
+    shape = _as_tuple(meta[3])
+    offs = [_as_tuple(o) for o in meta[4]]
+    K = len(offs)
+    # (Pn, K, nzl, *tail) -> (K,)+shape plane-major host layout
+    coef = np.moveaxis(np.asarray(data["coef"], dtype=np.float64), 0, 1) \
+        .reshape((K,) + shape)
+    smeta = ("aij_dnd", shape, tuple(offs), None, None,
+             int(np.prod(shape)))
+    return dnd_to_csr(smeta, {"coef": coef})
+
+
 @lru_cache(maxsize=64)
 def _lanczos_fn(A_meta, m, seed):
     from ..ops import operator
 
-    n = int(np.prod(_as_tuple(A_meta[1]))) if A_meta[0] == "aij_dnd" \
-        else A_meta[1]
+    n = int(np.prod(_shape_of(A_meta))) \
+        if A_meta[0] in ("aij_dnd", "dnd_mpi") else A_meta[1]
 
     # constant-diagonal stencils (meta[6] cvals) fold the similarity
     # scaling to SCALARS — the materialized dis/sgn vectors are 2x 1.1 GB
@@ -217,8 +315,8 @@ def device_emax(A_meta, A_data, iters=10, seed=7, dtype=None):
     transform's 1.1 safety factor (eig_bounds) absorbs the residual
     slack — for strongly nonsymmetric operators Chebyshev smoothing is
     the wrong tool regardless (cheby.c's own caveat)."""
-    n = int(np.prod(_as_tuple(A_meta[1]))) if A_meta[0] == "aij_dnd" \
-        else A_meta[1]
+    n = int(np.prod(_shape_of(A_meta))) \
+        if A_meta[0] in ("aij_dnd", "dnd_mpi") else A_meta[1]
     m = int(min(iters, n))
     data = head_data(A_data, dtype)
     alphas, betas = (np.asarray(x)
