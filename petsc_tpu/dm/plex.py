@@ -542,6 +542,24 @@ class DMPlex(DM):
             (vals, (rows, cols)), shape=(nv + nnew, nv))
         return fine
 
+    def adaptLabel(self, marked):
+        """DMAdaptLabel (plexadapt.c): conforming red-green refinement
+        of the marked cells — see dm.plex_transform.adapt_label."""
+        from .plex_transform import adapt_label
+        return adapt_label(self, marked)
+
+    def adaptMetric(self, metric, max_passes=6):
+        """DMAdaptMetric role (plexadapt.c/plexmetric.c), in-tree
+        refinement-only fallback — see dm.plex_transform.adapt_metric."""
+        from .plex_transform import adapt_metric
+        return adapt_metric(self, metric, max_passes)
+
+    def transform(self, ttype, **options):
+        """Apply a DMPlexTransform by registry name
+        (plextransform.c role) — see dm.plex_transform.PlexTransform."""
+        from .plex_transform import PlexTransform
+        return PlexTransform(ttype, **options).apply(self)
+
     def coarsen(self):
         """The refinement parent (DMCoarsen on a refined plex); PCMG's
         DM-driven hierarchy walks this chain."""
