@@ -139,9 +139,11 @@ def _lagrange_nodes(dim, k, cell):
     ('vertex', v) | ('edge', (a, b), pos) | ('face', (a, b, c)) |
     ('interior',). Simplex nodes are the barycentric lattice i/k."""
     if cell == "tensor":
-        if dim == 3 and k > 1:
-            raise NotImplementedError("tensor 3-D Lagrange: Q1 only "
-                                      "(hex-face dof orientation deferred)")
+        if dim == 3 and k > 2:
+            raise NotImplementedError(
+                "tensor 3-D Lagrange: Q1/Q2 only (Q3+ has multiple "
+                "face-interior nodes per hex face, needing oriented "
+                "2-D face-dof numbering)")
         ax = np.linspace(0.0, 1.0, k + 1)
         grids = np.meshgrid(*[ax] * dim, indexing="ij")
         pts = np.stack(grids, axis=-1).reshape(-1, dim)
@@ -152,6 +154,30 @@ def _lagrange_nodes(dim, k, cell):
             onb = [a or b for a, b in zip(on0, on1)]
             if all(onb):
                 kinds.append(("vertex", _tensor_corner(p, dim)))
+            elif dim == 3 and any(onb):
+                nfree = sum(not b for b in onb)
+                if nfree == 1:
+                    # hex edge node: endpoints at free-axis 0 / 1
+                    d = onb.index(False)
+                    lo, hi = list(p), list(p)
+                    lo[d], hi[d] = 0.0, 1.0
+                    a = _tensor_corner(np.array(lo), 3)
+                    b = _tensor_corner(np.array(hi), 3)
+                    kinds.append(("edge", (a, b), int(round(p[d] * k))))
+                elif nfree == 2:
+                    # hex face node (k=2: the single centroid dof —
+                    # orientation-free); key = the face's 4 corners
+                    d = [i for i, b in enumerate(onb) if b][0]
+                    corners = []
+                    for u in (0.0, 1.0):
+                        for v in (0.0, 1.0):
+                            q = list(p)
+                            free = [i for i in range(3) if i != d]
+                            q[free[0]], q[free[1]] = u, v
+                            corners.append(_tensor_corner(np.array(q), 3))
+                    kinds.append(("face", tuple(corners)))
+                else:
+                    kinds.append(("interior",))
             elif dim == 2 and any(onb):
                 # quad edge nodes: corners ccw 0=00,1=10,2=11,3=01; the
                 # local (a, b) pair fixes the direction pos counts along
@@ -167,6 +193,50 @@ def _lagrange_nodes(dim, k, cell):
             else:
                 kinds.append(("interior",))
         return pts, kinds
+    if cell == "prism":
+        if k > 2:
+            raise NotImplementedError(
+                "prism Lagrange: order 1-2 only (k>=3 has multiple "
+                "quad-face nodes needing oriented face numbering)")
+        # corners: 0,1,2 bottom triangle (z=0), 3,4,5 top (z=1)
+        tri = [(0.0, 0.0), (1.0, 0.0), (0.0, 1.0)]
+        tpts, tkinds = [], []
+        # triangle lattice of order k with entity classification
+        for i in range(k + 1):
+            for j in range(k + 1 - i):
+                x, y = i / max(k, 1), j / max(k, 1)
+                lam = (1 - x - y, x, y)
+                nz = [v for v, l in enumerate(lam) if l > 1e-12]
+                tpts.append((x, y))
+                if len(nz) == 1:
+                    tkinds.append(("tv", nz[0]))
+                else:
+                    tkinds.append(("te", tuple(nz)))
+        pts, kinds = [], []
+        for (x, y), tk in zip(tpts, tkinds):
+            for iz in range(k + 1):
+                z = iz / max(k, 1)
+                pts.append((x, y, z))
+                zend = abs(z) < 1e-12 or abs(z - 1) < 1e-12
+                top = 3 if z > 0.5 else 0
+                if tk[0] == "tv" and zend:
+                    kinds.append(("vertex", tk[1] + top))
+                elif tk[0] == "tv":
+                    # vertical edge v -- v+3
+                    kinds.append(("edge", (tk[1], tk[1] + 3),
+                                  int(round(z * k))))
+                elif zend:
+                    # horizontal triangle edge at z in {0, 1}
+                    a, b = tk[1]
+                    # position along a->b: barycentric coordinate of b
+                    lamb = (1 - x - y, x, y)[b]
+                    kinds.append(("edge", (a + top, b + top),
+                                  int(round(lamb * k))))
+                else:
+                    # quad face spanned by the tri edge x the z axis
+                    a, b = tk[1]
+                    kinds.append(("face", (a, b, a + 3, b + 3)))
+        return np.asarray(pts, dtype=np.float64), kinds
     if dim == 3 and k >= 4:
         raise NotImplementedError(
             "3-D simplex Lagrange: P1-P3 only (P4+ has multiple "
@@ -214,15 +284,46 @@ def _tensor_corner(p, dim):
     return order.index(bits)
 
 
+def prism_quadrature(deg):
+    """Quadrature on the reference wedge (triangle x [0, 1]): Stroud
+    conical in (x, y) tensored with Gauss in z, exact to `deg` in each
+    factor (the DM_POLYTOPE_TRI_PRISM quadrature role)."""
+    qp2, qw2 = stroud_conical_quadrature(2, deg)
+    tz, wz = np.polynomial.legendre.leggauss(deg // 2 + 1)
+    tz = 0.5 * (tz + 1.0)
+    wz = 0.5 * wz
+    qp = np.concatenate(
+        [np.repeat(qp2, len(tz), axis=0),
+         np.tile(tz, len(qp2))[:, None]], axis=1)
+    qw = (qw2[:, None] * wz[None, :]).reshape(-1)
+    return qp, qw
+
+
+def _prism_monomials(k):
+    """Exponents of P_k(x, y) x P_k(z) — the wedge polynomial space."""
+    out = []
+    for a in range(k + 1):
+        for b in range(k + 1 - a):
+            for c in range(k + 1):
+                out.append((a, b, c))
+    return np.asarray(sorted(out), dtype=np.int64)
+
+
 def lagrange_fe(dim, k, cell="simplex", qdeg=None, ncomp=1):
     """PetscFECreateLagrange role: nodal Lagrange element of order k on a
-    simplex or tensor reference cell, any dim — PetscSpace (monomials) x
-    PetscDualSpace (lattice nodes) inverted through the generalized
-    Vandermonde, tabulated at a quadrature exact for degree 2k."""
+    simplex, tensor, or prism (wedge) reference cell, any dim —
+    PetscSpace (monomials) x PetscDualSpace (lattice nodes) inverted
+    through the generalized Vandermonde, tabulated at a quadrature exact
+    for degree 2k."""
     qdeg = qdeg if qdeg is not None else 2 * k
     if cell == "tensor":
         qp, qw = gauss_quadrature(dim, qdeg // 2 + 1, cell="tensor")
         expo = _q_monomials(dim, k)
+    elif cell == "prism":
+        if dim != 3:
+            raise NotImplementedError("prism cells are 3-D")
+        qp, qw = prism_quadrature(qdeg)
+        expo = _prism_monomials(k)
     else:
         qp, qw = stroud_conical_quadrature(dim, qdeg)
         expo = _p_monomials(dim, k)
@@ -422,9 +523,29 @@ def _map_nodes(coords, cells, fe):
         lam0 = 1.0 - fe.nodes.sum(axis=1, keepdims=True)
         lam = np.concatenate([lam0, fe.nodes], axis=1)   # (nb, d+1)
         return np.einsum("bv,cvd->cbd", lam, xe[:, : fe.dim + 1])
+    if fe.cell == "prism":
+        Bg, _ = _geom_prism(fe.nodes)
+        return np.einsum("bv,cvd->cbd", Bg, xe)
     # multilinear corner map
     Bg, _ = _geom_tabulation(fe.dim, fe.nodes)
     return np.einsum("bv,cvd->cbd", Bg, xe)
+
+
+def _geom_prism(pts):
+    """P1 wedge geometry basis values/gradients at `pts` (isoparametric
+    map for prism cells): lambda_i(x, y) x {1-z, z}, corners 0-2 bottom,
+    3-5 top."""
+    x, y, z = pts[:, 0], pts[:, 1], pts[:, 2]
+    lam = np.stack([1 - x - y, x, y], axis=1)            # (nq, 3)
+    gl = np.array([[-1.0, -1.0], [1.0, 0.0], [0.0, 1.0]])
+    B = np.concatenate([lam * (1 - z)[:, None], lam * z[:, None]], axis=1)
+    D = np.zeros((len(pts), 6, 3))
+    for i in range(3):
+        D[:, i, :2] = gl[i] * (1 - z)[:, None]
+        D[:, i, 2] = -lam[:, i]
+        D[:, i + 3, :2] = gl[i] * z[:, None]
+        D[:, i + 3, 2] = lam[:, i]
+    return B, D
 
 
 def _geom_tabulation(dim, pts):
@@ -652,6 +773,241 @@ def bdm1_mixed_poisson(plex, f=1.0):
             _Vec.from_array(rhs, comm=plex.comm), 2 * ne, eval_sigma)
 
 
+def rt1_mixed_poisson(plex, f=1.0):
+    """Mixed Poisson with RT1 x P1disc on triangles — the next member of
+    the H(div) Raviart-Thomas family (PETSCDUALSPACE RT at order 1,
+    src/dm/dt/space/impls/ptrimmed/spaceptrimmed.c: the trimmed space
+    (P1)^2 + x Ptilde_1, dim 8): both the flux AND the potential
+    converge at O(h^2), one order above RT0 on each.
+
+        (sigma, tau) + (u, div tau) = 0        for all tau in RT1
+        (div sigma, v)             = -(f, v)   for all v in P1disc
+
+    Same TPU-idiomatic construction as bdm1_mixed_poisson: per-cell 8x8
+    generalized Vandermonde over centroid-centered monomial fields
+    (6 P1 fields + the two trimmed fields xi*(xi,eta), eta*(xi,eta)),
+    batched over all cells.  Dofs: 2 Legendre normal moments per edge
+    (globally shared -> normal continuity) + 2 interior mean-value
+    moments per cell.  div(RT1) = P1disc exactly, so the div block is
+    integrated exactly by degree-2 quadrature.
+
+    Returns (K MatAIJ, rhs Vec, nflux = 2*ne + 2*nc, eval_sigma,
+    eval_u) with eval_u(s) -> (uh (nc, nq), xq, wdet)."""
+    import scipy.sparse as sp
+    from ..mat.aij import MatAIJ
+    from ..vec.vec import Vec as _Vec
+    cells = np.asarray(plex.cells, dtype=np.int64)
+    coords = np.asarray(plex.coords, dtype=np.float64)
+    if cells.shape[1] != 3 or coords.shape[1] != 2:
+        from ..sys.error import Error
+        raise Error("rt1_mixed_poisson: 2-D triangle meshes only")
+    edges, c2e = build_edges(cells)
+    ne, nc = len(edges), len(cells)
+    pairs = [(0, 1), (1, 2), (0, 2)]
+    v = coords[cells]
+    J = np.stack([v[:, 1] - v[:, 0], v[:, 2] - v[:, 0]], axis=2)
+    detJ = J[:, 0, 0] * J[:, 1, 1] - J[:, 0, 1] * J[:, 1, 0]
+    area = np.abs(detJ) / 2.0
+    cc = v.mean(axis=1)
+    h = np.sqrt(area)
+    carange = np.arange(nc)
+
+    def monos(x, c):
+        """8 RT1 monomial fields at points x (..., 2) of cells c:
+        6 x P1 + the trimmed pair; returns (..., 8, 2)."""
+        xi = (x[..., 0] - cc[c, ..., 0]) / h[c, ...]
+        et = (x[..., 1] - cc[c, ..., 1]) / h[c, ...]
+        one = np.ones_like(xi)
+        zero = np.zeros_like(xi)
+        mx = np.stack([one, xi, et, zero, zero, zero,
+                       xi * xi, xi * et], axis=-1)
+        my = np.stack([zero, zero, zero, one, xi, et,
+                       xi * et, et * et], axis=-1)
+        return np.stack([mx, my], axis=-1)
+
+    def monos_div(x, c):
+        """Divergence of the 8 fields at x: (..., 8)."""
+        xi = (x[..., 0] - cc[c, ..., 0]) / h[c, ...]
+        et = (x[..., 1] - cc[c, ..., 1]) / h[c, ...]
+        one = np.ones_like(xi)
+        zero = np.zeros_like(xi)
+        hi = 1.0 / h[c, ...]
+        return np.stack([zero, one * hi, zero, zero, zero, one * hi,
+                         3 * xi * hi, 3 * et * hi], axis=-1)
+
+    # dof rows: 6 edge moments (as BDM1) + 2 interior means
+    tg, wg = np.polynomial.legendre.leggauss(2)
+    tg = 0.5 * (tg + 1.0)
+    wg = 0.5 * wg
+    V = np.zeros((nc, 8, 8))
+    gdof = np.zeros((nc, 8), dtype=np.int64)
+    osgn = np.zeros((nc, 3))
+    for k, (a, b) in enumerate(pairs):
+        ga, gb = cells[:, a], cells[:, b]
+        lo = np.minimum(ga, gb)
+        hi_ = np.maximum(ga, gb)
+        xlo, xhi = coords[lo], coords[hi_]
+        d = xhi - xlo
+        nun = np.stack([d[:, 1], -d[:, 0]], axis=1)
+        mid = (xlo + xhi) / 2 - cc
+        osgn[:, k] = np.sign(mid[:, 0] * nun[:, 0] + mid[:, 1] * nun[:, 1])
+        xt = xlo[:, None] + tg[None, :, None] * d[:, None]
+        mv = monos(xt, carange[:, None])                # (nc, ng, 8, 2)
+        mn = np.einsum("cgjd,cd->cgj", mv, nun)
+        V[:, 2 * k] = np.einsum("g,cgj->cj", wg, mn)
+        V[:, 2 * k + 1] = np.einsum("g,g,cgj->cj", wg, 2 * tg - 1, mn)
+        gdof[:, 2 * k] = 2 * c2e[:, k]
+        gdof[:, 2 * k + 1] = 2 * c2e[:, k] + 1
+    # interior dofs: cell-mean of each component (degree-2 quadrature)
+    qp, qw = stroud_conical_quadrature(2, 3)
+    lam = np.concatenate([1 - qp.sum(axis=1, keepdims=True), qp], axis=1)
+    xq = np.einsum("qv,cvd->cqd", lam, v)               # (nc, nq, 2)
+    wdet = qw[None, :] * np.abs(detJ)[:, None]
+    mq = monos(xq, carange[:, None])                    # (nc, nq, 8, 2)
+    for d in range(2):
+        V[:, 6 + d] = np.einsum("cq,cqj->cj", wdet, mq[..., d]) \
+            / area[:, None]
+        gdof[:, 6 + d] = 2 * ne + 2 * carange + d
+    C = np.linalg.inv(V)                                # (nc, 8, 8)
+    S = np.einsum("cqjd,cji->cqid", mq, C)              # basis at qp
+    Me = np.einsum("cq,cqid,cqjd->cij", wdet, S, S)
+    nflux = 2 * ne + 2 * nc
+    rows = np.repeat(gdof, 8, axis=1).reshape(-1)
+    cols = np.tile(gdof, (1, 8)).reshape(-1)
+    M = sp.csr_matrix((Me.reshape(-1), (rows, cols)),
+                      shape=(nflux, nflux))
+    # div block against P1disc (3 dofs per cell, barycentric basis)
+    dq = np.einsum("cqj,cji->cqi", monos_div(xq, carange[:, None]), C)
+    Be = np.einsum("cq,cqi,qv->cvi", wdet, dq, lam)     # (nc, 3, 8)
+    udof = (3 * carange[:, None] + np.arange(3))        # (nc, 3)
+    Brows = np.repeat(udof, 8, axis=1).reshape(-1)
+    Bcols = np.tile(gdof, (1, 3)).reshape(-1)
+    B = sp.csr_matrix((Be.reshape(-1), (Brows, Bcols)),
+                      shape=(3 * nc, nflux))
+    K = sp.bmat([[M, B.T], [B, None]], format="csr")
+    rhs = np.zeros(nflux + 3 * nc)
+    if np.isscalar(f):
+        fq = np.full((nc, len(qp)), float(f))
+    else:
+        fq = np.asarray([[float(f(x)) for x in row] for row in xq])
+    rhs[nflux:] = -np.einsum("cq,cq,qv->cv", wdet, fq, lam).reshape(-1)
+
+    def eval_sigma(s):
+        se = np.asarray(s)[gdof]
+        sig = np.einsum("cqid,ci->cqd", S, se)
+        return sig, xq, wdet
+
+    def eval_u(s):
+        ue = np.asarray(s)[nflux + udof]                # (nc, 3)
+        return np.einsum("qv,cv->cq", lam, ue), xq, wdet
+
+    return (MatAIJ.from_scipy(K, comm=plex.comm),
+            _Vec.from_array(rhs, comm=plex.comm), nflux,
+            eval_sigma, eval_u)
+
+
+def nedelec1_curlcurl(plex, alpha=1.0, beta=1.0):
+    """H(curl) full-linear Nédélec (2nd kind, order 1) on triangles —
+    the higher-order edge element named next to BDM1 in the dualspace
+    family (it IS BDM1 rotated 90°: full P1 vector fields with 2
+    tangential Legendre moments per edge).  Converges at O(h^2) in L2
+    where the Whitney element (nedelec0_curlcurl) gives O(h).
+
+    Assembles K = alpha (curl E, curl F) + beta (E, F) over the 2*ne
+    edge-moment dofs, plus the interpolation machinery.  Returns
+    (K MatAIJ, dofs, interpolate, eval_E) with
+      dofs(E_exact) -> exact dof vector (for essential tangential BCs),
+      eval_E(s) -> (Eh (nc, nq, 2), xq, wdet)."""
+    import scipy.sparse as sp
+    from ..mat.aij import MatAIJ
+    cells = np.asarray(plex.cells, dtype=np.int64)
+    coords = np.asarray(plex.coords, dtype=np.float64)
+    if cells.shape[1] != 3 or coords.shape[1] != 2:
+        from ..sys.error import Error
+        raise Error("nedelec1_curlcurl: 2-D triangle meshes only")
+    edges, c2e = build_edges(cells)
+    ne, nc = len(edges), len(cells)
+    pairs = [(0, 1), (1, 2), (0, 2)]
+    v = coords[cells]
+    J = np.stack([v[:, 1] - v[:, 0], v[:, 2] - v[:, 0]], axis=2)
+    detJ = J[:, 0, 0] * J[:, 1, 1] - J[:, 0, 1] * J[:, 1, 0]
+    area = np.abs(detJ) / 2.0
+    cc = v.mean(axis=1)
+    h = np.sqrt(area)
+    carange = np.arange(nc)
+
+    def monos(x, c):
+        xi = (x[..., 0] - cc[c, ..., 0]) / h[c, ...]
+        et = (x[..., 1] - cc[c, ..., 1]) / h[c, ...]
+        one = np.ones_like(xi)
+        zero = np.zeros_like(xi)
+        mx = np.stack([one, xi, et, zero, zero, zero], axis=-1)
+        my = np.stack([zero, zero, zero, one, xi, et], axis=-1)
+        return np.stack([mx, my], axis=-1)
+
+    # curls of the monomial fields: curl (mx, my) = dmy/dx - dmx/dy
+    # (constants: [0, 0, -1/h, 0, 1/h, 0])
+    tg, wg = np.polynomial.legendre.leggauss(2)
+    tg = 0.5 * (tg + 1.0)
+    wg = 0.5 * wg
+    V = np.zeros((nc, 6, 6))
+    gdof = np.zeros((nc, 6), dtype=np.int64)
+    edge_pts = []       # per local edge: (xlo, d) for dof evaluation
+    for k, (a, b) in enumerate(pairs):
+        ga, gb = cells[:, a], cells[:, b]
+        lo = np.minimum(ga, gb)
+        hi = np.maximum(ga, gb)
+        xlo, xhi = coords[lo], coords[hi]
+        d = xhi - xlo                        # tangent * |e|, lo -> hi
+        edge_pts.append((xlo, d))
+        xt = xlo[:, None] + tg[None, :, None] * d[:, None]
+        mv = monos(xt, carange[:, None])
+        mt = np.einsum("cgjd,cd->cgj", mv, d)        # E . t*|e|
+        V[:, 2 * k] = np.einsum("g,cgj->cj", wg, mt)
+        V[:, 2 * k + 1] = np.einsum("g,g,cgj->cj", wg, 2 * tg - 1, mt)
+        gdof[:, 2 * k] = 2 * c2e[:, k]
+        gdof[:, 2 * k + 1] = 2 * c2e[:, k] + 1
+    C = np.linalg.inv(V)
+    qp, qw = stroud_conical_quadrature(2, 2)
+    lam = np.concatenate([1 - qp.sum(axis=1, keepdims=True), qp], axis=1)
+    xq = np.einsum("qv,cvd->cqd", lam, v)
+    wdet = qw[None, :] * np.abs(detJ)[:, None]
+    mq = monos(xq, carange[:, None])
+    S = np.einsum("cqjd,cji->cqid", mq, C)
+    Mass = np.einsum("cq,cqid,cqjd->cij", wdet, S, S)
+    curl_m = np.stack([np.zeros(nc), np.zeros(nc), -1.0 / h,
+                       np.zeros(nc), 1.0 / h, np.zeros(nc)], axis=1)
+    curl_b = np.einsum("cj,cji->ci", curl_m, C)          # (nc, 6)
+    # constant curls -> the curl-curl block integrates exactly to
+    # area * curl_i curl_j
+    Kc = np.einsum("ci,cj,c->cij", curl_b, curl_b, area)
+    Ke = alpha * Kc + beta * Mass
+    rows = np.repeat(gdof, 6, axis=1).reshape(-1)
+    cols = np.tile(gdof, (1, 6)).reshape(-1)
+    K = sp.csr_matrix((Ke.reshape(-1), (rows, cols)),
+                      shape=(2 * ne, 2 * ne))
+
+    def dofs(E):
+        """Exact dof vector of a smooth field E(x) -> (2,): the global
+        tangential Legendre moments (for BCs / interpolation)."""
+        out = np.zeros(2 * ne)
+        xlo = coords[edges.min(axis=1)]
+        d = coords[edges.max(axis=1)] - xlo
+        xt = xlo[:, None] + tg[None, :, None] * d[:, None]  # (ne, g, 2)
+        Et = np.einsum("egd,ed->eg",
+                       np.asarray([[E(x) for x in row] for row in xt]), d)
+        out[0::2] = np.einsum("g,eg->e", wg, Et)
+        out[1::2] = np.einsum("g,g,eg->e", wg, 2 * tg - 1, Et)
+        return out
+
+    def eval_E(s):
+        se = np.asarray(s)[gdof]
+        return np.einsum("cqid,ci->cqd", S, se), xq, wdet
+
+    return (MatAIJ.from_scipy(K, comm=plex.comm), dofs, eval_E,
+            edges)
+
+
 def nedelec0_curlcurl(plex, alpha=1.0, beta=1.0):
     """H(curl) lowest-order Nédélec (edge) elements on triangles — the
     PETSCDUALSPACE Nédélec role: Whitney 1-forms
@@ -845,7 +1201,10 @@ class DS:
                 [1 - qp.sum(axis=1, keepdims=True), qp], axis=1)
             lam = jnp.asarray(lam)                       # (nq, d+1)
         else:
-            Bg, Dg = _geom_tabulation(dim, qp)
+            if getattr(self.fe, "cell", None) == "prism":
+                Bg, Dg = _geom_prism(qp)
+            else:
+                Bg, Dg = _geom_tabulation(dim, qp)
             Bg, Dg = jnp.asarray(Bg), jnp.asarray(Dg)
 
         def element(ue, xe):

@@ -428,6 +428,24 @@ class DMPlex(DM):
         return DMPlex.createFromCellList(
             3, np.asarray(tets, dtype=np.int64), coords3, self.comm)
 
+    def extrudeToPrisms(self, layers, height=1.0):
+        """DMPlexExtrude with tensor cells (plexextrude.c's default
+        production: DM_POLYTOPE_TRI_PRISM columns): extrude a 2-D
+        triangle mesh into wedge/prism cells (corners 0-2 bottom, 3-5
+        top) — the mesh family for lagrange_fe(3, k, cell='prism')."""
+        if self.dim != 2 or self.cells.shape[1] != 3:
+            raise Error("extrudeToPrisms: 2-D triangle meshes only")
+        nv = self.nvertices
+        zs = np.linspace(0.0, float(height), layers + 1)
+        coords3 = np.concatenate([
+            np.concatenate([self.coords, np.full((nv, 1), z)], axis=1)
+            for z in zs])
+        prisms = np.concatenate([
+            np.concatenate([self.cells + k * nv,
+                            self.cells + (k + 1) * nv], axis=1)
+            for k in range(layers)])
+        return DMPlex.createFromCellList(3, prisms, coords3, self.comm)
+
     def getLabel(self, name):
         """DMGetLabel: cell labels (e.g. Gmsh physical groups parsed by
         createFromGmsh) as a first-class DMLabel object. A
@@ -607,6 +625,17 @@ class DMPlex(DM):
         elif self.dim == 3 and nv == 8:
             fac = [[0, 1, 2, 3], [4, 5, 6, 7], [0, 1, 5, 4],
                    [2, 3, 7, 6], [0, 3, 7, 4], [1, 2, 6, 5]]
+        elif self.dim == 3 and nv == 6:
+            # prism: 2 triangle + 3 quad faces, counted per face family
+            out = []
+            for fac in ([[0, 1, 2], [3, 4, 5]],
+                        [[0, 1, 4, 3], [1, 2, 5, 4], [0, 2, 5, 3]]):
+                faces = np.concatenate([np.sort(self.cells[:, f], axis=1)
+                                        for f in fac])
+                uniq, counts = np.unique(faces, axis=0,
+                                         return_counts=True)
+                out.append(uniq[counts == 1].ravel())
+            return np.unique(np.concatenate(out))
         else:
             raise Error("unknown cell shape")
         faces = np.concatenate([np.sort(self.cells[:, f], axis=1)
