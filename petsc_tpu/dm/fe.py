@@ -548,6 +548,30 @@ def _geom_prism(pts):
     return B, D
 
 
+def _geom_p2_tri(pts):
+    """P2 triangle geometry basis values/gradients at `pts` — the
+    isoparametric quadratic coordinate map for curved cells
+    (plexgeometry.c's high-order coordinate-field role).  Node order:
+    vertices 0,1,2 then edge midpoints (01),(12),(02) — the build_edges
+    local order."""
+    x, y = pts[:, 0], pts[:, 1]
+    l0, l1, l2 = 1 - x - y, x, y
+    B = np.stack([l0 * (2 * l0 - 1), l1 * (2 * l1 - 1),
+                  l2 * (2 * l2 - 1), 4 * l0 * l1, 4 * l1 * l2,
+                  4 * l0 * l2], axis=1)
+    dl = np.array([[-1.0, -1.0], [1.0, 0.0], [0.0, 1.0]])
+    D = np.zeros((len(pts), 6, 2))
+    lam = np.stack([l0, l1, l2], axis=1)
+    for d in range(2):
+        D[:, 0, d] = (4 * lam[:, 0] - 1) * dl[0, d]
+        D[:, 1, d] = (4 * lam[:, 1] - 1) * dl[1, d]
+        D[:, 2, d] = (4 * lam[:, 2] - 1) * dl[2, d]
+        D[:, 3, d] = 4 * (lam[:, 1] * dl[0, d] + lam[:, 0] * dl[1, d])
+        D[:, 4, d] = 4 * (lam[:, 2] * dl[1, d] + lam[:, 1] * dl[2, d])
+        D[:, 5, d] = 4 * (lam[:, 2] * dl[0, d] + lam[:, 0] * dl[2, d])
+    return B, D
+
+
 def _geom_tabulation(dim, pts):
     """Q1 corner geometry basis values/gradients at `pts` (isoparametric
     map for tensor cells), corners in the plex ordering."""
@@ -1173,6 +1197,32 @@ class DS:
         self.f0 = None
         self.f1 = None
         self._f0_bd = None
+        # high-order geometry: curved P2 coordinate field attached by
+        # DMPlex.curveBoundary (2-D simplex cells)
+        self._p2_geom = None
+        pg = getattr(plex, "p2_geom", None)
+        if pg is not None and getattr(fe, "cell", "simplex") == "simplex" \
+                and fe.dim == 2:
+            self._p2_geom = (np.asarray(pg[0], dtype=np.int64),
+                             np.asarray(pg[1], dtype=np.float64))
+            if getattr(fe, "order", None) is not None:
+                # dof coordinates through the curved map (BC detection
+                # and nodal-error evaluation on the true geometry)
+                Bn, _ = _geom_p2_tri(np.asarray(fe.nodes))
+                phys = np.einsum("bv,cvd->cbd", Bn,
+                                 self._p2_geom[1][self._p2_geom[0]])
+                dc = np.array(self.dof_coords)
+                dc[self.node_conn.reshape(-1)] = \
+                    phys.reshape(-1, 2)
+                self.dof_coords = dc
+
+    def _cell_geom_coords(self):
+        """Per-cell geometry node coordinates: straight corner coords or
+        the curved P2 coordinate field."""
+        if self._p2_geom is not None:
+            conn2, coords2 = self._p2_geom
+            return jnp.asarray(coords2)[jnp.asarray(conn2)]
+        return jnp.asarray(self.coords)[jnp.asarray(self.cells)]
 
     def setResidual(self, f0=None, f1=None):
         """f0(u, gu, x) -> scalar; f1(u, gu, x) -> (dim,) vector."""
@@ -1189,7 +1239,8 @@ class DS:
         qw = jnp.asarray(fe.qw)
         qp = np.asarray(fe.qp)
         nq = len(qp)
-        simplex = getattr(fe, "cell", "simplex") == "simplex"
+        simplex = getattr(fe, "cell", "simplex") == "simplex" \
+            and self._p2_geom is None
         if nc == 1:
             f0 = self.f0 or (lambda u, gu, x: 0.0)
             f1 = self.f1 or (lambda u, gu, x: jnp.zeros(dim))
@@ -1201,7 +1252,9 @@ class DS:
                 [1 - qp.sum(axis=1, keepdims=True), qp], axis=1)
             lam = jnp.asarray(lam)                       # (nq, d+1)
         else:
-            if getattr(self.fe, "cell", None) == "prism":
+            if self._p2_geom is not None:
+                Bg, Dg = _geom_p2_tri(qp)
+            elif getattr(self.fe, "cell", None) == "prism":
                 Bg, Dg = _geom_prism(qp)
             else:
                 Bg, Dg = _geom_tabulation(dim, qp)
@@ -1249,7 +1302,7 @@ class DS:
         """Global residual F(u) (no boundary conditions applied)."""
         element = self._element_kernel()
         conn = jnp.asarray(self.conn)
-        xe_all = jnp.asarray(self.coords)[jnp.asarray(self.cells)]
+        xe_all = self._cell_geom_coords()
         ue_all = jnp.asarray(u)[conn]
         Fe = jax.vmap(element)(ue_all, xe_all)           # (ncell, nb)
         F = jnp.zeros(self.ndof, Fe.dtype)
@@ -1258,13 +1311,49 @@ class DS:
             F = F + self._bd_residual(u)
         return F
 
+    def l2_error(self, u, exact):
+        """Quadrature L2 error ||u_h - exact||_0 through the element
+        geometry (straight, multilinear, prism, or curved P2) —
+        DMPlexComputeL2DiffLocal role."""
+        fe = self.fe
+        qp = np.asarray(fe.qp)
+        B = np.asarray(fe.B)
+        xe = np.asarray(self._cell_geom_coords())
+        dim = fe.dim
+        if self._p2_geom is not None:
+            Bg, Dg = _geom_p2_tri(qp)
+        elif getattr(fe, "cell", "simplex") == "simplex":
+            lam = np.concatenate(
+                [1 - qp.sum(axis=1, keepdims=True), qp], axis=1)
+            Bg = lam
+            Dg = None
+        elif getattr(fe, "cell", None) == "prism":
+            Bg, Dg = _geom_prism(qp)
+        else:
+            Bg, Dg = _geom_tabulation(dim, qp)
+        if Dg is None:
+            J = np.stack([xe[:, i + 1] - xe[:, 0] for i in range(dim)],
+                         axis=2)
+            detJ = np.abs(np.linalg.det(J))[:, None] \
+                * np.ones((1, len(qp)))
+            xq = np.einsum("qv,cvd->cqd", Bg, xe[:, : dim + 1])
+        else:
+            J = np.einsum("qvd,cve->cqed", Dg, xe)
+            detJ = np.abs(np.linalg.det(J))
+            xq = np.einsum("qv,cvd->cqd", Bg, xe)
+        ue = np.asarray(u)[self.node_conn]               # (ncell, nb)
+        uq = np.einsum("qb,cb->cq", B, ue)
+        ex = np.asarray([[float(exact(x)) for x in row] for row in xq])
+        wdet = np.asarray(fe.qw)[None, :] * detJ
+        return float(np.sqrt((wdet * (uq - ex) ** 2).sum()))
+
     def assembleJacobian(self, u):
         """Global sparse Jacobian dF/du by batched jacfwd of the element
         kernel (exact tangent of the registered weak form)."""
         import scipy.sparse as sp
         element = self._element_kernel()
         conn = self.conn
-        xe_all = jnp.asarray(self.coords)[jnp.asarray(self.cells)]
+        xe_all = self._cell_geom_coords()
         ue_all = jnp.asarray(u)[jnp.asarray(conn)]
         Ke = np.asarray(jax.vmap(jax.jacfwd(element))(ue_all, xe_all))
         nb = conn.shape[1]

@@ -428,6 +428,31 @@ class DMPlex(DM):
         return DMPlex.createFromCellList(
             3, np.asarray(tets, dtype=np.int64), coords3, self.comm)
 
+    def curveBoundary(self, project):
+        """High-order (quadratic) geometry: attach an isoparametric P2
+        coordinate field whose boundary-edge midpoints are snapped onto
+        the true boundary by `project(x) -> x_on_boundary` (the
+        DMPlexCreateCoordinateSpace degree-2 / DMPlexRemapGeometry role,
+        plexgeometry.c).  Interior midpoints stay straight.  The DS
+        assembly then computes per-quadrature-point Jacobians through
+        the curved map, restoring O(h^{k+1}) convergence for P_k
+        elements on curved domains (straight P1 geometry caps it at
+        O(h^2))."""
+        if self.dim != 2 or self.cells.shape[1] != 3:
+            raise Error("curveBoundary: 2-D triangle meshes only")
+        from .fe import build_edges
+        edges, c2e = build_edges(self.cells)
+        mids = 0.5 * (self.coords[edges[:, 0]] + self.coords[edges[:, 1]])
+        # boundary edges: appear in exactly one cell
+        counts = np.bincount(c2e.reshape(-1), minlength=len(edges))
+        bnd = counts == 1
+        for e in np.nonzero(bnd)[0]:
+            mids[e] = np.asarray(project(mids[e]), dtype=np.float64)
+        self.p2_geom = (
+            np.concatenate([self.cells, self.nvertices + c2e], axis=1),
+            np.vstack([self.coords, mids]))
+        return self
+
     def extrudeToPrisms(self, layers, height=1.0):
         """DMPlexExtrude with tensor cells (plexextrude.c's default
         production: DM_POLYTOPE_TRI_PRISM columns): extrude a 2-D
