@@ -268,11 +268,17 @@ def adapt_label(plex, marked):
     recorded interpolation/parent maps drive PCMG exactly like uniform
     refinement.
 
-    Tetrahedra are deferred with the same rationale the reference uses
-    for its metric path (plexadapt.c delegates 3-D quality adaptation to
-    external remeshers — pragmatic/mmg — which SURVEY scopes out):
-    conforming 3-D closure needs the Plaza-Carey marked-edge machinery;
-    use uniform `refine()` or the external-package bridge point.
+    Tetrahedra use marked-edge bisection in a single GLOBAL edge order
+    (the Plaza-Carey/SBR idea, plexrefsbr.c): the split set starts from
+    each marked tet's longest edge, closes under Rivara longest-edge
+    propagation (any tet owning a split edge also splits its own
+    longest edge — the quality guard; terminates because propagation
+    only moves to strictly longer edges), and every tet is then
+    recursively bisected by its split edges processed in one global
+    deterministic order (length desc, vertex-id tiebreak).  Two tets
+    sharing a face apply the same order to the face's split edges, so
+    the induced face triangulations agree — the mesh is conforming by
+    construction (asserted by the face-count test).
     """
     from .label import DMLabel
     if isinstance(marked, DMLabel):
@@ -283,11 +289,11 @@ def adapt_label(plex, marked):
     else:
         ids = np.unique(np.asarray(marked, dtype=np.int64))
     cells = plex.cells
+    if plex.dim == 3 and cells.shape[1] == 4:
+        return _adapt_tets(plex, ids)
     if plex.dim != 2 or cells.shape[1] != 3:
-        raise Error("adapt_label: conforming adaptive refinement is "
-                    "implemented for triangle meshes; 3-D needs the "
-                    "Plaza-Carey closure (external-remesher bridge "
-                    "point, see docstring) — use refine() for uniform")
+        raise Error("adapt_label: simplex meshes only "
+                    f"(dim={plex.dim}, nv={cells.shape[1]})")
     nc = len(cells)
     red = np.zeros(nc, dtype=bool)
     red[ids] = True
@@ -334,6 +340,62 @@ def adapt_label(plex, marked):
     return _child_plex(plex, newcells, nv, child_of)
 
 
+def _adapt_tets(plex, ids):
+    """Conforming adaptive bisection of marked tetrahedra (see
+    adapt_label docstring for the algorithm and the conformity
+    argument)."""
+    cells = np.asarray(plex.cells, dtype=np.int64)
+    coords = plex.coords
+    nc = len(cells)
+    ekey = lambda a, b: (min(int(a), int(b)), max(int(a), int(b)))
+
+    def edge_len2(e):
+        d = coords[e[0]] - coords[e[1]]
+        return float(np.dot(d, d))
+
+    # global deterministic edge order: longer first, vertex-id tiebreak
+    def rank(e):
+        return (-edge_len2(e), e)
+
+    cell_edges = [[ekey(cells[c, a], cells[c, b]) for a, b in _TET_EDGES]
+                  for c in range(nc)]
+    longest = [min(es, key=rank) for es in cell_edges]
+    split = {longest[c] for c in ids}
+    # Rivara closure: a tet owning any split edge splits its longest
+    # edge too (moves strictly up the global order -> terminates)
+    changed = True
+    while changed:
+        changed = False
+        for c in range(nc):
+            if longest[c] not in split \
+                    and any(e in split for e in cell_edges[c]):
+                split.add(longest[c])
+                changed = True
+    nv = _NewVerts(plex.coords)
+    newcells, child_of = [], []
+
+    def bisect(tet, es, ci):
+        """Recursively bisect `tet` by its split edges `es`, processed
+        in the global order."""
+        if not es:
+            newcells.append(list(tet))
+            child_of.append(ci)
+            return
+        e = min(es, key=rank)
+        p, q = e
+        m = nv.vid(p, q)
+        for drop, add in ((q, m), (p, m)):
+            child = tuple(add if v == drop else v for v in tet)
+            ces = [ee for ee in es if ee != e
+                   and ee[0] in child and ee[1] in child]
+            bisect(child, ces, ci)
+
+    for c in range(nc):
+        es = [e for e in cell_edges[c] if e in split]
+        bisect(tuple(int(v) for v in cells[c]), es, c)
+    return _child_plex(plex, newcells, nv, child_of)
+
+
 def adapt_metric(plex, metric, max_passes=6):
     """DMAdaptMetric role (plexadapt.c / plexmetric.c): refine until
     every edge has metric length <= sqrt(2) (the standard L_M in
@@ -369,8 +431,8 @@ def adapt_metric(plex, metric, max_passes=6):
                     m = _transfer_vertex_field(plex, out, m)
                 minv = m                                  # tensor
         long_cells = set()
-        pairs = _EDGE_LOCAL[cells.shape[1]] if cells.shape[1] in \
-            _EDGE_LOCAL else _TET_EDGES
+        pairs = _TET_EDGES if (out.dim == 3 and cells.shape[1] == 4) \
+            else _EDGE_LOCAL[cells.shape[1]]
         for (la, lb) in pairs:
             va, vb = cells[:, la], cells[:, lb]
             e = coords[vb] - coords[va]

@@ -157,6 +157,67 @@ def test_adapt_label_via_dmlabel_and_solve():
     assert np.isfinite(xs).all() and xs.max() > 0
 
 
+def _assert_conforming_tet(cells):
+    """Every triangular face is shared by at most 2 tets (1 = boundary,
+    2 = interior) — no hanging nodes/faces."""
+    from collections import Counter
+    cnt = Counter()
+    for cell in cells:
+        for f in ((0, 1, 2), (0, 1, 3), (0, 2, 3), (1, 2, 3)):
+            cnt[tuple(sorted(int(cell[v]) for v in f))] += 1
+    assert set(cnt.values()) <= {1, 2}
+
+
+def test_adapt_label_tets_conforming():
+    p = DMPlex.createBoxMesh((2, 2, 2), simplex=True)
+    marked = np.array([0, 7, 20])
+    q = adapt_label(p, marked)
+    _assert_conforming_tet(q.cells)
+    assert np.isclose(_tet_vol(q.coords, q.cells).sum(), 1.0)
+    # every marked tet was actually bisected (>= 2 children)
+    for m in marked:
+        assert (q.parent_cells == m).sum() >= 2
+    # adaptive: strictly between no refinement and uniform red
+    assert p.ncells < q.ncells < 8 * p.ncells
+    assert np.allclose(np.asarray(q._interp.sum(axis=1)).ravel(), 1.0)
+    # positive volumes (no degenerate children)
+    assert _tet_vol(q.coords, q.cells).min() > 1e-12
+
+
+def test_adapt_label_tets_repeated_and_solve():
+    """Two adaptation rounds stay conforming, and P1 Poisson assembles
+    and solves on the result (the end-to-end contract)."""
+    import scipy.sparse.linalg as spla
+    from petsc_tpu.dm.fe import DS, lagrange_fe
+    p = DMPlex.createBoxMesh((2, 2, 2), simplex=True)
+    q = adapt_label(p, np.arange(6))
+    _assert_conforming_tet(q.cells)
+    r = adapt_label(q, np.arange(0, q.ncells, 3))
+    _assert_conforming_tet(r.cells)
+    assert np.isclose(_tet_vol(r.coords, r.cells).sum(), 1.0)
+    ds = DS(r, lagrange_fe(3, 1))
+    ds.setResidual(f0=lambda u, gu, x: -1.0, f1=lambda u, gu, x: gu)
+    J = ds.assembleJacobian(np.zeros(ds.ndof))
+    F = np.asarray(ds.assembleResidual(np.zeros(ds.ndof)))
+    bnd = ds.boundary_dofs(lambda x: x.min() < 1e-9 or x.max() > 1 - 1e-9)
+    keep = np.ones(ds.ndof, bool)
+    keep[bnd] = False
+    u = spla.spsolve(J[keep][:, keep].tocsc(), -F[keep])
+    assert np.isfinite(u).all() and u.max() > 0
+
+
+def test_adapt_metric_tets():
+    p = DMPlex.createBoxMesh((2, 2, 2), simplex=True)
+    h = np.where(np.linalg.norm(p.coords, axis=1) < 0.5, 0.15, 1.0)
+    q = adapt_metric(p, h, max_passes=8)
+    _assert_conforming_tet(q.cells)
+    assert np.isclose(_tet_vol(q.coords, q.cells).sum(), 1.0)
+    cc = q.coords[q.cells].mean(axis=1)
+    near = (np.linalg.norm(cc, axis=1) < 0.5).sum()
+    far = (np.linalg.norm(cc - 1.0, axis=1) < 0.5).sum()
+    assert near > 2 * far
+
+
 def test_adapt_metric_concentrates_cells():
     p = DMPlex.createBoxMesh((4, 4), simplex=True)
     # ask for tiny edges near the origin corner, coarse elsewhere
