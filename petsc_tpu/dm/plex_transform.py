@@ -23,10 +23,10 @@ Implemented transform types vs the reference inventory
   tosimplex  -> to_simplex: quad->2 tris / hex->6 tets
                 (refine/tosimplex/plexreftosimplex.c)
   1d         -> refine_1d: segment bisection (refine/1d/plexref1d.c)
-  sbr        -> adapt_label: conforming red-green refinement of marked
-                triangles (refine/sbr/plexrefsbr.c role — the
-                skeleton-based adaptor; see adapt_label for the 3-D
-                deferral rationale)
+  sbr        -> adapt_label: conforming adaptive refinement of marked
+                cells (refine/sbr/plexrefsbr.c role — the skeleton-
+                based adaptor): red-green for triangles, global-order
+                marked-edge bisection with Rivara closure for tets
   extrude    -> DMPlex.extrude (plex.py; extrude/plextrextrude.c)
   filter     -> DMPlex.createSubmesh (plex.py; filter/plextrfilter.c)
   bl         -> deferred: boundary-layer tensor refinement targets
