@@ -389,11 +389,19 @@ class KSP(PObject):
             # feed the Fischer/POD guess history afterwards
             guess.update(np.asarray(res.x)[: self.mat.row_layout.N],
                          np.asarray(b.array)[: self.mat.row_layout.N])
-        self._its = int(res.its)
-        self._rnorm = float(res.rnorm)
-        self._rnorm0 = float(res.rnorm0)
-        self._reason = KR(int(res.reason))
-        hist = np.asarray(res.history)
+        # ONE batched device->host fetch for all solve statistics: each
+        # separate int()/float()/np.asarray() coercion is its own
+        # synchronous transfer, and on a remote/tunneled device five
+        # sequential round-trips dominate the whole warm solve
+        # (iter_profile.py measured ~1.3 s fixed overhead per call at
+        # 256^3; x stays on device)
+        its_h, rnorm_h, rnorm0_h, reason_h, hist = jax.device_get(
+            (res.its, res.rnorm, res.rnorm0, res.reason, res.history))
+        self._its = int(its_h)
+        self._rnorm = float(rnorm_h)
+        self._rnorm0 = float(rnorm0_h)
+        self._reason = KR(int(reason_h))
+        hist = np.asarray(hist)
         self._history = hist[~np.isnan(hist)]
         nnz = self.mat.nnz() if hasattr(self.mat, "nnz") else 0
         config.log().log_event("KSPSolve", dt,
