@@ -865,7 +865,6 @@ def rt1_mixed_poisson(plex, f=1.0):
     wg = 0.5 * wg
     V = np.zeros((nc, 8, 8))
     gdof = np.zeros((nc, 8), dtype=np.int64)
-    osgn = np.zeros((nc, 3))
     for k, (a, b) in enumerate(pairs):
         ga, gb = cells[:, a], cells[:, b]
         lo = np.minimum(ga, gb)
@@ -873,8 +872,6 @@ def rt1_mixed_poisson(plex, f=1.0):
         xlo, xhi = coords[lo], coords[hi_]
         d = xhi - xlo
         nun = np.stack([d[:, 1], -d[:, 0]], axis=1)
-        mid = (xlo + xhi) / 2 - cc
-        osgn[:, k] = np.sign(mid[:, 0] * nun[:, 0] + mid[:, 1] * nun[:, 1])
         xt = xlo[:, None] + tg[None, :, None] * d[:, None]
         mv = monos(xt, carange[:, None])                # (nc, ng, 8, 2)
         mn = np.einsum("cgjd,cd->cgj", mv, nun)
@@ -1205,10 +1202,22 @@ class DS:
                 and fe.dim == 2:
             self._p2_geom = (np.asarray(pg[0], dtype=np.int64),
                              np.asarray(pg[1], dtype=np.float64))
+            # dof coordinates through the curved map (BC detection and
+            # nodal-error evaluation on the true geometry) — every
+            # assembly path that uses the curved Jacobians must also see
+            # curved dof coordinates, or distance-based Dirichlet
+            # predicates misclassify boundary midpoint dofs
             if getattr(fe, "order", None) is not None:
-                # dof coordinates through the curved map (BC detection
-                # and nodal-error evaluation on the true geometry)
-                Bn, _ = _geom_p2_tri(np.asarray(fe.nodes))
+                refn = np.asarray(fe.nodes)
+            elif fe.dof_kind == "vertex+edge":      # P2: verts + midpts
+                refn = np.array([[0., 0.], [1., 0.], [0., 1.],
+                                 [.5, 0.], [.5, .5], [0., .5]])
+            elif fe.dof_kind == "facet":            # CR: edge midpoints
+                refn = np.array([[.5, 0.], [.5, .5], [0., .5]])
+            else:                                   # vertex dofs already
+                refn = None                         # lie on the geometry
+            if refn is not None:
+                Bn, _ = _geom_p2_tri(refn)
                 phys = np.einsum("bv,cvd->cbd", Bn,
                                  self._p2_geom[1][self._p2_geom[0]])
                 dc = np.array(self.dof_coords)
@@ -1341,11 +1350,22 @@ class DS:
             J = np.einsum("qvd,cve->cqed", Dg, xe)
             detJ = np.abs(np.linalg.det(J))
             xq = np.einsum("qv,cvd->cqd", Bg, xe)
-        ue = np.asarray(u)[self.node_conn]               # (ncell, nb)
-        uq = np.einsum("qb,cb->cq", B, ue)
-        ex = np.asarray([[float(exact(x)) for x in row] for row in xq])
+        if self.ncomp == 1:
+            ue = np.asarray(u)[self.node_conn]           # (ncell, nb)
+            uq = np.einsum("qb,cb->cq", B, ue)
+            ex = np.asarray([[float(exact(x)) for x in row] for row in xq])
+            err2 = (uq - ex) ** 2
+        else:
+            # dofs interleave node*ncomp+c: reshape to (nnode, ncomp) and
+            # sum component errors; exact(x) must return (ncomp,)
+            un = np.asarray(u).reshape(-1, self.ncomp)
+            ue = un[self.node_conn]                      # (ncell, nb, k)
+            uq = np.einsum("qb,cbk->cqk", B, ue)
+            ex = np.asarray([[np.asarray(exact(x), dtype=np.float64)
+                              for x in row] for row in xq])
+            err2 = ((uq - ex) ** 2).sum(axis=-1)
         wdet = np.asarray(fe.qw)[None, :] * detJ
-        return float(np.sqrt((wdet * (uq - ex) ** 2).sum()))
+        return float(np.sqrt((wdet * err2).sum()))
 
     def assembleJacobian(self, u):
         """Global sparse Jacobian dF/du by batched jacfwd of the element

@@ -585,11 +585,11 @@ class DMPlex(DM):
             (vals, (rows, cols)), shape=(nv + nnew, nv))
         return fine
 
-    def adaptLabel(self, marked):
+    def adaptLabel(self, marked, value=None):
         """DMAdaptLabel (plexadapt.c): conforming red-green refinement
         of the marked cells — see dm.plex_transform.adapt_label."""
         from .plex_transform import adapt_label
-        return adapt_label(self, marked)
+        return adapt_label(self, marked, value=value)
 
     def adaptMetric(self, metric, max_passes=6):
         """DMAdaptMetric role (plexadapt.c/plexmetric.c), in-tree

@@ -254,10 +254,24 @@ def refine_1d(plex):
 # sbr / DMAdaptLabel — conforming adaptive refinement
 # ---------------------------------------------------------------------
 
-def adapt_label(plex, marked):
+# DMAdaptFlag values (petscdm.h DM_ADAPT_*): labels carrying these mark
+# what to do with each cell; only REFINE triggers refinement here
+# (coarsening lives in external remeshers the reference bridges to).
+DM_ADAPT_KEEP = 0
+DM_ADAPT_REFINE = 1
+DM_ADAPT_COARSEN = 2
+
+
+def adapt_label(plex, marked, value=None):
     """DMAdaptLabel (plexadapt.c) / the SBR transform role
     (refine/sbr/plexrefsbr.c): conforming refinement of the cells in
     `marked` (a DMLabel, or an array of cell ids).
+
+    When `marked` is a DMLabel, `value` selects the stratum to refine:
+    None (default) refines cells from every stratum EXCEPT those
+    labeled DM_ADAPT_KEEP or DM_ADAPT_COARSEN (the reference's
+    DMAdaptLabel only refines DM_ADAPT_REFINE-flagged cells —
+    plexadapt.c); pass an explicit value to refine just that stratum.
 
     Triangles use red-green refinement: marked cells split regularly
     into 4 (all three edges bisected); edge splits propagate, any cell
@@ -282,9 +296,14 @@ def adapt_label(plex, marked):
     """
     from .label import DMLabel
     if isinstance(marked, DMLabel):
+        if value is not None:
+            vals = [v for v in marked.getValueIS() if v == value]
+        else:
+            vals = [v for v in marked.getValueIS()
+                    if v not in (DM_ADAPT_KEEP, DM_ADAPT_COARSEN)]
         ids = np.unique(np.concatenate(
             [np.asarray(marked.getStratumIS(v), dtype=np.int64)
-             for v in marked.getValueIS()] or
+             for v in vals] or
             [np.zeros(0, dtype=np.int64)]))
     else:
         ids = np.unique(np.asarray(marked, dtype=np.int64))
@@ -445,6 +464,15 @@ def adapt_metric(plex, metric, max_passes=6):
         if not long_cells:
             break
         out = adapt_label(out, np.asarray(sorted(long_cells)))
+    else:
+        # pass limit exhausted with long edges still present: callers can
+        # distinguish converged from truncated adaptation
+        import warnings
+        warnings.warn("adapt_metric: max_passes reached with edges still "
+                      "above the unit-mesh band", stacklevel=2)
+        out.metric_converged = False
+        return out
+    out.metric_converged = True
     return out
 
 
