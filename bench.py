@@ -29,6 +29,7 @@ import json
 import os
 import signal
 import sys
+import tempfile
 import time
 
 import numpy as np
@@ -39,17 +40,47 @@ BUDGET = float(os.environ.get("PETSC_TPU_BENCH_BUDGET", "520"))
 _best = {"metric": "spmv_27pt_poisson_f64", "value": 0.0, "unit": "Gnnz/s",
          "vs_baseline": 0.0, "layout": "dnd_const_stencil"}
 _emitted = False
+_fallback_file = None           # written concurrently by the CPU child
 REF_GNNZ = 1.277 / 2.0          # reference per-core anchor (BASELINE.md)
+
+
+def _merge_fallback(wait_s=0.0):
+    """If no accelerator measurement landed, fold in the concurrent
+    CPU-fallback child's rate (honestly labeled) so the emitted JSON
+    NEVER reads value 0.0 (round-4 VERDICT item 1: BENCH_r04 emitted
+    its zero-initialized default when the tunnel hung)."""
+    if _best["value"] > 0 or _fallback_file is None:
+        return
+    deadline = time.perf_counter() + wait_s
+    while True:
+        try:
+            with open(_fallback_file) as f:
+                fb = json.load(f)
+            if fb.get("value", 0) > 0:
+                _best.update(value=fb["value"],
+                             vs_baseline=round(fb["value"] / REF_GNNZ, 2),
+                             n=fb.get("n"), quality="cpu_fallback",
+                             backend="cpu_fallback_concurrent")
+                return
+        except (OSError, ValueError):
+            pass
+        if time.perf_counter() >= deadline:
+            return
+        time.sleep(1.0)
 
 
 def _emit():
     global _emitted
     if not _emitted:
         _emitted = True
+        _merge_fallback(wait_s=0.0)
         print(json.dumps(_best), flush=True)
 
 
 def _on_signal(sig, frame):
+    # grace period: the concurrent CPU child may be seconds from its
+    # first write; a short wait beats emitting value 0.0
+    _merge_fallback(wait_s=10.0)
     _emit()
     os._exit(0)
 
@@ -198,7 +229,11 @@ def _solve_block(n=128):
     meta, data = stencil_build.build_dnd((n, n, n), kind="box")
     A = stencil_build.as_mat(meta, data)
     out = {"n": n, "stencil": "box27", "rtol": 1e-8,
-           "mg_dtype": "single"}
+           "mg_dtype": "single", "quality": "partial"}
+    # incremental emission (round-4 VERDICT item 1c): _best holds THIS
+    # dict, so each completed stage below is already in the artifact if
+    # SIGALRM fires mid-block ("partial" is overwritten at completion)
+    _best["solve"] = out
     ksp = pt.KSP().create()
     ksp.setOperators(A)
     ksp.setType("cg")
@@ -241,7 +276,32 @@ def _solve_block(n=128):
     return out
 
 
+def _cpu_fallback_child(outfile):
+    """Runs in a SUBPROCESS concurrently with the TPU probe: measure the
+    same SpMV kernel on the host CPU and write the best rate to
+    `outfile` after every tier, so the parent always has a nonzero,
+    honestly-labeled floor to emit (round-4 VERDICT item 1a)."""
+    import jax
+    jax.config.update("jax_platforms", "cpu")   # sitecustomize pre-binds
+    import petsc_tpu as pt
+    pt.init(args=[])
+    best = 0.0
+    for n in (32, 48, 64):
+        try:
+            gnnz, _ = _spmv_tier(n, check=False)
+        except Exception:
+            break
+        if gnnz > best:
+            best = gnnz
+            tmp = outfile + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump({"value": round(best, 3), "n": n,
+                           "quality": "cpu_fallback"}, f)
+            os.replace(tmp, outfile)   # atomic: parent never reads partial
+
+
 def main():
+    global _fallback_file
     signal.signal(signal.SIGTERM, _on_signal)
     signal.signal(signal.SIGALRM, _on_signal)
     signal.alarm(max(int(BUDGET + 45), 60))   # hard floor: always emit
@@ -253,17 +313,32 @@ def main():
     # VERDICT: one 240 s attempt at start missed a tunnel that came back
     # minutes later) — each attempt 45 s, 10 s apart, first success wins.
     import subprocess
+
+    # CPU floor measured CONCURRENTLY with the probe window — if the
+    # probe burns the whole budget, _emit() folds this in (never 0.0).
+    _fallback_file = os.path.join(
+        tempfile.gettempdir(), f"petsc_tpu_bench_fb_{os.getpid()}.json")
+    fb_child = subprocess.Popen(
+        [sys.executable, os.path.abspath(__file__),
+         "--cpu-fallback", _fallback_file],
+        stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
+
     # the probe must see an ACCELERATOR device — a CPU-only jax exits 0
     # from plain jax.devices() and would publish a CPU rate as measured.
+    # PETSC_TPU_BENCH_PROBE_CMD overrides the probe body (the hung-backend
+    # test injects a sleep to simulate a backend that hangs instead of
+    # erroring).
+    probe_body = os.environ.get(
+        "PETSC_TPU_BENCH_PROBE_CMD",
+        "import jax, sys; "
+        "sys.exit(0 if any(d.platform != 'cpu' "
+        "for d in jax.devices()) else 1)")
     tpu_ok = False
     probe_deadline = BUDGET * 0.55
     while _elapsed() < probe_deadline and not tpu_ok:
         try:
             probe = subprocess.run(
-                [sys.executable, "-c",
-                 "import jax, sys; "
-                 "sys.exit(0 if any(d.platform != 'cpu' "
-                 "for d in jax.devices()) else 1)"],
+                [sys.executable, "-c", probe_body],
                 timeout=min(45.0, max(10.0, probe_deadline - _elapsed())),
                 capture_output=True)
             tpu_ok = probe.returncode == 0
@@ -279,15 +354,18 @@ def main():
     import petsc_tpu as pt
     pt.init(args=[])
 
-    # 1. headline tier n=64 FIRST and unconditionally — whatever else the
-    #    tunnel does to the budget, a real measured number gets recorded
-    try:
-        gnnz, quality = _spmv_tier(
-            64, check=os.environ.get("PETSC_TPU_BENCH_CHECK", "1") == "1")
-        _record(gnnz, 64, quality)
-    except Exception:
-        import traceback
-        traceback.print_exc(file=sys.stderr)
+    # 1. a ~10 s n=32 tier FIRST (round-4 VERDICT item 1b: the cheapest
+    #    real accelerator measurement, recorded before anything can hang),
+    #    then the n=64 tier with the correctness check
+    for first_n, chk in ((32, False),
+                         (64, os.environ.get("PETSC_TPU_BENCH_CHECK",
+                                             "1") == "1")):
+        try:
+            gnnz, quality = _spmv_tier(first_n, check=chk)
+            _record(gnnz, first_n, quality)
+        except Exception:
+            import traceback
+            traceback.print_exc(file=sys.stderr)
 
     # 2. triad roofline (streams.md methodology), budget permitting
     bw = 0.0
@@ -344,10 +422,15 @@ def main():
         remaining = BUDGET - _elapsed()
         ns = 128 if remaining > 150 else (96 if remaining > 100 else 0)
         if ns:
-            _best["solve"] = _solve_block(ns)
+            _solve_block(ns)        # writes _best["solve"] incrementally
     except Exception:
         import traceback
         traceback.print_exc(file=sys.stderr)
+
+    try:
+        fb_child.kill()
+    except OSError:
+        pass
 
     if bw > 0 and _best["value"] > 0:
         _best["pct_csr_roofline"] = round(
@@ -362,6 +445,9 @@ def main():
 
 
 if __name__ == "__main__":
+    if len(sys.argv) == 3 and sys.argv[1] == "--cpu-fallback":
+        _cpu_fallback_child(sys.argv[2])
+        sys.exit(0)
     try:
         main()
     except Exception:

@@ -67,6 +67,13 @@ def main(argv=None):
         # fused device fill) frees the deciding fine-vector buffer
         pt.options().set_value("ksp_donate_rhs", "1")
         ksp.setTolerances(rtol=1e-8, max_it=opts.get_int("gamg_max_it", default=40))
+        # -ksp_norm_type unpreconditioned: converge on ||b-Ax||_2/||b||_2
+        # directly (KSP_NORM_UNPRECONDITIONED, iterativ.c:1519 semantics).
+        # The preconditioned norm under-reports the true residual by
+        # ~sqrt(kappa) here (M^-1 ~ A^-1 amplifies the smooth b ~190x at
+        # 512^3), which round-4 SCALE rows surfaced as true_relres ~1e-6
+        # at nominal rtol 1e-8 — a norm-semantics gap, not an f32 floor.
+        ksp.setFromOptions()
         x = pt.Vec.from_array(jnp.zeros(N))
         ksp.solve(b, x)                      # compile + warm
         x.set(0.0)
@@ -89,6 +96,7 @@ def main(argv=None):
             "artifact": "cg_gamg_scale", "n": n, "rows": N,
             "pcsetup_s": round(setup_s, 1), "solve_s": round(dt, 2),
             "its": its, "relres": relres, "true_relres": true_rel,
+            "norm_type": ksp.normtype,
             "cycle_dtype": opts.get_string("pc_mg_dtype", default="double"),
             "quality": "measured"}))
         return dt, nnz
