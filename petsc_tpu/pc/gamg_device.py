@@ -319,8 +319,10 @@ def device_emax(A_meta, A_data, iters=10, seed=7, dtype=None):
         if A_meta[0] in ("aij_dnd", "dnd_mpi") else A_meta[1]
     m = int(min(iters, n))
     data = head_data(A_data, dtype)
-    alphas, betas = (np.asarray(x)
-                     for x in _lanczos_fn(A_meta, m, seed)(data))
+    # ONE batched fetch: separate np.asarray coercions are sequential
+    # device->host round trips, and the tunnel charges seconds each in
+    # bad windows (round-5 profile: 3.7 s/fetch spikes)
+    alphas, betas = jax.device_get(_lanczos_fn(A_meta, m, seed)(data))
     T = np.diag(alphas) + np.diag(betas[:-1], 1) + np.diag(betas[:-1], -1)
     return float(np.max(np.linalg.eigvalsh(T)))
 
