@@ -45,6 +45,31 @@ class Comm:
     def replicated_sharding(self):
         return NamedSharding(self.mesh, P())
 
+    def pair_class(self, j, k):
+        """Classify a neighbor shard pair (flattened row-shard ids):
+        'ici' when both ids share every axis coordinate except the LAST
+        row axis (same host — the permute rides the fast intra-host
+        interconnect), 'dcn' when an outer (host) coordinate differs
+        (cross-host traffic). Single-level comms are all-'ici'.
+        SURVEY §2.12 two-level halo plans / sfneighbor.c role."""
+        axes = self.axis if isinstance(self.axis, (tuple, list)) \
+            else (self.axis,)
+        if len(axes) == 1:
+            return "ici"
+        inner = int(self.mesh.shape[axes[-1]])
+        return "ici" if (j // inner) == (k // inner) else "dcn"
+
+    def halo_pair_classes(self, offsets=(1, -1)):
+        """For each neighbor offset d (slab halo permute j -> (j-d) % P),
+        the counts of intra-host ('ici') and cross-host ('dcn') pairs —
+        the observable the two-level dryrun asserts on."""
+        Pn = self.nshards
+        out = {}
+        for d in offsets:
+            cls = [self.pair_class(j, (j - d) % Pn) for j in range(Pn)]
+            out[d] = {"ici": cls.count("ici"), "dcn": cls.count("dcn")}
+        return out
+
     def __repr__(self):
         return f"Comm(axes={dict(self.mesh.shape)}, rows_axis='{self.axis}')"
 

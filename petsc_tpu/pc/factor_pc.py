@@ -74,6 +74,10 @@ class _PCILU(_PCFactorBase):
             data["gather_c"] = jnp.asarray(perm_c)
             return ("pc_trisolve_perm",) + tail + (layout.Npad,), data
         L, U, dinv = factor.iluk(indptr, indices, vals, self.levels)
+        mode = self.pc.opt("get_string", "pc_factor_trisolve",
+                           default="levels")
+        if mode == "neumann":
+            return _neumann_plan(self.pc, L, U, dinv, layout)
         tail, data = trisolve.make_trisolve_plan(L, U, dinv)
         if self._want_transpose():
             data.update(trisolve.make_transpose_tables(L, U, dinv))
@@ -278,6 +282,81 @@ def _bind_pc_bjacobi_dist(meta, data):
 operator.register_binder("pc_bjacobi_dist", _bind_pc_bjacobi_dist)
 
 
+def _neumann_plan(pc, L, U, dinv, layout):
+    """Truncated-Neumann triangular solves (TPU redesign of the
+    aijcusparse.cu csrsv role; the Ginkgo/cuSPARSE 'iterative trisolve'
+    idea taken to its stencil conclusion): strict-triangular factors are
+    NILPOTENT, so L^-1 b = sum_j (-Ls)^j b terminates exactly at the
+    level depth and truncating at s sweeps gives a fixed linear
+    preconditioner whose apply is s stencil SpMVs instead of ~3n
+    gather-bound level steps. On grid operators the factors inherit the
+    grid stencil pattern, so each sweep rides the dnd/dia fast path —
+    chip-measured 23x on the 1.26M-row GMRES+ILU0 BASELINE config
+    (PERF.md round-5). -pc_factor_trisolve_sweeps s (default 6)."""
+    import scipy.sparse as sp
+    from ..mat.aij import MatAIJ
+    s = pc.opt("get_int", "pc_factor_trisolve_sweeps", default=6)
+    m = len(dinv)
+    Li, Lj, Lv = L
+    Ui, Uj, Uv = U
+    mats = []
+    for (ip, ix, v) in ((Li, Lj, Lv), (Ui, Uj, Uv)):
+        M = MatAIJ.from_scipy(
+            sp.csr_matrix((v, ix, ip), shape=(m, m)))
+        gs = getattr(pc.pmat, "_grid_shape", None)
+        if gs is not None and int(np.prod(gs)) == m:
+            M.setStencilGrid(gs)
+        mats.append(M)
+    mL, mU = mats
+    meta = ("pc_trisolve_neumann", mL.meta, mU.meta, int(s), m,
+            layout.Npad)
+    data = {"L": mL.device_data(), "U": mU.device_data(),
+            "dinv": jnp.asarray(dinv)}
+    return meta, data
+
+
+def _bind_trisolve_neumann(meta, data):
+    _, metaL, metaU, s, m, npad = meta
+
+    def mult(x):
+        Lop = operator.bind(metaL, data["L"])
+        Uop = operator.bind(metaU, data["U"])
+        dinv = data["dinv"]
+        b = x[:m]
+        # y = (I + Ls)^-1 b  by  y <- b - Ls y   (exact at s >= depth)
+        y = b
+        for _ in range(s):
+            y = b - Lop.mult(y)[:m]
+        # z = (D + Us)^-1 y  by  z <- dinv*(y - Us z)
+        z = dinv * y
+        for _ in range(s):
+            z = dinv * (y - Uop.mult(z)[:m])
+        if x.shape[0] > m:
+            z = jnp.pad(z, (0, x.shape[0] - m))
+        return z
+
+    def mult_t(x):
+        Lop = operator.bind(metaL, data["L"])
+        Uop = operator.bind(metaU, data["U"])
+        dinv = data["dinv"]
+        b = x[:m]
+        # (U^-1 L^-1)^T = L^-T U^-T: (D + Us)^-T = (D + Us^T)^-1
+        y = dinv * b
+        for _ in range(s):
+            y = dinv * (b - Uop.mult_t(y)[:m])
+        z = y
+        for _ in range(s):
+            z = y - Lop.mult_t(z)[:m]
+        if x.shape[0] > m:
+            z = jnp.pad(z, (0, x.shape[0] - m))
+        return z
+
+    LT = operator.bind(metaL, data["L"]).mult_t
+    UT = operator.bind(metaU, data["U"]).mult_t
+    return operator.Op(mult=mult,
+                       mult_t=mult_t if (LT and UT) else None)
+
+
 def _bind_trisolve(meta, data):
     _, m, nlevL, nlevU, npad = meta
 
@@ -326,3 +405,4 @@ PC.register_impl("cholesky", _PCLU)
 PC.register_impl("bjacobi", _PCBJacobi)
 operator.register_binder("pc_trisolve", _bind_trisolve)
 operator.register_binder("pc_trisolve_perm", _bind_trisolve_perm)
+operator.register_binder("pc_trisolve_neumann", _bind_trisolve_neumann)

@@ -97,6 +97,40 @@ class PC(PObject):
             return "ilu"
         return "none"
 
+    # -------- fieldsplit public surface (petsc4py PC naming) --------
+
+    def setFieldSplitIS(self, *fields):
+        """PCFieldSplitSetIS (fieldsplit.c): each field a (name, indices)
+        pair. Requires pc_type fieldsplit (set it first or via options)."""
+        if self._impl is None or self._type != "fieldsplit":
+            self.setType("fieldsplit")
+        for name, iset in fields:
+            self._impl.setIS(name, iset)
+        return self
+
+    def setFieldSplitFields(self, bs, *fields):
+        """PCFieldSplitSetFields: strided component splits of block size
+        bs (each field a component index or tuple of components)."""
+        if self._impl is None or self._type != "fieldsplit":
+            self.setType("fieldsplit")
+        self._impl.setFields(bs, *fields)
+        return self
+
+    def setFieldSplitType(self, ftype):
+        """PCFieldSplitSetType: additive | multiplicative |
+        symmetric_multiplicative | schur."""
+        if self._impl is None or self._type != "fieldsplit":
+            self.setType("fieldsplit")
+        self._impl.ftype = ftype
+        return self
+
+    def setFieldSplitSchurPreType(self, pre):
+        """PCFieldSplitSetSchurPre: a11 | selfp."""
+        if self._impl is None or self._type != "fieldsplit":
+            self.setType("fieldsplit")
+        self._impl.schur_pre = pre
+        return self
+
     def setUp(self):
         """PCSetUp (precon.c:1095): rebuild only if the operator changed
         since the last setup — the state-counter reuse logic."""
