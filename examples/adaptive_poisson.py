@@ -122,17 +122,57 @@ def doerfler_mark(eta, theta=0.5):
     return order[:k]
 
 
+def solve_p1_sharded(plex, nshards):
+    """The sharded round body (r4 VERDICT item 6): redistribute the
+    adapted mesh (partition + migrate, plexdistribute.c role), assemble
+    per shard into MPIAIJ with lifted Dirichlet data, solve CG+jacobi
+    over the mesh, and map u back to the pre-migration vertex order for
+    the (serial-host) estimator. Same math as solve_p1 to solver tol."""
+    from petsc_tpu.parallel.mesh import make_comm
+    from petsc_tpu.dm.fe import stroud_conical_quadrature
+    from petsc_tpu.dm.plex import DMPlex, _p1_cell_gradients
+    comm = make_comm(nshards)
+    dist = DMPlex.createFromCellList(plex.dim, plex.cells, plex.coords,
+                                     comm=comm).distribute()
+    A, b = dist.assemblePoissonP1(f=0.0, dirichlet_value=exact)
+    ksp = pt.KSP().create().setType("cg")
+    ksp.setOperators(A)
+    ksp.getPC().setType("jacobi")
+    ksp.setTolerances(rtol=1e-12, max_it=20000)
+    x = A.createVecRight()
+    ksp.solve(b, x)
+    assert ksp.getConvergedReason().converged, ksp.getConvergedReason()
+    u_new = np.asarray(x.getArray())[: dist.nvertices]
+    u = u_new[dist.migration["vertex_old2new"]]   # back to input order
+    # identical L2-error quadrature as the serial path
+    gph, vol = _p1_cell_gradients(plex.coords, plex.cells, 2)
+    gu = np.einsum("cvd,cv->cd", np.asarray(gph), u[plex.cells])
+    vol = np.asarray(vol)
+    qp, qw = stroud_conical_quadrature(2, 2)
+    lam = np.concatenate([1 - qp.sum(axis=1, keepdims=True), qp], axis=1)
+    xq = np.einsum("qv,cvd->cqd", lam, plex.coords[plex.cells])
+    uq = np.einsum("qv,cv->cq", lam, u[plex.cells])
+    err = np.sqrt((2 * vol[:, None] * qw[None, :]
+                   * (uq - exact(xq)) ** 2).sum())
+    return u, plex.nvertices, err, gu, vol
+
+
 def main(argv=None):
     pt.init(args=argv if argv is not None else sys.argv[1:])
     opts = pt.options()
     rounds = opts.get_int("rounds", default=8)
     theta = opts.get_real("theta", default=0.5)
+    nshards = opts.get_int("adapt_nshards", default=1)
 
-    # adaptive loop
+    # adaptive loop (with -adapt_nshards S: per-round redistribution of
+    # the adapted mesh and a sharded MPIAIJ solve)
     plex = lshape_mesh(4)
     adapt_hist = []
     for it in range(rounds):
-        u, ndof, err, gu, vol = solve_p1(plex)
+        if nshards > 1:
+            u, ndof, err, gu, vol = solve_p1_sharded(plex, nshards)
+        else:
+            u, ndof, err, gu, vol = solve_p1(plex)
         adapt_hist.append((ndof, err))
         print(f"[adapt {it}] dofs={ndof:6d}  |u-uh|_L2={err:.4e}",
               flush=True)

@@ -708,12 +708,26 @@ class DMPlex(DM):
             raise Error("P1 assembly needs simplicial cells")
         return _p1_cell_gradients(self.coords, cells, self.dim)
 
+    def _dirichlet_values(self, bnd, dirichlet_value):
+        """Per-boundary-vertex Dirichlet data: scalar, (nv,) array, or a
+        callable g(x) evaluated at vertex coordinates."""
+        if callable(dirichlet_value):
+            return np.asarray([float(dirichlet_value(x))
+                               for x in self.coords[bnd]])
+        dv = np.asarray(dirichlet_value, dtype=np.float64)
+        if dv.ndim == 0:
+            return np.full(len(bnd), float(dv))
+        return dv[bnd]
+
     def assemblePoissonP1(self, f=1.0, dirichlet_value=0.0):
         """(A, b): P1 stiffness for -Lap u = f with Dirichlet boundary rows
-        replaced by identity (the ex45-style BC convention). On a
-        distributed plex (after distribute()) assembly runs per shard over
-        owned cells with an off-process row stash into a per-shard-block
-        MPIAIJ — no global CSR is formed."""
+        replaced by identity (the ex45-style BC convention;
+        MatZeroRowsColumns semantics — nonzero data is lifted into the
+        interior rhs). `dirichlet_value` may be a scalar, a per-vertex
+        array, or a callable g(x). On a distributed plex (after
+        distribute()) assembly runs per shard over owned cells with an
+        off-process row stash into a per-shard-block MPIAIJ — no global
+        CSR is formed."""
         if self.distribution is not None:
             return self._assemblePoissonP1_dist(f, dirichlet_value)
         import scipy.sparse as sp
@@ -728,6 +742,10 @@ class DMPlex(DM):
         np.add.at(b, self.cells.reshape(-1),
                   np.repeat(f * vol / nvl, nvl))
         bnd = self.markBoundaryVertices()
+        ub = np.zeros(self.nvertices)
+        ub[bnd] = self._dirichlet_values(bnd, dirichlet_value)
+        # lift: b_interior -= A[:, bnd] @ ub  (MatZeroRowsColumns)
+        b -= A @ ub
         # Dirichlet: zero rows/cols, unit diagonal, bc value in rhs
         A = A.tolil()
         for bv in bnd:
@@ -742,7 +760,7 @@ class DMPlex(DM):
         data = Ad.data.copy()
         data[sel] = 0.0
         A = sp.csr_matrix((data, (Ad.row, Ad.col)), shape=A.shape)
-        b[bnd] = dirichlet_value
+        b[bnd] = ub[bnd]
         from ..mat.aij import MatAIJ
         M = MatAIJ.from_scipy(A, comm=self.comm)
         M._dm = self
@@ -765,6 +783,8 @@ class DMPlex(DM):
         bnd = self.markBoundaryVertices()
         isb = np.zeros(nv, dtype=bool)
         isb[bnd] = True
+        ub = np.zeros(nv)
+        ub[bnd] = self._dirichlet_values(bnd, dirichlet_value)
         # stash[t] collects (rows, cols, vals) destined for shard t;
         # rhs_stash[t] likewise for load-vector contributions
         stash = [[] for _ in range(nsh)]
@@ -779,11 +799,15 @@ class DMPlex(DM):
             cols = np.tile(cells, (1, nvl)).reshape(-1)
             vals = Ke.reshape(-1)
             # Dirichlet semantics of the serial path: bc rows -> identity
-            # (added by the owner below), bc cols zeroed from interior rows
+            # (added by the owner below), bc cols zeroed from interior
+            # rows with their data LIFTED into the rhs
+            # (MatZeroRowsColumns)
+            lift = ~isb[rows] & isb[cols]
+            lrow, lval = rows[lift], -vals[lift] * ub[cols[lift]]
             keep = ~isb[rows] & ~isb[cols]
             rows, cols, vals = rows[keep], cols[keep], vals[keep]
-            brow = cells.reshape(-1)
-            bval = np.repeat(f * vol / nvl, nvl)
+            brow = np.concatenate([cells.reshape(-1), lrow])
+            bval = np.concatenate([np.repeat(f * vol / nvl, nvl), lval])
             for t in range(nsh):
                 lo, hi = vl.range(t)
                 sel = (rows >= lo) & (rows < hi)
@@ -810,7 +834,7 @@ class DMPlex(DM):
                 shape=(blk, vl.Npad)))
             for r, v in rhs_stash[s]:
                 np.add.at(b_global, r, v)
-        b_global[bnd] = dirichlet_value
+        b_global[bnd] = ub[bnd]
         S = ShardedCSR(blocks, vl, vl)
         M = MatAIJ.from_sharded(S, self.comm)
         M._dm = self
