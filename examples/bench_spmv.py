@@ -190,6 +190,29 @@ def bench_suite(small=False, solve=True):
         x2 = M.createVecRight()
         ksp.solve(b, x2)
         print(f"  warm re-solve: {time.perf_counter()-t0:.2f}s", flush=True)
+
+        # truncated-Neumann trisolves (r5): same ILU0 factors applied as
+        # stencil-SpMV sweeps instead of level-scheduled gathers
+        pt.options().set_value("pc_factor_trisolve", "neumann")
+        kn = pt.KSP().create()
+        kn.setOperators(M)
+        kn.setType("gmres")
+        kn.getPC().setType("ilu")
+        kn.getPC().setFromOptions()
+        kn.setTolerances(rtol=1e-8, max_it=400)
+        xn = M.createVecRight()
+        t0 = time.perf_counter()
+        kn.solve(b, xn)
+        t1 = time.perf_counter() - t0
+        errn = float(np.max(np.abs(np.asarray(xn.array)[:n] - xs)))
+        print(f"config-2 GMRES(30)+ILU0-neumann: its={kn.getIterationNumber()} "
+              f"err={errn:.2e} wall={t1:.2f}s (incl. setup+compile)",
+              flush=True)
+        t0 = time.perf_counter()
+        xn2 = M.createVecRight()
+        kn.solve(b, xn2)
+        print(f"  warm re-solve: {time.perf_counter()-t0:.2f}s", flush=True)
+        pt.options().set_value("pc_factor_trisolve", "")
     return results
 
 

@@ -115,6 +115,19 @@ def hyb_spmv_t(dia_data, offsets, sdata, sidx, x, n, m, lpad, rpad):
     return y
 
 
+def _f64_split3(x):
+    """Exact 3-way Dekker split of f64 into f32 components: x == sum of
+    the three widened parts (24+24+24 bits >= the 53-bit mantissa; each
+    extraction step x - f32(x) is exact in f64). Range caveat: |x| above
+    f32-max overflows the split — solver vectors never get there (f64
+    dot products would overflow long before)."""
+    x1 = x.astype(jnp.float32)
+    r1 = x - x1.astype(jnp.float64)
+    x2 = r1.astype(jnp.float32)
+    x3 = (r1 - x2.astype(jnp.float64)).astype(jnp.float32)
+    return x1, x2, x3
+
+
 def _onehot_select(V, lanes):
     """sel[..., k] = V[..., lanes[..., k]] with NO gather: a 128-wide
     one-hot contraction per pick.  V is (..., 128) float; lanes (..., K)
@@ -122,13 +135,23 @@ def _onehot_select(V, lanes):
     the selected value bit-exactly in every dtype (adding zeros is exact
     in IEEE).  An earlier f64 variant selected the two int32 bit-halves
     via bitcast_convert; XLA's TPU x64-rewrite pass rejects that HLO
-    ('rewriting not implemented'), so the select now runs directly in the
-    value dtype on all backends (ADVICE r3, high).  Chip basis: selects
+    ('rewriting not implemented'); instead f64 operands take an exact
+    3-way f32 Dekker split (_f64_split3) — selection commutes with the
+    split because a one-hot pick moves components unchanged, and f32
+    masked sums run ~4x faster than the emulated-f64 ones (round-5 chip
+    measurement in examples/bdia_ell_probe.py).  Chip basis: selects
     cost ~0.26 ns f32 vs ~27 ns for an XLA element gather
     (examples/pallas_gather_probe.py, onehot_window_probe.py)."""
     iota = jax.lax.broadcasted_iota(jnp.int32, lanes.shape + (128,),
                                     lanes.ndim)
     oh = lanes[..., None] == iota                       # (..., K, 128)
+    if V.dtype == jnp.float64:
+        parts = _f64_split3(V)
+        zs = jnp.zeros((), jnp.float32)
+        s1, s2, s3 = (jnp.sum(jnp.where(oh, p[..., None, :], zs), axis=-1)
+                      for p in parts)
+        return (s1.astype(jnp.float64) + s2.astype(jnp.float64)
+                + s3.astype(jnp.float64))
     return jnp.sum(jnp.where(oh, V[..., None, :], jnp.zeros((), V.dtype)),
                    axis=-1)
 

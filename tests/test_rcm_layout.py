@@ -1,0 +1,81 @@
+"""RCM re-layout policy (r4 VERDICT item 3 / weak 4) and the unsorted-CSR
+canonicalization fix (round-5: unsorted column indices silently collided
+BDIA slots, producing a wrong SpMV on shuffled-stencil patterns).
+"""
+import numpy as np
+import scipy.sparse as sp
+import jax
+import jax.numpy as jnp
+
+import petsc_tpu as pt
+from petsc_tpu.ops import operator
+
+
+def _shuffled_5pt(nx, seed=3):
+    main = 4.0 * np.ones(nx * nx)
+    side = -np.ones(nx * nx - 1)
+    side[np.arange(1, nx * nx) % nx == 0] = 0
+    ud = -np.ones(nx * nx - nx)
+    A = sp.diags([main, side, side, ud, ud], [0, 1, -1, nx, -nx]).tocsr()
+    sh = np.random.default_rng(seed).permutation(nx * nx)
+    return A[sh][:, sh].tocsr()
+
+
+def test_unsorted_csr_bdia_correct():
+    """Fancy-indexed scipy CSRs arrive with unsorted column indices;
+    the forced-bdia mult must still be exact."""
+    As = _shuffled_5pt(80)
+    assert not As.has_sorted_indices or True   # either way must work
+    pt.options().set_value("mat_spmv_kind", "bdia")
+    try:
+        M = pt.MatAIJ.from_scipy(As)
+        op = operator.bind(M.meta, M.device_data())
+        x = np.random.default_rng(0).random(M.row_layout.Npad)
+        y = np.asarray(jax.jit(op.mult)(jnp.asarray(x)))
+        ref = As @ x[: As.shape[0]]
+        assert np.abs(y[: As.shape[0]] - ref).max() < 1e-12
+        yt = np.asarray(jax.jit(op.mult_t)(jnp.asarray(x)))
+        assert np.abs(yt[: As.shape[0]] - As.T @ x[: As.shape[0]]).max() \
+            < 1e-12
+    finally:
+        pt.options().set_value("mat_spmv_kind", "")
+
+
+def test_rcm_perm_adopted_on_large_shuffled_stencil():
+    """A large shuffled stencil (original block-offset spread ~G) must
+    route through the RCM-permuted layout and stay exact, including
+    transpose and diagonal."""
+    As = _shuffled_5pt(320)
+    M = pt.MatAIJ.from_scipy(As)
+    assert M.meta[0] == "aij_perm", M.meta[0]
+    assert M.meta[1][0] in ("aij_bdia", "aij_dia", "aij_hyb"), M.meta[1][0]
+    op = operator.bind(M.meta, M.device_data())
+    x = np.random.default_rng(1).random(M.row_layout.Npad)
+    N = As.shape[0]
+    y = np.asarray(jax.jit(op.mult)(jnp.asarray(x)))
+    ref = As @ x[:N]
+    assert np.abs(y[:N] - ref).max() / np.abs(ref).max() < 1e-13
+    yt = np.asarray(jax.jit(op.mult_t)(jnp.asarray(x)))
+    assert np.abs(yt[:N] - As.T @ x[:N]).max() < 1e-10
+    d = np.asarray(op.diag())
+    assert np.abs(d[:N] - As.diagonal()).max() == 0.0
+    # and a full CG solve through the layout
+    ksp = pt.KSP().create().setType("cg")
+    ksp.setOperators(M)
+    ksp.getPC().setType("jacobi")
+    ksp.setTolerances(rtol=1e-10, max_it=4000)
+    u = M.createVecRight(); u.set(1.0)
+    b = M.createVecLeft(); M.mult(u, b)
+    xx = M.createVecRight()
+    ksp.solve(b, xx)
+    assert ksp.getConvergedReason().converged
+    xx.axpy(-1.0, u)
+    assert float(xx.norm()) < 1e-6
+
+
+def test_rcm_not_adopted_when_direct_layout_wins():
+    """Small spread: direct BDIA beats perm-gather overhead; the probe
+    must NOT adopt (cost-based policy)."""
+    As = _shuffled_5pt(80)
+    M = pt.MatAIJ.from_scipy(As)
+    assert M.meta[0] != "aij_perm", M.meta[0]
