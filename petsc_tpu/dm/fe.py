@@ -431,6 +431,19 @@ def crouzeix_raviart_fe():
     return fe
 
 
+def p0disc_fe(dim, qdeg=2):
+    """Piecewise-constant discontinuous element (P0disc — the pressure
+    space of the CR/P0 Stokes pair; PetscFECreateDefault with k=0 and
+    continuity none): one dof per cell."""
+    qp, qw = stroud_conical_quadrature(dim, qdeg)
+    B = np.ones((len(qp), 1))
+    D = np.zeros((len(qp), 1, dim))
+    fe = FE("p0disc", dim, 1, (qp, qw), B, D, "cell")
+    fe.cell = "simplex"
+    fe.ncomp = 1
+    return fe
+
+
 def build_edges(cells):
     """Edge numbering for P2 dofs: returns (edges (ne,2) sorted vertex
     pairs, cell2edge (ncell, 3) in local order (01, 12, 02))."""
@@ -1186,6 +1199,18 @@ class DS:
             mids = 0.5 * (self.coords[self.edges[:, 0]]
                           + self.coords[self.edges[:, 1]])
             self.dof_coords = np.vstack([self.coords, mids])
+        elif fe.dof_kind == "cell":
+            # discontinuous cellwise dofs (P0disc): one (x ncomp) per cell
+            nc_cells = len(self.cells)
+            conn = np.arange(nc_cells, dtype=np.int64)[:, None]
+            self.node_conn = conn
+            self.ndof = nc_cells * self.ncomp
+            self.dof_coords = self.coords[self.cells].mean(axis=1)
+            if self.ncomp == 1:
+                self.conn = conn
+            else:
+                self.conn = (conn[:, :, None] * self.ncomp
+                             + np.arange(self.ncomp)).reshape(nc_cells, -1)
         else:
             self.conn = self.cells
             self.node_conn = self.cells

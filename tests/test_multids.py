@@ -1,0 +1,157 @@
+"""Generic multi-field DS (r4 VERDICT item 7; dtds.c + plexfem.c
+multi-field assembly role): N coupled fields, per-field weak forms that
+see every field, every Jacobian block from one autodiff of the coupled
+element residual — no bespoke assembly code.
+"""
+import numpy as np
+import scipy.sparse as sp
+import scipy.sparse.linalg as spla
+import jax.numpy as jnp
+
+import petsc_tpu as pt
+from petsc_tpu.dm.plex import DMPlex
+from petsc_tpu.dm.fe import (build_edges, cr_stokes_system,
+                             crouzeix_raviart_fe, lagrange_fe, p0disc_fe)
+from petsc_tpu.dm.multids import MultiDS
+
+
+def _cr_p0_multids(plex, f=(0.0, -1.0), nu=1.0):
+    vfe = crouzeix_raviart_fe()
+    vfe.ncomp = 2
+    ds = MultiDS(plex, [("u", vfe), ("p", p0disc_fe(2))])
+    I2 = jnp.eye(2)
+    fv = jnp.array(f)
+    ds.setResidual("u", f0=lambda u, gu, x: -fv,
+                   f1=lambda u, gu, x: nu * gu[0] - u[1] * I2)
+    ds.setResidual("p", f0=lambda u, gu, x: gu[0][0, 0] + gu[0][1, 1])
+    return ds
+
+
+def test_multids_matches_bespoke_stokes():
+    """The generic coupled Jacobian equals cr_stokes_system's hand
+    assembly to machine precision (the VERDICT 'Done' criterion)."""
+    plex = DMPlex.createBoxMesh((6, 6), simplex=True)
+    nu = 1.3
+    K, rhs, nvel = cr_stokes_system(plex, f=(0.7, -1.1), nu=nu)
+    ds = _cr_p0_multids(plex, f=(0.7, -1.1), nu=nu)
+    assert ds.offsets[1] == nvel
+    J = ds.assembleJacobian(np.zeros(ds.ndof))
+    d = J - K.to_scipy()
+    assert (abs(d).max() if d.nnz else 0.0) < 1e-13
+    F = ds.assembleResidual(np.zeros(ds.ndof))
+    assert np.abs(-F - np.asarray(rhs.getArray())[: ds.ndof]).max() < 1e-14
+
+
+def _pin(Ks, b, pinned, vals=None):
+    Ks = Ks.tolil()
+    for i, r in enumerate(pinned):
+        Ks.rows[r] = [int(r)]
+        Ks.data[r] = [1.0]
+        b[r] = 0.0 if vals is None else vals[i]
+    Ks = Ks.tocsr().tocoo()
+    keep = ~np.isin(Ks.col, pinned) | (Ks.row == Ks.col)
+    # lift pinned values into the rhs before dropping the columns
+    if vals is not None:
+        drop = ~keep
+        np.subtract.at(b, Ks.row[drop], Ks.data[drop]
+                       * np.asarray(vals)[np.searchsorted(pinned,
+                                                          Ks.col[drop])])
+    return sp.csr_matrix((Ks.data[keep], (Ks.row[keep], Ks.col[keep])),
+                         shape=Ks.shape), b
+
+
+def test_multids_stokes_fieldsplit_solve():
+    """Generic-path Stokes solved via PCFieldSplit Schur matches the
+    direct solve of the same pinned system."""
+    plex = DMPlex.createBoxMesh((6, 6), simplex=True)
+    ds = _cr_p0_multids(plex)
+    J = ds.assembleJacobian(np.zeros(ds.ndof))
+    b = -ds.assembleResidual(np.zeros(ds.ndof))
+    edges, _ = build_edges(plex.cells)
+    mid = 0.5 * (plex.coords[edges[:, 0]] + plex.coords[edges[:, 1]])
+    bnd_e = np.nonzero((mid.min(axis=1) < 1e-9)
+                       | (mid.max(axis=1) > 1 - 1e-9))[0]
+    nvel = ds.offsets[1]
+    pinned = np.sort(np.concatenate([bnd_e * 2, bnd_e * 2 + 1, [nvel]]))
+    Ks, b = _pin(J, b, pinned)
+    ref = spla.spsolve(Ks.tocsc(), b)
+
+    M = pt.MatAIJ.from_scipy(Ks)
+    ksp = pt.KSP().create().setType("fgmres")
+    ksp.setOperators(M)
+    pc = ksp.getPC()
+    pc.setType("fieldsplit")
+    pc.setFieldSplitType("schur")
+    pc.setFieldSplitSchurPreType("selfp")
+    pc.setFieldSplitIS(("u", ds.field_indices("u")),
+                       ("p", ds.field_indices("p")))
+    ksp.setTolerances(rtol=1e-12, max_it=400)
+    bv = pt.Vec.from_array(b)
+    x = M.createVecRight()
+    ksp.solve(bv, x)
+    assert ksp.getConvergedReason().converged
+    got = np.asarray(x.getArray())[: ds.ndof]
+    assert np.abs(got - ref).max() < 1e-7 * max(1.0, np.abs(ref).max())
+
+
+def test_multids_taylor_hood_patch():
+    """P2/P1 Taylor-Hood through the generic path reproduces the exact
+    polynomial Stokes solution u=(y^2, x^2), p=2nu(x+y)+c (u in P2,
+    div u = 0, f = 0) to machine precision."""
+    nu = 0.8
+    plex = DMPlex.createBoxMesh((4, 4), simplex=True)
+    vfe = lagrange_fe(2, 2, ncomp=2)
+    pfe = lagrange_fe(2, 1)
+    ds = MultiDS(plex, [("u", vfe), ("p", pfe)])
+    I2 = jnp.eye(2)
+    ds.setResidual("u", f1=lambda u, gu, x: nu * gu[0] - u[1] * I2)
+    ds.setResidual("p", f0=lambda u, gu, x: gu[0][0, 0] + gu[0][1, 1])
+    J = ds.assembleJacobian(np.zeros(ds.ndof))
+    b = -ds.assembleResidual(np.zeros(ds.ndof))
+    # exact fields at the dof coordinates
+    Xu = ds.subs[0].dof_coords
+    Xp = ds.subs[1].dof_coords
+    uex = np.stack([Xu[:, 1] ** 2, Xu[:, 0] ** 2], axis=1).reshape(-1)
+    pex = 2 * nu * (Xp[:, 0] + Xp[:, 1])
+    onb = (Xu.min(axis=1) < 1e-9) | (Xu.max(axis=1) > 1 - 1e-9)
+    bdofs = (np.nonzero(onb)[0][:, None] * 2 + np.arange(2)).reshape(-1)
+    pinned = np.sort(np.concatenate([bdofs, [ds.offsets[1]]]))
+    vals = np.concatenate([uex[bdofs], [pex[0]]])[np.argsort(
+        np.concatenate([bdofs, [ds.offsets[1]]]))]
+    Ks, b = _pin(J, b, pinned, vals)
+    s = spla.spsolve(Ks.tocsc(), b)
+    assert np.abs(s[: ds.offsets[1]] - uex).max() < 1e-10
+    assert np.abs(s[ds.offsets[1]:] - pex).max() < 1e-9
+
+
+def test_multids_fosls_mixed_poisson_patch():
+    """Mixed Poisson (u + grad p = 0, div u = f) in first-order-system
+    least-squares form through the generic path: SPD coupled system,
+    exact for the linear patch p = 2x + 3y, u = -(2, 3), f = 0."""
+    plex = DMPlex.createBoxMesh((5, 5), simplex=True)
+    ufe = lagrange_fe(2, 1, ncomp=2)
+    pfe = lagrange_fe(2, 1)
+    ds = MultiDS(plex, [("u", ufe), ("p", pfe)])
+    I2 = jnp.eye(2)
+    ds.setResidual("u",
+                   f0=lambda u, gu, x: u[0] + gu[1],
+                   f1=lambda u, gu, x: (gu[0][0, 0] + gu[0][1, 1]) * I2)
+    ds.setResidual("p", f1=lambda u, gu, x: u[0] + gu[1])
+    J = ds.assembleJacobian(np.zeros(ds.ndof))
+    b = -ds.assembleResidual(np.zeros(ds.ndof))
+    Xu = ds.subs[0].dof_coords
+    Xp = ds.subs[1].dof_coords
+    uex = np.broadcast_to(np.array([-2.0, -3.0]),
+                          (len(Xu), 2)).reshape(-1).copy()
+    pex = 2 * Xp[:, 0] + 3 * Xp[:, 1]
+    onb_u = (Xu.min(axis=1) < 1e-9) | (Xu.max(axis=1) > 1 - 1e-9)
+    onb_p = (Xp.min(axis=1) < 1e-9) | (Xp.max(axis=1) > 1 - 1e-9)
+    bu = (np.nonzero(onb_u)[0][:, None] * 2 + np.arange(2)).reshape(-1)
+    bp = np.nonzero(onb_p)[0] + ds.offsets[1]
+    pinned = np.concatenate([bu, bp])
+    vals = np.concatenate([uex[bu], pex[np.nonzero(onb_p)[0]]])
+    order = np.argsort(pinned)
+    Ks, b = _pin(J, b, pinned[order], vals[order])
+    s = spla.spsolve(Ks.tocsc(), b)
+    assert np.abs(s[: ds.offsets[1]] - uex).max() < 1e-9
+    assert np.abs(s[ds.offsets[1]:] - pex).max() < 1e-9
