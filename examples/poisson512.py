@@ -66,6 +66,18 @@ def main(argv=None):
         # the 15.75 GB HBM line; donating b (recreated per solve — a
         # fused device fill) frees the deciding fine-vector buffer
         pt.options().set_value("ksp_donate_rhs", "1")
+        # record donation misfires (r4 VERDICT weak 8): jax warns when a
+        # donated buffer could not be aliased — the 512^3 HBM budget
+        # depends on the x0/b donations actually landing at EVERY size
+        import warnings as _warnings
+        donation_misses = []
+        _orig_warn = _warnings.warn
+
+        def _catch(msg, *a, **k):
+            if "donated" in str(msg):
+                donation_misses.append(str(msg).split("\n")[0])
+            return _orig_warn(msg, *a, **k)
+        _warnings.warn = _catch
         ksp.setTolerances(rtol=1e-8, max_it=opts.get_int("gamg_max_it", default=40))
         # -ksp_norm_type unpreconditioned: converge on ||b-Ax||_2/||b||_2
         # directly (KSP_NORM_UNPRECONDITIONED, iterativ.c:1519 semantics).
@@ -92,12 +104,14 @@ def main(argv=None):
               f" in {dt:.2f} s warm, relres {relres:.2e}, "
               f"true |b-Ax|/|b| {true_rel:.2e}")
         import json
+        _warnings.warn = _orig_warn
         print(json.dumps({
             "artifact": "cg_gamg_scale", "n": n, "rows": N,
             "pcsetup_s": round(setup_s, 1), "solve_s": round(dt, 2),
             "its": its, "relres": relres, "true_relres": true_rel,
             "norm_type": ksp.normtype,
             "cycle_dtype": opts.get_string("pc_mg_dtype", default="double"),
+            "donation_misses": sorted(set(donation_misses)),
             "quality": "measured"}))
         return dt, nnz
     ksp.setTolerances(rtol=1e-30, max_it=its)

@@ -61,15 +61,20 @@ def _timed_solve(ksp, b, x):
     return time.perf_counter() - t0
 
 
-def run_gamg(ndev, local_n):
-    """CG+GAMG weak-scaling leg (r4 VERDICT item 9): distributed SA setup
-    on the sharded fine level, rtol 1e-8; returns (warm seconds, its,
-    nnz)."""
+def run_gamg(ndev, local_n, comm=None):
+    """CG+GAMG weak-scaling leg: rtol 1e-8, STRUCTURED geometric head at
+    every device count — the ndev=1 leg runs the same probed-head +
+    aggregation-tail algorithm as the sharded legs (serial aij_dnd vs
+    dnd_mpi binders of one code path), so retention vs ndev=1 is
+    anchored (r4 VERDICT item 10: the old serial leg took a
+    differently-bound path, 19x off). `comm` overrides the mesh (the
+    two-level dcn x ici column passes make_comm2)."""
     import jax
     from petsc_tpu.parallel.mesh import make_comm
     nz = local_n * ndev
     A_sp = poisson3d_grid(nz, local_n, local_n)
-    A = pt.MatAIJ.from_scipy(A_sp, comm=make_comm(ndev))
+    A = pt.MatAIJ.from_scipy(A_sp, comm=comm or make_comm(ndev))
+    A.setStencilGrid((nz, local_n, local_n))
     ksp = pt.KSP().create()
     ksp.setOperators(A)
     ksp.setType("cg")
@@ -144,26 +149,47 @@ def main(argv=None):
         print(f"  ndev={nd}  {dt:.3f} s  {rate:.2f} Gnnz-its/s  "
               f"per-device eff={eff * 100:.0f}%  "
               f"retention={rate / base * 100:.0f}%")
-    # CG+GAMG column (distributed SA setup per ndev, rtol 1e-8).
-    # Retention is baselined at the FIRST DISTRIBUTED row (ndev=2): the
-    # 1-device run takes the serial setup path with a differently-bound
-    # hierarchy (device-layout coarse ops vs mpiaij levels), so its rate
-    # is not the same code path being scaled.
+    # CG+GAMG column: every leg (incl. ndev=1) runs the structured
+    # geometric head, so retention is anchored at ndev=1 (same code
+    # path throughout — r4 VERDICT item 10).
     gamg_rows = []
     gbase = None
     for nd in ndevs:
         dtg, itsg, nnzg = run_gamg(nd, local_n)
         rateg = nnzg * itsg / dtg / 1e9
-        if gbase is None and nd >= 2:
+        if gbase is None:
             gbase = rateg
         gamg_rows.append({"ndev": nd, "seconds": round(dtg, 4),
                           "its": int(itsg), "nnz": int(nnzg),
                           "gnnz_its_per_s": round(rateg, 3),
-                          "aggregate_retention_vs_2dev":
-                          round(rateg / gbase, 3) if gbase else None})
+                          "aggregate_retention_vs_1dev":
+                          round(rateg / gbase, 3)})
         print(f"  gamg ndev={nd}  {dtg:.3f} s  {itsg} its  "
-              f"{rateg:.2f} Gnnz-its/s" +
-              (f"  retention={rateg / gbase * 100:.0f}%" if gbase else ""))
+              f"{rateg:.2f} Gnnz-its/s  "
+              f"retention={rateg / gbase * 100:.0f}%")
+    # two-level (dcn x ici) mesh column (SURVEY §2.12; r4 VERDICT
+    # item 5): the same leg on a (hosts x chips) 2-D mesh
+    twolevel_rows = []
+    if len(jax.devices()) >= 4:
+        from petsc_tpu.parallel.mesh import make_comm2
+        for hosts, chips in ((2, 2), (2, 4)):
+            nd2 = hosts * chips
+            if nd2 > len(jax.devices()):
+                continue
+            c2 = make_comm2(hosts, chips)
+            dtg, itsg, nnzg = run_gamg(nd2, local_n, comm=c2)
+            rateg = nnzg * itsg / dtg / 1e9
+            cls = c2.halo_pair_classes((1,))[1]
+            twolevel_rows.append({
+                "mesh": f"dcn{hosts}xici{chips}", "ndev": nd2,
+                "seconds": round(dtg, 4), "its": int(itsg),
+                "gnnz_its_per_s": round(rateg, 3),
+                "halo_pairs_d1": cls,
+                "aggregate_retention_vs_1dev":
+                round(rateg / gbase, 3) if gbase else None})
+            print(f"  gamg mesh=({hosts}x{chips})  {dtg:.3f} s  "
+                  f"{itsg} its  {rateg:.2f} Gnnz-its/s  "
+                  f"halo d=+1 {cls}")
     nd_ov = ndevs[-1]
     t_ov, t_seq = measure_overlap(nd_ov, local_n)
     print(f"overlap check (ndev={nd_ov}): mult {t_ov * 1e3:.3f} ms "
@@ -190,6 +216,7 @@ def main(argv=None):
                        "real multi-chip both numbers re-measure unchanged."),
             "weak_scaling": rows,
             "weak_scaling_gamg": gamg_rows,
+            "weak_scaling_gamg_two_level": twolevel_rows,
             "overlap_check": {"ndev": nd_ov,
                               "mult_ms_overlapped": round(t_ov * 1e3, 4),
                               "mult_ms_halo_sequential": round(t_seq * 1e3, 4)},

@@ -237,11 +237,6 @@ def _lagrange_nodes(dim, k, cell):
                     a, b = tk[1]
                     kinds.append(("face", (a, b, a + 3, b + 3)))
         return np.asarray(pts, dtype=np.float64), kinds
-    if dim == 3 and k >= 4:
-        raise NotImplementedError(
-            "3-D simplex Lagrange: P1-P3 only (P4+ has multiple "
-            "face-interior nodes per face, needing oriented face-dof "
-            "numbering — same deferral as hex faces)")
     # simplex barycentric lattice: multi-indices (b0..bd) summing to k;
     # slot i <-> vertex i (vertex 0 at the origin), coords = (b1..bd)/k
     out = []
@@ -266,10 +261,30 @@ def _lagrange_nodes(dim, k, cell):
             # position along the edge a->b (1..k-1)
             kinds.append(("edge", (a, b), int(bb[b])))
         elif len(nz) == 3 and dim == 3:
-            kinds.append(("face", tuple(int(v) for v in nz)))
+            # P4+: several interior nodes per face — carry the node's
+            # barycentric sub-multiindex on the face's three vertices so
+            # build_dof_layout can number them in the face's CANONICAL
+            # (sorted-global-vertex) frame; neighbors then agree
+            # (the oriented face-dof numbering plexfem.c gets from
+            # PetscSection closure permutations)
+            tri = tuple(int(v) for v in nz)
+            kinds.append(("face", tri,
+                          tuple(int(bb[v]) for v in tri)))
         else:
             kinds.append(("interior",))
     return pts, kinds
+
+
+def _face_interior_index(k):
+    """Lexicographic rank of each interior barycentric triple (i, j, l),
+    i+j+l = k, all >= 1, of a face of order k; returns (dict, count)."""
+    idx = {}
+    for i in range(1, k - 1):
+        for j in range(1, k - i):
+            l = k - i - j
+            if l >= 1:
+                idx[(i, j, l)] = len(idx)
+    return idx, len(idx)
 
 
 def _tensor_corner(p, dim):
@@ -495,9 +510,17 @@ def build_dof_layout(cells, coords, fe):
     ne, nf = len(emap), len(fmap)
     per_edge = k - 1
     n_int = sum(1 for kk in kinds if kk[0] == "interior")
+    # simplex faces carry (k-1)(k-2)/2 interior dofs for P4+ (the
+    # bary-multiindex face kinds); single-dof face kinds (P3 centroid,
+    # Q2 hex, prism quad) keep per_face = 1
+    multi_face = any(kk[0] == "face" and len(kk) > 2 for kk in kinds)
+    if multi_face:
+        fidx, per_face = _face_interior_index(k)
+    else:
+        fidx, per_face = None, 1
     base_e = nv
     base_f = base_e + ne * per_edge
-    base_i = base_f + nf
+    base_i = base_f + nf * per_face
     ndof = base_i + nc * n_int
     conn = np.zeros((nc, fe.nb), dtype=np.int64)
     eid = np.zeros(nc, dtype=np.int64)
@@ -516,9 +539,21 @@ def build_dof_layout(cells, coords, fe):
             conn[:, j] = base_e + eid * per_edge + (p - 1)
         elif kk[0] == "face":
             tri = kk[1]
-            for c in range(nc):
-                key = tuple(sorted(int(cells[c, v]) for v in tri))
-                conn[c, j] = base_f + fmap[key]
+            if len(kk) > 2:
+                # canonical face frame: permute the node's barycentric
+                # weights into ascending-global-vertex order; both cells
+                # sharing the face compute the same (fid, rank)
+                bary = kk[2]
+                for c in range(nc):
+                    g = [int(cells[c, v]) for v in tri]
+                    order = np.argsort(g)
+                    key = tuple(g[o] for o in order)
+                    m = tuple(bary[o] for o in order)
+                    conn[c, j] = base_f + fmap[key] * per_face + fidx[m]
+            else:
+                for c in range(nc):
+                    key = tuple(sorted(int(cells[c, v]) for v in tri))
+                    conn[c, j] = base_f + fmap[key]
         else:
             conn[:, j] = base_i + np.arange(nc) * n_int + int_count
             int_count += 1

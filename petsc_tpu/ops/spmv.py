@@ -137,9 +137,11 @@ def _onehot_select(V, lanes):
     via bitcast_convert; XLA's TPU x64-rewrite pass rejects that HLO
     ('rewriting not implemented'); instead f64 operands take an exact
     3-way f32 Dekker split (_f64_split3) — selection commutes with the
-    split because a one-hot pick moves components unchanged, and f32
-    masked sums run ~4x faster than the emulated-f64 ones (round-5 chip
-    measurement in examples/bdia_ell_probe.py).  Chip basis: selects
+    split because a one-hot pick moves components unchanged, trading one
+    emulated-f64 masked-sum chain for three f32 ones (chip-measured
+    net effect is within tunnel variance on the rand-band composite;
+    kept because the f32 chains bound the select cost by VPU-native ops
+    instead of f64 emulation).  Chip basis: selects
     cost ~0.26 ns f32 vs ~27 ns for an XLA element gather
     (examples/pallas_gather_probe.py, onehot_window_probe.py)."""
     iota = jax.lax.broadcasted_iota(jnp.int32, lanes.shape + (128,),

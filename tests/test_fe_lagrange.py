@@ -151,11 +151,13 @@ def test_p3_edge_orientation_continuity():
     assert np.abs(F[keep]).max() < 1e-10
 
 
-def test_p4_tet_raises():
-    """P4+ on tets is explicitly unsupported (multiple face-interior
-    nodes need oriented face numbering) — must raise, not corrupt."""
-    with pytest.raises(NotImplementedError):
-        lagrange_fe(3, 4)
+def test_p4_tet_supported():
+    """P4 on tets (round 5): face-interior dofs numbered in the
+    canonical sorted-global-vertex frame — full conforming element
+    (deep checks in test_fe_p4_3d.py)."""
+    fe = lagrange_fe(3, 4)
+    assert fe.nb == 35          # C(4+3, 3)
+    assert sum(1 for kk in fe.node_kinds if kk[0] == "face") == 12  # 3/face
 
 
 def test_crouzeix_raviart_poisson():
