@@ -80,6 +80,9 @@ def ts_heat_block(n, nsteps=50, dt=None):
     ts = pt.TS().create()
     ts.setType("cn")
     ts.setRHSFunction(make_rhs(da))
+    # fully-jitted JFNK stage solves: the assembled-Jacobian default
+    # would jacfwd a DENSE (n^2) matrix per step with no DM pattern
+    ts.use_compiled_snes = True
     ts.setTimeStep(dt)
     ts.setMaxSteps(nsteps)
     ts.setMaxTime(1e9)

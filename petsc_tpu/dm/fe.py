@@ -139,11 +139,6 @@ def _lagrange_nodes(dim, k, cell):
     ('vertex', v) | ('edge', (a, b), pos) | ('face', (a, b, c)) |
     ('interior',). Simplex nodes are the barycentric lattice i/k."""
     if cell == "tensor":
-        if dim == 3 and k > 2:
-            raise NotImplementedError(
-                "tensor 3-D Lagrange: Q1/Q2 only (Q3+ has multiple "
-                "face-interior nodes per hex face, needing oriented "
-                "2-D face-dof numbering)")
         ax = np.linspace(0.0, 1.0, k + 1)
         grids = np.meshgrid(*[ax] * dim, indexing="ij")
         pts = np.stack(grids, axis=-1).reshape(-1, dim)
@@ -165,17 +160,24 @@ def _lagrange_nodes(dim, k, cell):
                     b = _tensor_corner(np.array(hi), 3)
                     kinds.append(("edge", (a, b), int(round(p[d] * k))))
                 elif nfree == 2:
-                    # hex face node (k=2: the single centroid dof —
-                    # orientation-free); key = the face's 4 corners
+                    # hex face node: corners listed (u,v) = 00,01,10,11
+                    # along the two free axes + the node's lattice
+                    # position (a, b) on them — build_dof_layout numbers
+                    # the (k-1)^2 face-interior dofs in the face's
+                    # canonical (lowest-global-corner) frame so
+                    # neighboring hexes agree (Q3+; Q2's single centroid
+                    # degenerates to rank 0)
                     d = [i for i, b in enumerate(onb) if b][0]
+                    free = [i for i in range(3) if i != d]
                     corners = []
                     for u in (0.0, 1.0):
                         for v in (0.0, 1.0):
                             q = list(p)
-                            free = [i for i in range(3) if i != d]
                             q[free[0]], q[free[1]] = u, v
                             corners.append(_tensor_corner(np.array(q), 3))
-                    kinds.append(("face", tuple(corners)))
+                    kinds.append(("face", tuple(corners),
+                                  (int(round(p[free[0]] * k)),
+                                   int(round(p[free[1]] * k)))))
                 else:
                     kinds.append(("interior",))
             elif dim == 2 and any(onb):
@@ -511,13 +513,17 @@ def build_dof_layout(cells, coords, fe):
     per_edge = k - 1
     n_int = sum(1 for kk in kinds if kk[0] == "interior")
     # simplex faces carry (k-1)(k-2)/2 interior dofs for P4+ (the
-    # bary-multiindex face kinds); single-dof face kinds (P3 centroid,
-    # Q2 hex, prism quad) keep per_face = 1
-    multi_face = any(kk[0] == "face" and len(kk) > 2 for kk in kinds)
-    if multi_face:
-        fidx, per_face = _face_interior_index(k)
-    else:
-        fidx, per_face = None, 1
+    # bary-multiindex face kinds), hex quad faces (k-1)^2 (the lattice
+    # kinds); single-dof face kinds (P3 centroid, prism quad) keep
+    # per_face = 1
+    face_kinds = [kk for kk in kinds if kk[0] == "face" and len(kk) > 2]
+    fidx, per_face = None, 1
+    quad_face = False
+    if face_kinds:
+        if len(face_kinds[0][1]) == 3:
+            fidx, per_face = _face_interior_index(k)
+        else:
+            quad_face, per_face = True, (k - 1) ** 2
     base_e = nv
     base_f = base_e + ne * per_edge
     base_i = base_f + nf * per_face
@@ -539,7 +545,7 @@ def build_dof_layout(cells, coords, fe):
             conn[:, j] = base_e + eid * per_edge + (p - 1)
         elif kk[0] == "face":
             tri = kk[1]
-            if len(kk) > 2:
+            if len(kk) > 2 and not quad_face:
                 # canonical face frame: permute the node's barycentric
                 # weights into ascending-global-vertex order; both cells
                 # sharing the face compute the same (fid, rank)
@@ -550,6 +556,25 @@ def build_dof_layout(cells, coords, fe):
                     key = tuple(g[o] for o in order)
                     m = tuple(bary[o] for o in order)
                     conn[c, j] = base_f + fmap[key] * per_face + fidx[m]
+            elif len(kk) > 2:
+                # quad face (hex): corners listed (u,v)=00,01,10,11 with
+                # node lattice position (a, b). Canonical frame: origin
+                # at the lowest-GLOBAL corner, first axis toward the
+                # smaller-global of its two face neighbors — the same
+                # intrinsic numbering from both sides of the face.
+                ia, ib = kk[2]
+                for c in range(nc):
+                    g = [int(cells[c, v]) for v in tri]
+                    mloc = int(np.argmin(g))
+                    u0, v0 = divmod(mloc, 2)
+                    nA = 2 * (1 - u0) + v0      # u-direction neighbor
+                    nB = 2 * u0 + (1 - v0)      # v-direction neighbor
+                    sa = ia if u0 == 0 else k - ia
+                    sb = ib if v0 == 0 else k - ib
+                    i1, i2 = (sa, sb) if g[nA] <= g[nB] else (sb, sa)
+                    rank = (i1 - 1) * (k - 1) + (i2 - 1)
+                    key = tuple(sorted(g))
+                    conn[c, j] = base_f + fmap[key] * per_face + rank
             else:
                 for c in range(nc):
                     key = tuple(sorted(int(cells[c, v]) for v in tri))

@@ -725,13 +725,21 @@ class MatAIJ(Mat):
             hyb_scatter[~on_dia] = len(offs) * m + np.arange(nspill)
             lpad = int(max(0, -offs.min()))
             rpad = int(max(0, offs.max() + m - n))
+            # sorted-segment compaction of the spill scatter: srows is
+            # CSR-nondecreasing, so the per-entry scatter-add collapses
+            # to a segment_sum over ~nspill/K unique rows + ONE small
+            # scatter (the scatter is the 30 ns/elem op; the reduction
+            # is a VPU pass)
+            urows, sinv = np.unique(srows, return_inverse=True)
             self._dev = {"data": jnp.asarray(dd, dtype=rd),
                          "sdata": jnp.asarray(vals[~on_dia], dtype=rd),
                          "srows": jnp.asarray(srows),
                          "scols": jnp.asarray(scols),
+                         "surows": jnp.asarray(urows.astype(np.int32)),
+                         "sinv": jnp.asarray(sinv.astype(np.int32)),
                          "hyb_scatter": jnp.asarray(hyb_scatter)}
             self._meta = ("aij_hyb", m, n, tuple(int(o) for o in offs),
-                          lpad, rpad, nspill)
+                          lpad, rpad, nspill, len(urows))
         elif kind == "bdia":
             split = self._bdia_split()
             if split is None:  # explicit -mat_spmv_kind bdia
@@ -1499,10 +1507,17 @@ def _bind_aij_dia(meta, data):
 
 
 def _bind_aij_hyb(meta, data):
-    _, m, n, offsets, lpad, rpad, nspill = meta
+    _, m, n, offsets, lpad, rpad, nspill = meta[:7]
+    nurows = meta[7] if len(meta) > 7 else 0
     d = data["data"]
     sd = data["sdata"] if nspill > 0 else None
-    si = (data["srows"], data["scols"]) if nspill > 0 else None
+    si = None
+    if nspill > 0:
+        si = (data["srows"], data["scols"])
+        if nurows and "surows" in data:
+            # sorted-segment spill (round 5): segment_sum + small scatter
+            si = (data["srows"], data["scols"],
+                  data["surows"], data["sinv"], nurows)
     return operator.Op(
         mult=lambda x: spmv.hyb_spmv(d, offsets, sd, si, x, m, lpad, rpad),
         mult_t=lambda x: spmv.hyb_spmv_t(d, offsets, sd, si, x, n, m,

@@ -102,15 +102,26 @@ def hyb_spmv(dia_data, offsets, sdata, sidx, x, m, lpad, rpad):
     only rows that actually spill, not all m (chip-measured 6x)."""
     y = dia_spmv(dia_data, offsets, x, m, lpad, rpad)
     if sdata is not None:
-        srows, scols = sidx
-        y = y.at[srows].add(sdata * x[scols])
+        if len(sidx) == 5:
+            # sorted-segment spill: srows is CSR-nondecreasing, so the
+            # per-entry scatter-add (30 ns/elem class) collapses to a
+            # segment reduction + ONE scatter over the ~K-fold smaller
+            # unique-row set
+            srows, scols, urows, sinv, nu = sidx
+            seg = jax.ops.segment_sum(sdata * x[scols], sinv,
+                                      num_segments=nu,
+                                      indices_are_sorted=True)
+            y = y.at[urows].add(seg)
+        else:
+            srows, scols = sidx
+            y = y.at[srows].add(sdata * x[scols])
     return y
 
 
 def hyb_spmv_t(dia_data, offsets, sdata, sidx, x, n, m, lpad, rpad):
     y = dia_spmv_t(dia_data, offsets, x, n, m, lpad, rpad)
     if sdata is not None:
-        srows, scols = sidx
+        srows, scols = sidx[0], sidx[1]
         y = y.at[scols].add(sdata * x[srows])
     return y
 

@@ -123,6 +123,12 @@ class SNES(PObject):
             self.max_it = n
         if self.opt("get_bool", "snes_ksp_ew", False):
             self.use_ew = True
+        v = self.opt("get_int", "snes_lag_jacobian", None)
+        if v is not None:
+            self.lag_jacobian = v
+        v = self.opt("get_int", "snes_lag_preconditioner", None)
+        if v is not None:
+            self.lag_preconditioner = v
         if self.opt("get_bool", "snes_mf", False):
             self._jac_mode = "jvp"
         if self.opt("get_bool", "snes_fd", False):
@@ -192,8 +198,46 @@ class SNES(PObject):
             return "jvp"
         return "fd"
 
+    def setLagJacobian(self, lag):
+        """SNESSetLagJacobian (-snes_lag_jacobian): rebuild the Jacobian
+        every `lag` iterations; -2 = build once then freeze, -1 = never
+        build (reuse whatever exists), 1 = every iteration (default)."""
+        self.lag_jacobian = int(lag)
+        return self
+
+    def setLagPreconditioner(self, lag):
+        """SNESSetLagPreconditioner (-snes_lag_preconditioner): rebuild
+        the preconditioner MATRIX every `lag` Jacobian rebuilds (the
+        frozen-PC / fresh-J-action pattern; reusing the same P object
+        lets PCSetUp's state-counter skip the AMG/ILU re-setup)."""
+        self.lag_preconditioner = int(lag)
+        return self
+
+    lag_jacobian = 1
+    lag_preconditioner = 1
+    _jac_calls = 0
+    _lag_cache = None
+
     def computeJacobian(self, x_np):
-        """Returns (J, P) Mats for the current iterate."""
+        """Returns (J, P) Mats for the current iterate, honoring the
+        -snes_lag_jacobian / -snes_lag_preconditioner reuse policy
+        (snes.c SNESComputeJacobian lagging semantics)."""
+        calls = self._jac_calls
+        self._jac_calls = calls + 1
+        lj, lp = self.lag_jacobian, self.lag_preconditioner
+        if self._lag_cache is not None:
+            if lj == -1 or (lj == -2 and calls > 0) \
+                    or (lj > 1 and calls % lj != 0):
+                return self._lag_cache
+        J, P = self._compute_jacobian_now(x_np)
+        if self._lag_cache is not None and (
+                lp == -1 or (lp == -2 and calls > 0)
+                or (lp > 1 and calls % lp != 0)):
+            P = self._lag_cache[1]      # frozen preconditioner matrix
+        self._lag_cache = (J, P)
+        return J, P
+
+    def _compute_jacobian_now(self, x_np):
         mode = self._resolve_jac_mode()
         if mode == "user":
             X = Vec.from_array(x_np, comm=self.comm)
@@ -384,6 +428,11 @@ class SNES(PObject):
         self._history = []
         self._nfuncs = 0
         self._reason = SR.ITERATING
+        # lag counters restart per solve unless -snes_lag_jacobian_persists
+        # (SNESSetLagJacobianPersists semantics)
+        if not self.opt("get_bool", "snes_lag_jacobian_persists", False):
+            self._jac_calls = 0
+            self._lag_cache = None
         impl = self._impls[self._type]
         x_np = np.asarray(x.getArray(), dtype=np.float64).copy()
         if b is not None:

@@ -345,7 +345,19 @@ class TS(PObject):
             from ..snes.snes import SNES
             self.snes = SNES(options=self._options, prefix=self._prefix)
             self.snes.create(self.comm)
+            if self.dm is not None:
+                # TSGetSNES attaches the TS DM (ts.c): a DMDA gives the
+                # stage solver its stencil pattern, so stage Jacobians
+                # assemble colored-FD SPARSE instead of dense jacfwd
+                self.snes.setDM(self.dm)
         return self.snes
+
+    def setDM(self, dm):
+        """TSSetDM: grid manager for stage solves (pattern/coloring)."""
+        self.dm = dm
+        if self.snes is not None:
+            self.snes.setDM(dm)
+        return self
 
     def setFromOptions(self):
         t = self.opt("get_string", "ts_type", None)
