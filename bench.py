@@ -77,11 +77,30 @@ def _emit():
         print(json.dumps(_best), flush=True)
 
 
+_fb_child = None
+
+
+def _cleanup_child():
+    global _fb_child
+    if _fb_child is not None:
+        try:
+            _fb_child.kill()
+        except OSError:
+            pass
+        _fb_child = None
+    if _fallback_file is not None:
+        try:
+            os.unlink(_fallback_file)
+        except OSError:
+            pass
+
+
 def _on_signal(sig, frame):
     # grace period: the concurrent CPU child may be seconds from its
     # first write; a short wait beats emitting value 0.0
     _merge_fallback(wait_s=10.0)
     _emit()
+    _cleanup_child()
     os._exit(0)
 
 
@@ -316,9 +335,10 @@ def main():
 
     # CPU floor measured CONCURRENTLY with the probe window — if the
     # probe burns the whole budget, _emit() folds this in (never 0.0).
+    global _fb_child
     _fallback_file = os.path.join(
         tempfile.gettempdir(), f"petsc_tpu_bench_fb_{os.getpid()}.json")
-    fb_child = subprocess.Popen(
+    _fb_child = subprocess.Popen(
         [sys.executable, os.path.abspath(__file__),
          "--cpu-fallback", _fallback_file],
         stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
@@ -427,11 +447,6 @@ def main():
         import traceback
         traceback.print_exc(file=sys.stderr)
 
-    try:
-        fb_child.kill()
-    except OSError:
-        pass
-
     if bw > 0 and _best["value"] > 0:
         _best["pct_csr_roofline"] = round(
             100.0 * _best["value"] / (bw / 12.0), 1)
@@ -442,6 +457,7 @@ def main():
         _best["pct_stencil_roofline"] = round(
             100.0 * _best["value"] / (bw * 27.0 / 16.0), 1)
     _emit()
+    _cleanup_child()
 
 
 if __name__ == "__main__":

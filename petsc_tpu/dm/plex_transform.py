@@ -429,8 +429,7 @@ def adapt_metric(plex, metric, max_passes=6):
     edge and calls adapt_label, so the result is conforming at every
     intermediate step.  Returns the adapted plex (chain of parents
     recorded per pass)."""
-    out = plex
-    for _ in range(max_passes):
+    def _long_cells(out):
         cells = out.cells
         coords = out.coords
         nvert = len(coords)
@@ -461,18 +460,23 @@ def adapt_metric(plex, metric, max_passes=6):
                 Mavg = (minv[va] + minv[vb]) / 2
                 l2 = np.einsum("cd,cde,ce->c", e, Mavg, e)
             long_cells.update(np.nonzero(l2 > 2.0)[0].tolist())
+        return long_cells
+
+    out = plex
+    long_cells = _long_cells(out)
+    for _ in range(max_passes):
         if not long_cells:
             break
         out = adapt_label(out, np.asarray(sorted(long_cells)))
-    else:
+        long_cells = _long_cells(out)   # re-measure AFTER the pass, so
+        # a mesh resolved on the final allowed pass reads as converged
+    if long_cells:
         # pass limit exhausted with long edges still present: callers can
         # distinguish converged from truncated adaptation
         import warnings
         warnings.warn("adapt_metric: max_passes reached with edges still "
                       "above the unit-mesh band", stacklevel=2)
-        out.metric_converged = False
-        return out
-    out.metric_converged = True
+    out.metric_converged = not long_cells
     return out
 
 

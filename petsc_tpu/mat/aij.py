@@ -89,16 +89,18 @@ class MatAIJ(Mat):
         # layout analyses (bdia run/slot packing, dia/hyb diagonal
         # extraction) assume it, and scipy fancy-indexed CSRs arrive
         # unsorted (round-5 bug: unsorted runs silently collided bdia
-        # slots, producing a WRONG SpMV on shuffled-stencil patterns)
+        # slots, producing a WRONG SpMV on shuffled-stencil patterns).
+        # Fast path: the O(nnz) rows array is only built when some
+        # adjacent pair actually decreases.
         if len(self._indices):
-            rl = np.diff(self._indptr)
-            rows = np.repeat(np.arange(len(rl), dtype=np.int64), rl)
-            if np.any(np.diff(self._indices) < 0) and np.any(
-                    (np.diff(self._indices) < 0)
-                    & (np.diff(rows) == 0)):
-                order = np.lexsort((self._indices, rows))
-                self._indices = self._indices[order]
-                self._vals = self._vals[order]
+            dec = np.diff(self._indices) < 0
+            if dec.any():
+                rl = np.diff(self._indptr)
+                rows = np.repeat(np.arange(len(rl), dtype=np.int64), rl)
+                if (dec & (np.diff(rows) == 0)).any():
+                    order = np.lexsort((self._indices, rows))
+                    self._indices = self._indices[order]
+                    self._vals = self._vals[order]
 
     def assemblyBegin(self, *a):
         pass
@@ -352,21 +354,31 @@ class MatAIJ(Mat):
         K, avg = int(rl.max()), float(rl.mean())
         return "ell" if K <= max(16, 4 * avg) else "csr"
 
-    def _rcm_relayout(self):
+    def _rcm_relayout(self, force=False):
         """Try RCM; return (perm, inner Mat) when the permuted matrix
         routes to a categorically faster layout, else None. Disabled by
-        -mat_rcm_layout 0. Ref: MatOrdering genrcm.c role; the policy
-        the round-4 verdict flagged as missing (rand-band stayed on
-        BDIA without ever trying its own ordering machinery)."""
+        -mat_rcm_layout 0; `force` (explicit -mat_spmv_kind perm) adopts
+        regardless of the cost model. Ref: MatOrdering genrcm.c role;
+        the policy the round-4 verdict flagged as missing (rand-band
+        stayed on BDIA without ever trying its own ordering machinery).
+
+        Cache keys on BOTH the pattern and the values array identity: a
+        value-only setValuesCSR on the same pattern must rebuild the
+        permuted inner matrix (round-5 review: the pattern-only key
+        silently multiplied with stale values). All-zero values (the
+        setPreallocationCOO symbolic placeholder) decline the probe so
+        the COO numeric-update path keeps a layout that supports it."""
         if getattr(self, "_rcm_probe_disabled", False):
             return None
         cache = getattr(self, "_rcm_cache", None)
-        if cache is not None and cache[0] is self._indices:
+        if (not force and cache is not None and cache[0] is self._indices
+                and cache[2] is self._vals):
             return cache[1]
         result = None
         m, n = self.getSize()
-        if (m == n and m >= 4096 and self._indptr is not None
-                and len(self._indices)
+        if (m == n and m >= (1 if force else 4096)
+                and self._indptr is not None
+                and len(self._indices) and np.any(self._vals)
                 and self.opt("get_bool", "mat_rcm_layout", default=True)):
             import scipy.sparse as sp
             from .order import get_ordering
@@ -376,6 +388,10 @@ class MatAIJ(Mat):
             Ap = A[p][:, p].tocsr()
             inner = MatAIJ.from_scipy(Ap, host_only=True)
             inner._rcm_probe_disabled = True
+            # the inner matrix must AUTO-select its layout even when the
+            # outer was forced by -mat_spmv_kind perm (the global option
+            # would otherwise recurse into the inner build)
+            inner._kind_opt = "auto"
             ik = inner._choose_kind()
             nnz = len(self._indices)
 
@@ -393,10 +409,10 @@ class MatAIJ(Mat):
                 return self._BDIA_GATHER_NS * nnz
             own = est(self, self._bdia_split() and "bdia" or "csr")
             perm_cost = 2 * self._BDIA_GATHER_NS * m   # gather + scatter
-            if ik in ("dia", "hyb", "bdia") \
-                    and est(inner, ik) + perm_cost < 0.7 * own:
+            if force or (ik in ("dia", "hyb", "bdia")
+                         and est(inner, ik) + perm_cost < 0.7 * own):
                 result = (np.asarray(p, dtype=np.int64), inner)
-        self._rcm_cache = (self._indices, result)
+        self._rcm_cache = (self._indices, result, self._vals)
         return result
 
     def setStencilGrid(self, shape):
@@ -594,7 +610,18 @@ class MatAIJ(Mat):
         if kind == "perm":
             # RCM-permuted re-layout: store P and the permuted inner
             # operator; mult = scatter_P(inner.mult(gather_P(x)))
-            p, inner = self._rcm_cache[1]
+            cache = getattr(self, "_rcm_cache", None)
+            pi = cache[1] if (cache is not None
+                             and cache[0] is self._indices
+                             and cache[2] is self._vals) else None
+            if pi is None:
+                # explicit -mat_spmv_kind perm: adopt unconditionally
+                pi = self._rcm_relayout(force=True)
+            if pi is None:
+                from ..sys.error import Error
+                raise Error("mat_spmv_kind perm: RCM re-layout needs a "
+                            "square assembled matrix with nonzero values")
+            p, inner = pi
             im, idat = inner.meta, inner.device_data()
             self._dev = {"perm": jnp.asarray(p), "inner": idat}
             self._meta = ("aij_perm", im, m, inner.row_layout.Npad,
@@ -725,21 +752,13 @@ class MatAIJ(Mat):
             hyb_scatter[~on_dia] = len(offs) * m + np.arange(nspill)
             lpad = int(max(0, -offs.min()))
             rpad = int(max(0, offs.max() + m - n))
-            # sorted-segment compaction of the spill scatter: srows is
-            # CSR-nondecreasing, so the per-entry scatter-add collapses
-            # to a segment_sum over ~nspill/K unique rows + ONE small
-            # scatter (the scatter is the 30 ns/elem op; the reduction
-            # is a VPU pass)
-            urows, sinv = np.unique(srows, return_inverse=True)
             self._dev = {"data": jnp.asarray(dd, dtype=rd),
                          "sdata": jnp.asarray(vals[~on_dia], dtype=rd),
                          "srows": jnp.asarray(srows),
                          "scols": jnp.asarray(scols),
-                         "surows": jnp.asarray(urows.astype(np.int32)),
-                         "sinv": jnp.asarray(sinv.astype(np.int32)),
                          "hyb_scatter": jnp.asarray(hyb_scatter)}
             self._meta = ("aij_hyb", m, n, tuple(int(o) for o in offs),
-                          lpad, rpad, nspill, len(urows))
+                          lpad, rpad, nspill)
         elif kind == "bdia":
             split = self._bdia_split()
             if split is None:  # explicit -mat_spmv_kind bdia
@@ -1508,16 +1527,9 @@ def _bind_aij_dia(meta, data):
 
 def _bind_aij_hyb(meta, data):
     _, m, n, offsets, lpad, rpad, nspill = meta[:7]
-    nurows = meta[7] if len(meta) > 7 else 0
     d = data["data"]
     sd = data["sdata"] if nspill > 0 else None
-    si = None
-    if nspill > 0:
-        si = (data["srows"], data["scols"])
-        if nurows and "surows" in data:
-            # sorted-segment spill (round 5): segment_sum + small scatter
-            si = (data["srows"], data["scols"],
-                  data["surows"], data["sinv"], nurows)
+    si = (data["srows"], data["scols"]) if nspill > 0 else None
     return operator.Op(
         mult=lambda x: spmv.hyb_spmv(d, offsets, sd, si, x, m, lpad, rpad),
         mult_t=lambda x: spmv.hyb_spmv_t(d, offsets, sd, si, x, n, m,
@@ -1755,8 +1767,8 @@ def _bind_aij_perm(meta, data):
     op = operator.bind(im, data["inner"])
     diag = None
     if op.diag is not None:
-        def diag():
-            d = operator.bind(im, data["inner"]).diag()[:m]
+        def diag(op=op):
+            d = op.diag()[:m]
             return jnp.zeros((npad,), d.dtype).at[data["perm"]].set(d)
     return operator.Op(mult=_wrap(op.mult), mult_t=_wrap(op.mult_t),
                       diag=diag)

@@ -102,19 +102,12 @@ def hyb_spmv(dia_data, offsets, sdata, sidx, x, m, lpad, rpad):
     only rows that actually spill, not all m (chip-measured 6x)."""
     y = dia_spmv(dia_data, offsets, x, m, lpad, rpad)
     if sdata is not None:
-        if len(sidx) == 5:
-            # sorted-segment spill: srows is CSR-nondecreasing, so the
-            # per-entry scatter-add (30 ns/elem class) collapses to a
-            # segment reduction + ONE scatter over the ~K-fold smaller
-            # unique-row set
-            srows, scols, urows, sinv, nu = sidx
-            seg = jax.ops.segment_sum(sdata * x[scols], sinv,
-                                      num_segments=nu,
-                                      indices_are_sorted=True)
-            y = y.at[urows].add(seg)
-        else:
-            srows, scols = sidx
-            y = y.at[srows].add(sdata * x[scols])
+        # direct compacted-COO scatter-add. A sorted-segment_sum variant
+        # (reduce to unique rows, then one small scatter) was chip-
+        # measured at HALF this path's rate in round 5 — XLA lowers the
+        # segment reduction to a scatter anyway, so it just added a pass
+        srows, scols = sidx[0], sidx[1]
+        y = y.at[srows].add(sdata * x[scols])
     return y
 
 
@@ -126,45 +119,22 @@ def hyb_spmv_t(dia_data, offsets, sdata, sidx, x, n, m, lpad, rpad):
     return y
 
 
-def _f64_split3(x):
-    """Exact 3-way Dekker split of f64 into f32 components: x == sum of
-    the three widened parts (24+24+24 bits >= the 53-bit mantissa; each
-    extraction step x - f32(x) is exact in f64). Range caveat: |x| above
-    f32-max overflows the split — solver vectors never get there (f64
-    dot products would overflow long before)."""
-    x1 = x.astype(jnp.float32)
-    r1 = x - x1.astype(jnp.float64)
-    x2 = r1.astype(jnp.float32)
-    x3 = (r1 - x2.astype(jnp.float64)).astype(jnp.float32)
-    return x1, x2, x3
-
-
 def _onehot_select(V, lanes):
     """sel[..., k] = V[..., lanes[..., k]] with NO gather: a 128-wide
     one-hot contraction per pick.  V is (..., 128) float; lanes (..., K)
     int32.  Exactly one term of the masked sum is nonzero, so the sum IS
     the selected value bit-exactly in every dtype (adding zeros is exact
-    in IEEE).  An earlier f64 variant selected the two int32 bit-halves
-    via bitcast_convert; XLA's TPU x64-rewrite pass rejects that HLO
-    ('rewriting not implemented'); instead f64 operands take an exact
-    3-way f32 Dekker split (_f64_split3) — selection commutes with the
-    split because a one-hot pick moves components unchanged, trading one
-    emulated-f64 masked-sum chain for three f32 ones (chip-measured
-    net effect is within tunnel variance on the rand-band composite;
-    kept because the f32 chains bound the select cost by VPU-native ops
-    instead of f64 emulation).  Chip basis: selects
+    in IEEE).  Two rejected f64 variants for the record: int32
+    bit-half selects via bitcast_convert (XLA's TPU x64-rewrite pass
+    rejects the HLO, ADVICE r3) and a 3-way f32 Dekker split (round 5:
+    chip-measured within tunnel variance of the direct f64 path AND
+    silently zeroes values below the f32 subnormal range — reverted;
+    the direct path is exact for every f64 value).  Chip basis: selects
     cost ~0.26 ns f32 vs ~27 ns for an XLA element gather
     (examples/pallas_gather_probe.py, onehot_window_probe.py)."""
     iota = jax.lax.broadcasted_iota(jnp.int32, lanes.shape + (128,),
                                     lanes.ndim)
     oh = lanes[..., None] == iota                       # (..., K, 128)
-    if V.dtype == jnp.float64:
-        parts = _f64_split3(V)
-        zs = jnp.zeros((), jnp.float32)
-        s1, s2, s3 = (jnp.sum(jnp.where(oh, p[..., None, :], zs), axis=-1)
-                      for p in parts)
-        return (s1.astype(jnp.float64) + s2.astype(jnp.float64)
-                + s3.astype(jnp.float64))
     return jnp.sum(jnp.where(oh, V[..., None, :], jnp.zeros((), V.dtype)),
                    axis=-1)
 

@@ -79,3 +79,55 @@ def test_rcm_not_adopted_when_direct_layout_wins():
     As = _shuffled_5pt(80)
     M = pt.MatAIJ.from_scipy(As)
     assert M.meta[0] != "aij_perm", M.meta[0]
+
+
+def test_rcm_perm_values_update_rebuilds():
+    """Round-5 review: a value-only setValuesCSR on the same pattern
+    must rebuild the permuted inner operator (the pattern-only cache
+    key silently multiplied with stale values)."""
+    As = _shuffled_5pt(320)
+    M = pt.MatAIJ.from_scipy(As)
+    assert M.meta[0] == "aij_perm"
+    M.setValuesCSR(As.indptr, As.indices, 3.0 * As.data)
+    M.assemble()
+    op = operator.bind(M.meta, M.device_data())
+    x = np.random.default_rng(2).random(M.row_layout.Npad)
+    N = As.shape[0]
+    y = np.asarray(jax.jit(op.mult)(jnp.asarray(x)))
+    ref = 3.0 * (As @ x[:N])
+    assert np.abs(y[:N] - ref).max() / np.abs(ref).max() < 1e-13
+
+
+def test_explicit_perm_kind():
+    """-mat_spmv_kind perm adopts the RCM re-layout unconditionally
+    instead of crashing (round-5 review)."""
+    As = _shuffled_5pt(80)
+    pt.options().set_value("mat_spmv_kind", "perm")
+    try:
+        M = pt.MatAIJ.from_scipy(As)
+        assert M.meta[0] == "aij_perm", M.meta[0]
+        op = operator.bind(M.meta, M.device_data())
+        x = np.random.default_rng(3).random(M.row_layout.Npad)
+        N = As.shape[0]
+        y = np.asarray(jax.jit(op.mult)(jnp.asarray(x)))
+        assert np.abs(y[:N] - As @ x[:N]).max() < 1e-11
+    finally:
+        pt.options().set_value("mat_spmv_kind", "")
+
+
+def test_coo_prealloc_not_routed_to_perm():
+    """setPreallocationCOO's zero-valued symbolic phase must not adopt
+    the perm layout (its numeric COO update path would fail)."""
+    import scipy.sparse as sp
+    As = _shuffled_5pt(320)
+    coo = As.tocoo()
+    M = pt.MatAIJ()
+    M.setSizes(As.shape)
+    M.setPreallocationCOO(coo.row, coo.col)
+    assert M.meta[0] != "aij_perm", M.meta[0]
+    M.setValuesCOO(coo.data)
+    op = operator.bind(M.meta, M.device_data())
+    x = np.random.default_rng(4).random(M.row_layout.Npad)
+    N = As.shape[0]
+    y = np.asarray(jax.jit(op.mult)(jnp.asarray(x)))
+    assert np.abs(y[:N] - As @ x[:N]).max() < 1e-11
