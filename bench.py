@@ -265,11 +265,14 @@ def _solve_block(n=128):
     b = pt.Vec.from_array(jnp.ones(N))
     x = pt.Vec.from_array(jnp.zeros(N))
     ksp.solve(b, x)                      # compile + warm
-    x.set(0.0)
-    t0 = _t.perf_counter()
-    ksp.solve(b, x)
-    jax.block_until_ready(x.array)
-    out["solve_s"] = round(_t.perf_counter() - t0, 3)
+    best = float("inf")
+    for _ in range(3):                   # best-of-3: tunnel dispatch
+        x.set(0.0)                       # jitter is ~the solve scale
+        t0 = _t.perf_counter()
+        ksp.solve(b, x)
+        jax.block_until_ready(x.array)
+        best = min(best, _t.perf_counter() - t0)
+    out["solve_s"] = round(best, 3)
     out["its"] = ksp.getIterationNumber()
     out["relres"] = float(ksp.getResidualNorm()) / float(ksp._rnorm0)
     out["quality"] = ("cpu_fallback"
@@ -283,11 +286,14 @@ def _solve_block(n=128):
     k2.setTolerances(rtol=1e-8, max_it=3000)
     x2 = pt.Vec.from_array(jnp.zeros(N))
     k2.solve(b, x2)
-    x2.set(0.0)
-    t0 = _t.perf_counter()
-    k2.solve(b, x2)
-    jax.block_until_ready(x2.array)
-    out["jacobi_solve_s"] = round(_t.perf_counter() - t0, 3)
+    best = float("inf")
+    for _ in range(3):
+        x2.set(0.0)
+        t0 = _t.perf_counter()
+        k2.solve(b, x2)
+        jax.block_until_ready(x2.array)
+        best = min(best, _t.perf_counter() - t0)
+    out["jacobi_solve_s"] = round(best, 3)
     out["jacobi_its"] = k2.getIterationNumber()
     out["gamg_vs_jacobi"] = round(out["jacobi_solve_s"]
                                   / max(out["solve_s"], 1e-9), 2)

@@ -854,6 +854,19 @@ class DMPlex(DM):
         return plex_view_hdf5(self, path, name=name, mode=mode)
 
     @classmethod
+    def createFromExodus(cls, path, comm=None):
+        """DMPlexCreateExodusFromFile (plexexodusii.c): ExodusII meshes
+        read through scipy's netCDF-3 reader — no netCDF-C needed
+        (Exodus files ARE netCDF-3 classic containers)."""
+        from .plex_exodus import plex_load_exodus
+        return plex_load_exodus(path, comm=comm)
+
+    def viewExodus(self, path, title="petsc_tpu plex"):
+        """DMView to ExodusII (TRI3/QUAD4/TETRA4/HEX8 single block)."""
+        from .plex_exodus import plex_view_exodus
+        return plex_view_exodus(self, path, title=title)
+
+    @classmethod
     def createFromHDF5(cls, path, name=None, comm=None):
         """DMLoad / DMPlexCreateFromFile(.h5): read a mesh written by
         viewHDF5 or a reference-written XDMF-style file."""
