@@ -40,6 +40,18 @@ def register_ksp(name, fn, default_norm=common.PRECONDITIONED,
 _jit_cache: dict = {}
 
 
+@jax.jit
+def _pack_stats(its, rnorm, rnorm0, reason, history):
+    """Stack the solve statistics into ONE device buffer so the host
+    needs a single round trip (per-leaf fetches cost seconds each
+    through a tunneled device)."""
+    head = jnp.stack([its.astype(history.dtype),
+                      rnorm.astype(history.dtype),
+                      rnorm0.astype(history.dtype),
+                      reason.astype(history.dtype)])
+    return jnp.concatenate([head, history])
+
+
 def _compiled_solver(name, mat_meta, pc_meta, cfg: KSPConfig,
                      donate_rhs=False):
     key = (name, mat_meta, pc_meta, cfg, donate_rhs)
@@ -379,8 +391,11 @@ class KSP(PObject):
                                   cfg, donate_rhs=donate_rhs)
             res = fn(self.mat.device_data(), self.pc.device_data(),
                      b.array, x0, self.rtol, self.abstol, self.divtol)
-        res = jax.block_until_ready(res)
-        dt = time.perf_counter() - t0
+        # do NOT block_until_ready the result tree: through a remote
+        # (tunneled) device that waits on — and can FETCH — the full
+        # solution vector (1.07 GB at 512^3, chip-measured ~1.45 s of
+        # pure overhead at 256^3, round 5). The batched SCALAR stats
+        # fetch below forces execution completion; x stays on device.
         self.guess_nonzero = saved_nonzero
         x.array = res.x
         if (guess is not None and int(res.reason) > 0
@@ -395,13 +410,19 @@ class KSP(PObject):
         # sequential round-trips dominate the whole warm solve
         # (iter_profile.py measured ~1.3 s fixed overhead per call at
         # 256^3; x stays on device)
-        its_h, rnorm_h, rnorm0_h, reason_h, hist = jax.device_get(
-            (res.its, res.rnorm, res.rnorm0, res.reason, res.history))
-        self._its = int(its_h)
-        self._rnorm = float(rnorm_h)
-        self._rnorm0 = float(rnorm0_h)
-        self._reason = KR(int(reason_h))
-        hist = np.asarray(hist)
+        # ONE device array, ONE fetch: jax.device_get of a pytree fetches
+        # every leaf as a SEPARATE round trip, and through a tunneled
+        # device each round trip costs 0.3-1.8 s (round-5 profile: the
+        # 5-leaf "batched" fetch was 5 x 1.8 s of a 9 s warm solve). The
+        # stats pack into the history buffer's dtype on device first.
+        packed = np.asarray(_pack_stats(res.its, res.rnorm, res.rnorm0,
+                                        res.reason, res.history))
+        dt = time.perf_counter() - t0        # stats fetch = completion
+        self._its = int(packed[0])
+        self._rnorm = float(packed[1])
+        self._rnorm0 = float(packed[2])
+        self._reason = KR(int(packed[3]))
+        hist = packed[4:]
         self._history = hist[~np.isnan(hist)]
         nnz = self.mat.nnz() if hasattr(self.mat, "nnz") else 0
         config.log().log_event("KSPSolve", dt,
