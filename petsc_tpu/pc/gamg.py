@@ -511,11 +511,17 @@ class _PCGAMG(_PCMG):
         # the hierarchy only ever feeds the f32 cycle, and the f64 twin
         # of the level-1 planes alone is 3.6 GB at 512^3 (OOMs the chip)
         hd = jnp.float32 if self.dtype == "f32" else None
+        # defer every Lanczos fetch: the eig bounds feed the SMOOTHER
+        # setup (build_mg_meta_data), not the probing chain, so all
+        # levels' (alphas, betas) stay device futures and come back in
+        # ONE round trip at the end (a tunneled fetch costs 0.3-2 s
+        # EACH; this was 2 x nlevels trips — round-5 profiling)
+        pend = []
         while (int(np.prod(cur_shape)) > limit and min(cur_shape) >= 4
                and level < self.max_levels - 1):
             cshape = tuple((s + 1) // 2 for s in cur_shape)
-            emax = gd.device_emax(meta, data, dtype=hd)
-            levels[-1].emin, levels[-1].emax = self.eig_bounds(emax)
+            pend.append((levels[-1],
+                         gd.lanczos_futures(meta, data, dtype=hd)))
             levels[-1].P = MatInterpQ1(cur_shape, cshape,
                                        comm=comm_self())
             meta, data = gd.device_rap_dnd(meta, data, cshape, dtype=hd)
@@ -523,6 +529,9 @@ class _PCGAMG(_PCMG):
             levels.append(MGLevelSpec(Am))
             cur_shape = cshape
             level += 1
+        for lev, emax in zip((l for l, _ in pend),
+                             gd.emax_batch([ab for _, ab in pend])):
+            lev.emin, lev.emax = self.eig_bounds(emax)
         return gd.dnd_to_csr(meta, data), level
 
     def _structured_head_mpi(self, Afine, levels):

@@ -305,6 +305,36 @@ def _lanczos_fn(A_meta, m, seed):
     return lanczos
 
 
+def lanczos_futures(A_meta, A_data, iters=10, seed=7, dtype=None):
+    """(alphas, betas) as DEVICE futures — no fetch. Callers batch many
+    levels' recurrences into one round trip (emax_batch)."""
+    n = int(np.prod(_shape_of(A_meta))) \
+        if A_meta[0] in ("aij_dnd", "dnd_mpi") else A_meta[1]
+    m = int(min(iters, n))
+    return _lanczos_fn(A_meta, m, seed)(head_data(A_data, dtype))
+
+
+def emax_batch(abs_list):
+    """Fetch MANY levels' (alphas, betas) in ONE round trip and return
+    the largest Ritz value per level (a tunneled fetch costs 0.3-2 s
+    regardless of payload; per-level fetches dominated GAMG setup)."""
+    if not abs_list:
+        return []
+    flat = jax.device_get(jnp.concatenate(
+        [jnp.concatenate([a, b]) for a, b in abs_list]))
+    out = []
+    pos = 0
+    for a, b in abs_list:
+        m = a.shape[0]
+        alphas = np.asarray(flat[pos:pos + m])
+        betas = np.asarray(flat[pos + m:pos + 2 * m])
+        pos += 2 * m
+        T = np.diag(alphas) + np.diag(betas[:-1], 1) \
+            + np.diag(betas[:-1], -1)
+        out.append(float(np.max(np.linalg.eigvalsh(T))))
+    return out
+
+
 def device_emax(A_meta, A_data, iters=10, seed=7, dtype=None):
     """Largest Ritz value of D^-1 A from a 10-step device Lanczos on the
     similar symmetric operator D^-1/2 A D^-1/2 (mg._host_emax's esteig
