@@ -36,6 +36,13 @@ class SolveResult(NamedTuple):
     reason: jnp.ndarray     # int, KSPConvergedReason value
     history: jnp.ndarray    # (max_it+1,) residual norms, NaN where unset
     rnorm0: jnp.ndarray
+    # final recursive residual, when the method carries one (KSPBuildResidual
+    # role). ALSO a memory device: with -ksp_donate_rhs, b can only free its
+    # buffer by aliasing an OUTPUT — returning r (same shape, dead b) lets
+    # XLA alias them; at 512^3 the un-aliased 1.07 GB rhs pushed the
+    # program over the HBM comfort line (round-5: 7.7x per-iteration
+    # slowdown vs linear scaling from 256^3).
+    r: jnp.ndarray | None = None
 
 
 @dataclass(frozen=True)

@@ -147,7 +147,8 @@ def solve_cg(A, B, b, x0, rtol, abstol, divtol, cfg: KSPConfig):
     x, r, p, beta, betaold, its, rnorm, reason, hist = \
         lax.while_loop(cond, body, state)
     reason = finalize_reason(reason, its, cfg)
-    return SolveResult(x, its, rnorm, reason, hist, dp0)
+    # returning r lets a donated rhs alias an output (SolveResult.r note)
+    return SolveResult(x, its, rnorm, reason, hist, dp0, r)
 
 
 def solve_minres(A, B, b, x0, rtol, abstol, divtol, cfg: KSPConfig):
