@@ -112,6 +112,7 @@ def main(argv=None):
             "cycle_dtype": opts.get_string("pc_mg_dtype", default="double"),
             "donation_misses": sorted(set(donation_misses)),
             "quality": "measured"}))
+        pt.finalize()        # -log_view/-options_left print here
         return dt, nnz
     ksp.setTolerances(rtol=1e-30, max_it=its)
     ksp.converged_maxits = True

@@ -195,8 +195,11 @@ def finalize(print_unused=False):
             print("WARNING! There are options you set that were not used!")
             for k, v in left:
                 print(f"Option left: name:-{k}" + (f" value: {v}" if v is not None else " (no value)"))
-    lv = st.options.get_string("log_view", default=None)
-    if lv is not None:
+    # a bare -log_view flag carries value None — has_name distinguishes
+    # "flag present, no value" from "absent" (round-5: the get_string
+    # check silently skipped the table for the plain -log_view spelling)
+    if st.options.has_name("log_view"):
+        lv = st.options.get_string("log_view", default=None) or ""
         # PETSc viewer spec ":file[:format]" (ascii_flamegraph/ascii_xml)
         if lv.startswith(":"):
             parts = lv[1:].split(":")
