@@ -155,3 +155,62 @@ def test_multids_fosls_mixed_poisson_patch():
     s = spla.spsolve(Ks.tocsc(), b)
     assert np.abs(s[: ds.offsets[1]] - uex).max() < 1e-9
     assert np.abs(s[ds.offsets[1]:] - pex).max() < 1e-9
+
+
+def test_multids_navier_stokes_newton():
+    """NONLINEAR coupled system through the generic path: steady
+    Navier-Stokes (Taylor-Hood) with the convection term in f0_u —
+    Newton with the autodiff coupled Jacobian converges quadratically
+    to the manufactured solution u=(y^2, x^2), p=2nu(x+y)+c, for which
+    f = (u.grad)u exactly (the viscous and pressure terms cancel)."""
+    nu = 0.7
+    plex = DMPlex.createBoxMesh((4, 4), simplex=True)
+    vfe = lagrange_fe(2, 2, ncomp=2)
+    pfe = lagrange_fe(2, 1)
+    ds = MultiDS(plex, [("u", vfe), ("p", pfe)], qdeg=6)
+    I2 = jnp.eye(2)
+
+    def f0_u(u, gu, x):
+        conv = gu[0] @ u[0]                    # (u . grad) u
+        fx = 2 * x[0] ** 2 * x[1]
+        fy = 2 * x[0] * x[1] ** 2
+        return conv - jnp.array([fx, fy])
+
+    ds.setResidual("u", f0=f0_u,
+                   f1=lambda u, gu, x: nu * gu[0] - u[1] * I2)
+    ds.setResidual("p", f0=lambda u, gu, x: gu[0][0, 0] + gu[0][1, 1])
+
+    Xu = ds.subs[0].dof_coords
+    Xp = ds.subs[1].dof_coords
+    uex = np.stack([Xu[:, 1] ** 2, Xu[:, 0] ** 2], axis=1).reshape(-1)
+    pex = 2 * nu * (Xp[:, 0] + Xp[:, 1])
+    onb = (Xu.min(axis=1) < 1e-9) | (Xu.max(axis=1) > 1 - 1e-9)
+    bdofs = (np.nonzero(onb)[0][:, None] * 2 + np.arange(2)).reshape(-1)
+    pinned = np.sort(np.concatenate([bdofs, [ds.offsets[1]]]))
+    vals_map = dict(zip(bdofs, uex[bdofs]))
+    vals_map[int(ds.offsets[1])] = pex[0]
+    keep = np.ones(ds.ndof, bool)
+    keep[pinned] = False
+
+    u = np.zeros(ds.ndof)
+    u[pinned] = [vals_map[int(i)] for i in pinned]
+    norms = []
+    for _ in range(8):
+        F = ds.assembleResidual(u)
+        F[pinned] = 0.0
+        norms.append(np.linalg.norm(F))
+        if norms[-1] < 1e-12:
+            break
+        J = ds.assembleJacobian(u).tolil()
+        for r in pinned:
+            J.rows[r] = [int(r)]
+            J.data[r] = [1.0]
+        du = spla.spsolve(J.tocsr().tocsc(), -F)
+        u = u + du
+    assert norms[-1] < 1e-12, norms
+    # quadratic contraction once in the basin
+    assert norms[-2] > 10 * norms[-1]
+    # the manufactured fields are in the FE spaces; convection integrates
+    # exactly at qdeg 6, so the discrete solution IS the exact one
+    assert np.abs(u[: ds.offsets[1]] - uex).max() < 1e-8
+    assert np.abs(u[ds.offsets[1]:] - pex).max() < 1e-7
